@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the graft engine.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime re-plan handles skewed shuffles and converts
+  *    sort-merge joins to broadcast when a side turns out small.
+  *  - `nanosAsLong`: the synthetic `events` table stores
+  *    TIMESTAMP(NANOS) which Spark's TimestampType (µs) cannot hold;
+  *    we read the raw int64 and truncate to µs in [[Tables]].
+  *  - Shuffle partitions are sized by the caller (local[32] → 32); on a
+  *    real cluster this would be ~2-3× total cores, with AQE coalescing.
+  */
+object GraftSession {
+
+  /** Apply engine-standard confs to a builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+    .config("spark.sql.files.maxPartitionBytes", "128m")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 4, tz: String = "UTC"): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an `array<float>` embedding column.
+  *
+  * Two tiers, per the 100 TB posture:
+  *  - [[bruteTopK]]: exact cosine top-k of a (small, broadcast) probe set
+  *    against the corpus — the correctness baseline. Probes are broadcast
+  *    so the corpus is scanned once with no shuffle of the big side.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and probes are bucketed
+  *    by signature band, candidates come only from shared buckets (an
+  *    equi-join, shuffle-partitioned by band key), then exact cosine
+  *    re-ranks candidates. No cartesian product anywhere in the plan.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns, accumulated in
+    * double via a left fold (codegen'd `aggregate`/`zip_with`, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * `probes` must be small (it is broadcast). Self-matches (same id) are
+    * excluded. Deterministic tie-break on candidate id.
+    */
+  def bruteTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = c
+      .join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_vec"), col("cand_vec")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes: `tables` of `dim` doubles drawn from
+    * a fixed-seed RNG (no runtime entropy — plans must be reproducible). */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Signature bits column: for each hyperplane, sign(dot(v, h)). */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { h =>
+      val hCol = array(h.map(lit): _*)
+      val dot = aggregate(zip_with(transform(vec, x => x.cast("double")), hCol, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    array(bits.toIndexedSeq: _*)
+  }
+
+  /** Approximate top-k: candidates share at least one LSH band with the
+    * probe; exact cosine re-rank among candidates. Bands = `numPlanes /
+    * bandBits` keys of `bandBits` bits each.
+    */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val nBands = numPlanes / bandBits
+    def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sig = lshSignature(col(vec), planes)
+      val banded = df.select(col(id), col(vec), sig.as("sig"))
+      // one row per (band, bandKey)
+      val bandCols = (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
+      }
+      banded.withColumn("bands", explode(array(bandCols: _*)))
+        .select(col(id), col(vec), col("bands.band").as("band"), col("bands.bkey").as("bkey"))
+    }
+    val c = withBands(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "cand_id").withColumnRenamed(vecCol, "cand_vec")
+    val p = withBands(probes, idCol, vecCol)
+      .withColumnRenamed(idCol, "probe_id").withColumnRenamed(vecCol, "probe_vec")
+    val cands = c.join(p, Seq("band", "bkey"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select("probe_id", "probe_vec", "cand_id", "cand_vec")
+      .dropDuplicates("probe_id", "cand_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    cands
+      .withColumn("sim", cosine(col("probe_vec"), col("cand_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for a large-scale training-data pipeline: token
+  * counting, quality scoring, n-gram language ID, normalization and
+  * fingerprinting. All pure built-in expressions (codegen'd, no UDFs) so
+  * they stay inside whole-stage codegen at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Normalize: lowercase, trim, collapse whitespace runs to one space. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Stable content fingerprint of the normalized text (hex md5). */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text).cast("binary"))
+
+  /** Ratio of non-alphanumeric/space chars to total length (0 if empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Mean token length (0 if no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Simple quality score in [0,1]: favors mid-length docs with low
+    * punctuation and sane token lengths (deterministic heuristic). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val tokScore = when(meanTokenLen(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + punctScore + tokScore) / 3.0, 6)
+  }
+
+  /** Stopword-hit language guess over a fixed marker set — the classic
+    * n-gram/stopword heuristic, expressed as searchable substrings so the
+    * same logic is expressible in ANSI SQL for the oracle. */
+  def langGuess(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val de = hits(Seq("der", "und", "die", "ist"))
+    val es = hits(Seq("el", "los", "que", "es"))
+    val fr = hits(Seq("le", "les", "et", "est"))
+    when(en >= de && en >= es && en >= fr && en > 0, lit("en"))
+      .when(de >= es && de >= fr && de > 0, lit("de"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unk"))
+  }
+
+  /** Word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    when(size(words) < n, array(normalize(text)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+}
