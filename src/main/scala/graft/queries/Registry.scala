@@ -679,6 +679,10 @@ object Registry {
         .orderBy("id_a", "id_b"),
       None),
 
+    Q("nem_split_roundtrip",
+      (s, _) => graft.sources.NemFixture.splitRoundtrip(s).orderBy("table"),
+      None),
+
     Q("dd_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, minJaccard = 0.5)

@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+/** The NEM multi-table CSV wire format: record-type markers in column 0.
+  *
+  * Semantics reproduced from the reference (cited file:line are into
+  * /root/reference):
+  *  - `C,` first line = file header, skipped (src/process/split.rs:107-125);
+  *    a later `C,` line is the footer → stop reading (split.rs:88-91).
+  *  - `I,group,table,version,cols...` starts a new logical table batch;
+  *    table name = cols 1-3 joined "---" (src/process/chunk.rs:77-82).
+  *  - `D,...` rows belong to the current batch; rows before any `I` are
+  *    dropped (src/process/csv_batch_processor.rs:42-75).
+  *  - The first 4 columns are dropped from the output schema
+  *    (chunk.rs:336-345).
+  *  - Values are whitespace-trimmed and outer quotes stripped
+  *    (chunk.rs:21-28,144-174).
+  *  - Per-column type = from the first non-null value: f64-parseable →
+  *    double; `yyyy/MM/dd HH:mm:ss` → timestamp at fixed +10:00 (no DST);
+  *    else string (chunk.rs:31-37,94-124,425-444).
+  *  - Partition date scanned from the *filename*: `YYYYMMDD` or
+  *    `YYYY[-_]MM[-_]DD`, year 2000-2030, else `unknown-date`
+  *    (chunk.rs:258-308,348-351).
+  *
+  * Scale design: one task per input file (files are independently
+  * splittable units; state is per-file and strictly sequential within a
+  * file). The splitter emits a narrow `(table, date, header, values)`
+  * stream; per-table frames are then column-ized and written
+  * `partitionBy(date)` — all downstream work is plain declarative Spark.
+  */
+object NemCsv {
+
+  val MarkerComment = "C"
+  val MarkerHeader = "I"
+  val MarkerData = "D"
+
+  /** One data record: logical table, its I-line columns (already cleaned,
+    * first 4 dropped) and the D-line values (first 4 dropped). */
+  final case class RawRecord(
+      file: String, date: String, table: String,
+      header: Seq[String], values: Seq[String])
+
+  /** Trim whitespace then strip one pair of outer double quotes. */
+  def cleanStr(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Minimal RFC-4180-ish CSV split (double quotes, embedded commas). */
+  def splitCsvLine(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQ = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.result(); sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.result()
+    out.toArray
+  }
+
+  // no boundary anchors: AEMO names embed the date in longer digit runs
+  // (`..._202506072315_...`); the reference scans every position and takes
+  // the first valid year-2000-2030 hit (chunk.rs:258-308)
+  private val DateCompact = "((?:20[0-3][0-9])(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01]))".r
+  private val DateSep = "((?:20[0-3][0-9])[-_](0[1-9]|1[0-2])[-_](0[1-9]|[12][0-9]|3[01]))".r
+
+  /** Filename → `YYYY-MM-DD` partition value, or `unknown-date`. */
+  def dateFromFilename(name: String): String = {
+    DateCompact.findFirstMatchIn(name) match {
+      case Some(m) =>
+        val s = m.group(1)
+        s"${s.substring(0, 4)}-${s.substring(4, 6)}-${s.substring(6, 8)}"
+      case None =>
+        DateSep.findFirstMatchIn(name) match {
+          case Some(m) => m.group(1).replace('_', '-')
+          case None => "unknown-date"
+        }
+    }
+  }
+
+  /** Sequential scan of one file's lines → data records. Pure; the Spark
+    * wrapper calls this once per file inside a task. */
+  def scanLines(file: String, lines: Iterator[String]): Iterator[RawRecord] = {
+    val date = dateFromFilename(file.split('/').last)
+    var curTable: String = null
+    var curHeader: Seq[String] = null
+    var sawFirstLine = false
+    var stopped = false
+    lines.flatMap { line =>
+      if (stopped || line.isEmpty) Iterator.empty
+      else {
+        val isFirst = !sawFirstLine
+        sawFirstLine = true
+        val marker = {
+          val c = line.indexOf(',')
+          if (c < 0) line else line.substring(0, c)
+        }
+        marker match {
+          case MarkerComment =>
+            if (!isFirst) stopped = true // footer → stop (split.rs:88-91)
+            Iterator.empty
+          case MarkerHeader =>
+            val cols = splitCsvLine(line).map(cleanStr)
+            if (cols.length >= 4) {
+              curTable = s"${cols(1)}---${cols(2)}---${cols(3)}"
+              curHeader = cols.drop(4).toSeq
+            } else { curTable = null; curHeader = null }
+            Iterator.empty
+          case MarkerData if curTable != null =>
+            val vals = splitCsvLine(line).map(cleanStr).drop(4).toSeq
+            Iterator.single(RawRecord(file, date, curTable, curHeader, vals))
+          case _ => Iterator.empty // D before any I, or junk: dropped
+        }
+      }
+    }
+  }
+
+  /** Read NEM csv/zip files into the raw record stream, one task per file.
+    * Zip entries ending `.csv`/`.CSV` are scanned in-stream (never fully
+    * materialized). */
+  def rawRecords(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = spark.sparkContext.binaryFiles(paths.mkString(","), paths.size.min(256))
+    files.flatMap { case (name, data) =>
+      if (name.toLowerCase.endsWith(".zip")) {
+        val zin = new ZipInputStream(data.open())
+        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+          .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
+          .flatMap { entry =>
+            val br = new BufferedReader(new InputStreamReader(zin, StandardCharsets.UTF_8))
+            // scan eagerly per entry: ZipInputStream is positional
+            scanLines(name + "!" + entry.getName,
+              Iterator.continually(br.readLine()).takeWhile(_ != null)).toVector
+          }
+      } else {
+        val br = new BufferedReader(new InputStreamReader(data.open(), StandardCharsets.UTF_8))
+        scanLines(name, Iterator.continually(br.readLine()).takeWhile(_ != null))
+      }
+    }.toDF()
+  }
+
+  /** Distinct logical tables present in a raw record stream. */
+  def tablesIn(raw: DataFrame): Seq[String] =
+    raw.select("table").distinct().collect().map(_.getString(0)).toSeq
+
+  private val TsPattern = java.util.regex.Pattern.compile(
+    """\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}""")
+
+  def looksDouble(s: String): Boolean =
+    try { s.toDouble; true } catch { case _: NumberFormatException => false }
+  def looksTimestamp(s: String): Boolean = TsPattern.matcher(s).matches()
+
+  /** Column-ize one logical table from the raw stream and apply the
+    * reference's 3-type inference (first non-null value decides).
+    * All columns nullable; empty string → null before any cast. */
+  def tableFrame(raw: DataFrame, table: String): DataFrame = {
+    val recs = raw.filter(col("table") === table)
+    val header = recs.select("header").head().getSeq[String](0)
+    val stringCols = header.zipWithIndex.map { case (h, i) =>
+      when(element_at(col("values"), i + 1) === "", lit(null))
+        .otherwise(element_at(col("values"), i + 1)).as(h)
+    }
+    val strs = recs.select((stringCols :+ col("date")): _*)
+    // first non-null sample per column decides the type (chunk.rs:69-141)
+    val samples = strs.select(header.map(h => first(col(h), ignoreNulls = true).as(h)): _*).head()
+    val typed = header.zipWithIndex.map { case (h, i) =>
+      val sample = if (samples.isNullAt(i)) null else samples.getString(i)
+      if (sample == null) col(h) // all-null column stays string
+      else if (looksDouble(sample)) col(h).cast("double").as(h)
+      else if (looksTimestamp(sample))
+        // wall time at fixed +10:00 (AEST, no DST) → UTC instant
+        to_utc_timestamp(to_timestamp(col(h), "yyyy/MM/dd HH:mm:ss"), "+10:00").as(h)
+      else col(h)
+    }
+    strs.select((typed :+ col("date")): _*)
+  }
+
+  /** Full split: read files, write each logical table to
+    * `<lakeRoot>/<table>/date=YYYY-MM-DD/part-N.parquet`, return a summary frame
+    * (table, rows). Compression is zstd (the reference's brotli-5 study:
+    * README.md:14-27; the brotli codec jar is not bundled with Spark, zstd
+    * is the closest ratio — see BASELINE.md). */
+  def splitToLake(spark: SparkSession, paths: Seq[String], lakeRoot: String,
+      compression: String = "zstd"): DataFrame = {
+    import spark.implicits._
+    val raw = rawRecords(spark, paths).cache()
+    try {
+      val tables = tablesIn(raw)
+      val counts = tables.map { t =>
+        val df = tableFrame(raw, t)
+        df.write.mode("append").partitionBy("date")
+          .option("compression", compression)
+          .parquet(s"$lakeRoot/$t")
+        (t, df.count())
+      }
+      counts.toDF("table", "rows")
+    } finally raw.unpersist()
+  }
+}
