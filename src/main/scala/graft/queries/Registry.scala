@@ -683,6 +683,10 @@ object Registry {
       (s, _) => graft.sources.NemFixture.splitRoundtrip(s).orderBy("table"),
       None),
 
+    Q("nem_compact_roundtrip",
+      (s, _) => graft.sources.NemFixture.compactRoundtrip(s).orderBy("table", "partition"),
+      None),
+
     Q("dd_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, minJaccard = 0.5)

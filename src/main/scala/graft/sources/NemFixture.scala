@@ -45,4 +45,34 @@ object NemFixture {
       }
     summary.toDF("table", "rows", "n_double_cols", "n_ts_cols", "partitions")
   }
+
+  /** Split → lake, then drop a second heterogeneous file (string-typed MW,
+    * extra column) into one partition and run a compaction sweep twice:
+    * first sweep must merge+widen, second must be a no-op (history
+    * anti-join). Returns per-table (rows, files_after, second_sweep_work). */
+  def compactRoundtrip(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import graft.plans.Compactor
+    import graft.sources.{HistoryTable => HT}
+    val in = Files.createTempDirectory("graft_nem_in2")
+    val lake = Files.createTempDirectory("graft_nem_lake2")
+    val hist = HT.compacted(spark, Files.createTempDirectory("graft_nem_hist").toString)
+    Files.write(Paths.get(in.toString, "PUBLIC_FPP_20250607.csv"),
+      csv.getBytes(StandardCharsets.UTF_8))
+    NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake.toString)
+    // late-arriving file with an un-evolved (all-string) schema + new column
+    Seq(("2025/06/07 23:20:04", "NEWUNIT", "77.7", "extra-val"))
+      .toDF("MEASUREMENT_DATETIME", "FPP_UNITID", "MEASURED_MW", "NEW_COL")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$lake/FPP---UNIT_MW---1/date=2025-06-07")
+    val sweep1 = Compactor.runOnce(spark, lake.toString, hist)
+    val sweep2 = Compactor.runOnce(spark, lake.toString, hist)
+    val out = sweep1.sortBy(t => (t.table, t.partition)).map { st =>
+      val df = spark.read.parquet(s"$lake/${st.table}")
+      (st.table, st.partition, st.rows, df.count(),
+        df.schema.count(_.dataType.typeName == "double"), sweep2.size)
+    }
+    out.toDF("table", "partition", "compacted_rows", "readback_rows",
+      "n_double_cols", "second_sweep_work")
+  }
 }
