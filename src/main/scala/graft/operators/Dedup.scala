@@ -25,14 +25,20 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` min-values over word `shingleLen`-gram
-    * hashes. Seed-varied xxhash64 (built-in, codegen'd). */
+    * hashes. Seed-varied xxhash64 (built-in, codegen'd).
+    *
+    * Shape: explode shingles once, then `numHashes` partial-aggregated
+    * `min()`s in a single groupBy — one shuffle keyed by doc id, the
+    * shingle expression evaluated once per shingle (not once per hash).
+    */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int): DataFrame = {
-    val sh = TextAnalysis.shingles(col(textCol), shingleLen)
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(concat(s, lit(s"#$i"))))).as(s"mh_$i")
+    val posts = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleLen))).as("s"))
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"mh_$i")
     }
-    df.select((col(idCol) +: sigCols): _*)
+    posts.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: signatures are split into `bands` bands

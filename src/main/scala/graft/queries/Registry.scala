@@ -687,6 +687,38 @@ object Registry {
       (s, _) => graft.sources.NemFixture.compactRoundtrip(s).orderBy("table", "partition"),
       None),
 
+    // Full crunch pipeline (steps 1-4) over a deterministic in-memory
+    // fixture; the oracle-checked per-step analogs are w01_ewma,
+    // a07_keepfirst_dedup, j05_asof_interp, w06_spine_densify.
+    Q("nem_crunch_pipeline",
+      (s, _) => {
+        import s.implicits._
+        def t(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+        val freq = Seq(
+          (t("2025-06-07T00:00:00Z"), "NSW1", 0.10, 0.0, 1.0),
+          (t("2025-06-07T00:00:04Z"), "NSW1", -0.05, 0.0, 1.0),
+          (t("2025-06-07T00:00:08Z"), "NSW1", 0.02, 0.0, 1.0))
+          .toDF("MEASUREMENT_DATETIME", "REGIONID", "FREQ_DEVIATION_HZ",
+            "FREQ_MEASURE_HZ", "HZ_QUALITY_FLAG")
+        val preds = Seq(
+          ("D1", t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), "AWEFS_ASEFS", 10.0),
+          ("D1", t("2025-06-07T00:05:00Z"), t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), "AWEFS_ASEFS", 20.0))
+          .toDF("DUID", "INTERVAL_DATETIME", "RUN_DATETIME", "OFFERDATETIME", "ORIGIN", "FORECAST_POE50")
+        val scada = Seq(
+          (t("2025-06-07T00:00:00Z"), "D1", 12.0),
+          (t("2025-06-07T00:00:04Z"), "D1", 9.5),
+          (t("2025-06-07T00:00:08Z"), "D1", 10.1))
+          .toDF("MEASUREMENT_DATETIME", "FPP_UNITID", "MEASURED_MW")
+        val fm = graft.pipeline.Crunch.frequencyMeasure(freq)
+        val traj = graft.pipeline.Crunch.hypotheticalTrajectory(s, preds, "2025-06-07")
+        val dev = graft.pipeline.Crunch.hypotheticalDeviations(traj, scada)
+        graft.pipeline.Crunch.performance(dev, fm)
+          .select(col("ts"), col("duid"), round(col("deviation"), 6).as("deviation"),
+            round(col("p_lower"), 6).as("p_lower"), round(col("p_raise"), 6).as("p_raise"))
+          .orderBy("ts", "duid")
+      },
+      None),
+
     Q("dd_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, minJaccard = 0.5)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  def docs() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+    Seq(
+      (1L, base),
+      (2L, base),                                               // exact dup of 1
+      (3L, base.replace("dawn", "dusk")),                       // near dup of 1
+      (4L, "completely different content about spark query engines and parquet columnar storage layers"),
+      (5L, "yet another unrelated document mentioning neither foxes nor dogs just tables and joins everywhere")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: hash groups and keep-first survivors") {
+    val g = Dedup.exactGroups(docs(), "doc_id", "text").collect()
+    assert(g.length === 4) // 1&2 collapse
+    assert(g.find(_.getLong(1) == 2).get.getLong(2) === 1L) // keep min id
+    val survivors = Dedup.exactDedup(docs(), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH: finds planted near-dup pairs, jaccard verified") {
+    val pairs = Dedup.minhashNearDupPairs(docs(), "doc_id", "text",
+      shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always found
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup found
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated not paired
+  }
+
+  test("ngram jaccard inverted index agrees with LSH on exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs(), "doc_id", "text",
+      shingleLen = 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: exact dups at hamming 0; near dups within threshold; no cartesian") {
+    val sig = Dedup.simhash(docs(), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    val pairs = Dedup.simhashNearDupPairs(docs(), "doc_id", "text", maxHamming = 16)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("minhash candidates join is bucketed, not cartesian") {
+    val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

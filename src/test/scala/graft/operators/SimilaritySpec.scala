@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  def vecs() = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+      (4L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine column: exact values on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(sims(0) === 0.0)
+    assert(sims(1) === 1.0)
+    assert(sims(2) === -1.0)
+  }
+
+  test("bruteTopK: correct ranking, self excluded, deterministic ties") {
+    val out = Similarity.bruteTopK(vecs(), vecs().filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 4L, 2L)) // by descending cosine
+    assert(!out.map(_._1).contains(0L))
+  }
+
+  test("lshTopK: no cartesian product; high-sim neighbor recovered") {
+    val probes = vecs().filter(col("vec_id") === 0)
+    val res = Similarity.lshTopK(vecs(), probes, "vec_id", "embedding",
+      k = 3, dim = 4, numPlanes = 8, bandBits = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val cands = res.collect().map(_.getLong(1)).toSet
+    assert(cands.contains(1L)) // the near-identical vector must share a band
+  }
+
+  test("lsh recall vs brute force on the real embeddings table") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding", 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall vs brute") // approximate, but not useless
+  }
+}
