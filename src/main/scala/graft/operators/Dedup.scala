@@ -106,6 +106,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicates: candidates from shared
+    * random-hyperplane LSH bands (equi-join, no cross product), verified
+    * by exact cosine ≥ `minCosine`. The embedding-space analog of
+    * [[minhashNearDupPairs]]. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minCosine: Double = 0.95,
+      numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = Similarity.lshSignature(col(vecCol),
+      Similarity.hyperplanes(numPlanes, dim, seed))
+    val nBands = numPlanes / bandBits
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"), planes.as("sig"))
+      .withColumn("b", explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
+      }: _*)))
+      .select(col("id"), col("vec"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"), col("band"), col("bkey"))
+    val b2 = banded.select(col("id").as("id_b"), col("vec").as("vec_b"), col("band"), col("bkey"))
+    a.join(b2, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** 64-bit SimHash of word tokens: per bit, sum +1/-1 weighted by token
     * hash bit, sign → bit. Computed with built-in bit ops over an exploded
     * token stream (one shuffle on doc id). */

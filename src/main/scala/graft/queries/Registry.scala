@@ -723,6 +723,44 @@ object Registry {
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dd_embed_neardup",
+      // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
+      // the candidate-verify path non-trivially exercised
+      (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, minCosine = 0.4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // Multimodal: binary payload metadata via pure expressions. The
+    // payload is text-bytes + a fake 16-byte header; n_bytes and digest
+    // are oracle-checkable because both engines hash the same utf8 bytes.
+    Q("mm_binary_meta",
+      (s, d) => {
+        val withBin = graft.multimodal.Multimodal.attachBinary(
+          T(s, d, "documents"), "text")
+        graft.multimodal.Multimodal.extractMeta(withBin, "payload")
+          .select(col("doc_id"), col("n_bytes"), col("magic"),
+            md5(col("text").cast("binary")).as("text_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) + 16 AS n_bytes,
+                     'IMG0' AS magic, md5(text) AS text_digest
+              FROM documents ORDER BY doc_id""")),
+
+    // Multimodal decode → frame-sample → feature pipeline (stub codec,
+    // real plumbing: mapPartitions decode, posexplode fan-out).
+    Q("mm_decode_frames",
+      (s, d) => {
+        import graft.multimodal.Multimodal._
+        val decoded = decode(attachBinary(T(s, d, "documents"), "text"), "payload")
+        featureStub(frameSample(decoded, 3))
+          .groupBy("doc_id")
+          .agg(first(col("width")).as("width"), first(col("height")).as("height"),
+            count(lit(1)).as("n_sampled_frames"), first(size(col("features"))).as("feat_dim"))
+          .orderBy("doc_id")
+      },
       None)
   )
 
