@@ -1,14 +1,21 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline.
   *
-  * Scale posture: every variant finds candidate pairs through an
-  * equi-join on a derived key (hash, band, shingle) — shuffle-partitioned
-  * by that key — never via a cartesian product. Exact verification only
-  * runs on candidates.
+  * Scale posture:
+  *  - candidate pairs always come from an equi-join on a derived key
+  *    (hash, LSH band, shingle) — never a cartesian product;
+  *  - shingling is a postings pipeline (posexplode + window `lead`),
+  *    fully codegen'd — higher-order lambdas (`transform`) are
+  *    interpreted in Spark and re-evaluate their inputs per call, which
+  *    made the array formulation ~10× slower;
+  *  - the postings stream is persisted once and every downstream branch
+  *    (signature, inverted index, verification) reuses it.
   */
 object Dedup {
 
@@ -19,63 +26,86 @@ object Dedup {
 
   /** Keep-one-per-content-hash projection (survivors). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** MinHash signatures: `numHashes` min-values over word `shingleLen`-gram
-    * hashes. Seed-varied xxhash64 (built-in, codegen'd).
-    *
-    * Shape: explode shingles once, then `numHashes` partial-aggregated
-    * `min()`s in a single groupBy — one shuffle keyed by doc id, the
-    * shingle expression evaluated once per shingle (not once per hash).
-    */
-  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, numHashes: Int): DataFrame = {
-    val posts = df.select(col(idCol),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleLen))).as("s"))
+  /** Distinct word `n`-gram postings (id, shingle), persisted.
+    * Codegen-friendly: normalize+split once per doc, posexplode, window
+    * `lead` to assemble shingles. A doc shorter than `n` words yields its
+    * whole normalized text as one shingle (parity with
+    * [[TextAnalysis.shingles]]). */
+  private[operators] def shinglePosts(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("pos")
+    // repartition by id up front: a small parquet file arrives as ONE
+    // split, serializing the normalize/explode work; hashing by id here
+    // also satisfies the window's required distribution (no 2nd shuffle)
+    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
+        posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
+    words
+      .withColumn("last_w", lead(col("w"), n - 1).over(w))
+      .withColumn("sh", concat_ws(" ", parts: _*)) // concat_ws skips nulls
+      .filter(col("last_w").isNotNull || col("pos") === 0)
+      .select(col("id"), col("sh").as("s"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** MinHash signature from a postings stream: `numHashes` seed-varied
+    * xxhash64 mins, partial-aggregated in one groupBy. */
+  private def signatureOf(posts: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"mh_$i")
     }
-    posts.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs: signatures are split into `bands` bands
-    * of `numHashes/bands` rows; docs sharing any band key are candidates.
-    * Returns (id_a, id_b) with id_a < id_b, deduplicated.
-    */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  /** MinHash signatures (public surface; one row per doc, mh_0..mh_n-1). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int): DataFrame =
+    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes)
+      .withColumnRenamed("id", idCol)
+
+  private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(df, idCol, textCol, shingleLen, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bkey"))
     }
     val banded = sig
       .withColumn("b", explode(array(bandStructs: _*)))
-      .select(col(idCol).as("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val a = banded.withColumnRenamed("id", "id_a")
-    val b2 = banded.withColumnRenamed("id", "id_b")
-    a.join(b2, Seq("band", "bkey"))
+      .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    banded.withColumnRenamed("id", "id_a")
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
 
-  /** Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard
-    * ≥ `minJaccard` (verification joins only the candidate ids back to the
-    * shingle sets — no full cross product). */
-  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.7): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands)
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleLen)).as("sh"))
+  /** MinHash-LSH candidate pairs: docs sharing any signature band. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val posts = shinglePosts(df, idCol, textCol, shingleLen)
+    bandPairs(signatureOf(posts, numHashes), numHashes, bands)
+  }
+
+  /** Exact Jaccard for given candidate pairs, from the postings stream:
+    * shingle arrays are assembled only for docs that appear in a pair. */
+  private def verifyJaccard(candsIn: DataFrame, posts: DataFrame,
+      minJaccard: Double): DataFrame = {
+    // candidate generation feeds two branches (id set + final join);
+    // without persist the whole candidate join would run per branch
+    val cands = candsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val ids = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b"))).distinct()
+    val sets = posts.join(ids, Seq("id"))
+      .groupBy("id").agg(collect_list(col("s")).as("sh"))
     cands
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -83,51 +113,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted shingle
-    * index (explode → self-equi-join on shingle → per-pair overlap count).
-    * Exact counterpart to the LSH approximation; cost bounded by shingle
-    * posting-list sizes, not |corpus|².
+  /** Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.7): DataFrame = {
+    val posts = shinglePosts(df, idCol, textCol, shingleLen)
+    val cands = bandPairs(signatureOf(posts, numHashes), numHashes, bands)
+    verifyJaccard(cands, posts, minJaccard)
+  }
+
+  /** N-gram Jaccard ≥ threshold via an inverted shingle index.
+    *
+    * Candidate generation prunes posting lists longer than `maxDocFreq`
+    * (stop-shingle / prefix-filter trick) and pre-filters pairs to those
+    * sharing ≥ `minShared` rare shingles (map-side-combined count — a
+    * Jaccard ≥ 0.5 pair shares ~half its shingles, so this loses nothing).
+    * Verification computes exact Jaccard from the COMPLETE shingle sets of
+    * candidate docs only.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleLen)).as("sh"))
-    val sizes = sets.select(col("id"), size(col("sh")).as("n"))
-    val posts = sets.select(col("id"), explode(col("sh")).as("s"))
-    val pairs = posts.withColumnRenamed("id", "id_a")
-      .join(posts.withColumnRenamed("id", "id_b"), Seq("s"))
+      shingleLen: Int = 3, minJaccard: Double = 0.5,
+      maxDocFreq: Int = 50, minShared: Int = 3): DataFrame = {
+    val posts = shinglePosts(df, idCol, textCol, shingleLen)
+    val rare = posts.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") <= maxDocFreq)
+      .select("s")
+    val pruned = posts.join(rare, Seq("s"))
+    val cands = pruned.withColumnRenamed("id", "id_a")
+      .join(pruned.withColumnRenamed("id", "id_b"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("id_a", "id_b")
+    verifyJaccard(cands, posts, minJaccard)
   }
 
   /** Embedding-cosine near-duplicates: candidates from shared
-    * random-hyperplane LSH bands (equi-join, no cross product), verified
-    * by exact cosine ≥ `minCosine`. The embedding-space analog of
-    * [[minhashNearDupPairs]]. */
+    * random-hyperplane LSH bands (ids only — vectors are joined back just
+    * for verified candidates), exact cosine ≥ `minCosine`. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double = 0.95,
       numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = Similarity.lshSignature(col(vecCol),
       Similarity.hyperplanes(numPlanes, dim, seed))
     val nBands = numPlanes / bandBits
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"), planes.as("sig"))
+    // signature evaluation is interpreted lambda work — spread it
+    val banded = df.repartition(col(idCol)).select(col(idCol).as("id"), planes.as("sig"))
       .withColumn("b", explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
       }: _*)))
-      .select(col("id"), col("vec"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val a = banded.select(col("id").as("id_a"), col("vec").as("vec_a"), col("band"), col("bkey"))
-    val b2 = banded.select(col("id").as("id_b"), col("vec").as("vec_b"), col("band"), col("bkey"))
-    a.join(b2, Seq("band", "bkey"))
+      .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // signature is interpreted work; compute once
+    val cands = banded.withColumnRenamed("id", "id_a")
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -137,7 +183,7 @@ object Dedup {
     * hash bit, sign → bit. Computed with built-in bit ops over an exploded
     * token stream (one shuffle on doc id). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = df.repartition(col(idCol)).select(col(idCol).as("id"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>

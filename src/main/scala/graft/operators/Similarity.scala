@@ -35,7 +35,10 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    // cosine is interpreted lambda work; a single-file corpus arrives as
+    // one split — spread it before the per-pair scoring
+    val c = corpus.repartition(col(idCol))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = c
       .join(broadcast(p), col("cand_id") =!= col("probe_id"))
       .withColumn("sim", cosine(col("probe_vec"), col("cand_vec")))
@@ -77,7 +80,7 @@ object Similarity {
     val nBands = numPlanes / bandBits
     def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
       val sig = lshSignature(col(vec), planes)
-      val banded = df.select(col(id), col(vec), sig.as("sig"))
+      val banded = df.repartition(col(id)).select(col(id), col(vec), sig.as("sig"))
       // one row per (band, bandKey)
       val bandCols = (0 until nBands).map { b =>
         struct(lit(b).as("band"),

@@ -64,12 +64,15 @@ object TextAnalysis {
       .otherwise(lit("unk"))
   }
 
-  /** Word n-gram shingles of the normalized text. */
+  /** Word n-gram shingles of the normalized text. Built with per-shingle
+    * `element_at` lookups (O(1) each) rather than `slice` (which allocates
+    * a sub-array per shingle) — higher-order lambdas are interpreted, not
+    * codegen'd, so constant factors matter here. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(normalize(text), " ")
     when(size(words) < n, array(normalize(text)))
       .otherwise(transform(
         sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        i => concat_ws(" ", (1 to n).map(k => element_at(words, (i + k).cast("int"))): _*)))
   }
 }
