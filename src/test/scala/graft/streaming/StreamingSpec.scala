@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Reconcile
+import graft.sources.{NemFixture, ParquetMeta}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class StreamingSpec extends SparkSpec {
+
+  test("IngestStream: landing dir drained to lake; second run skips via history") {
+    val landing = tmpDir("landing")
+    val lake = tmpDir("slake")
+    val hist = tmpDir("shist")
+    Files.write(Paths.get(landing, "PUBLIC_FPP_20250607.csv"),
+      NemFixture.csv.getBytes(StandardCharsets.UTF_8))
+    val q = IngestStream.start(spark, landing, lake, hist, tmpDir("ckpt1"))
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(s"$lake/FPP---UNIT_MW---1").count()
+    assert(rows === 4)
+    // drain again with a fresh checkpoint: history must skip the same file
+    val q2 = IngestStream.start(spark, landing, lake, hist, tmpDir("ckpt2"))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$lake/FPP---UNIT_MW---1").count() === 4) // unchanged
+  }
+
+  test("EventStream.windowedAgg: watermarked 5-min windows over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(df).writeStream
+      .format("memory").queryName("winagg").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    mem.addData((t("2024-01-01T00:01:00Z"), "click", 1.0),
+      (t("2024-01-01T00:02:00Z"), "click", 2.0),
+      (t("2024-01-01T00:07:00Z"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData((t("2024-01-01T01:00:00Z"), "click", 0.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM winagg ORDER BY bucket, event_type").collect()
+    q.stop()
+    assert(out.length >= 2)
+    val first = out.head
+    assert(first.getAs[java.sql.Timestamp]("bucket") === t("2024-01-01T00:00:00Z"))
+    assert(first.getAs[Long]("n") === 2L)
+    assert(first.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("EventStream.streamingEwma: state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = 0.5
+    val mem = MemoryStream[EventStream.Point]
+    val q = EventStream.streamingEwma(mem.toDS(), a).writeStream
+      .format("memory").queryName("sewma").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    mem.addData(EventStream.Point("k", t("2024-01-01T00:00:00Z"), 10.0))
+    q.processAllAvailable()
+    mem.addData(EventStream.Point("k", t("2024-01-01T00:00:04Z"), 20.0))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT ewma FROM sewma ORDER BY ts").collect().map(_.getDouble(0))
+    q.stop()
+    assert(out(0) === 5.0)                 // 0.5*10
+    assert(out(1) === 0.5 * 5.0 + 0.5 * 20.0) // state survived the batch boundary
+  }
+
+  test("ParquetMeta + Reconcile: footer counts match D-lines without data scan") {
+    val in = tmpDir("rin")
+    val lake = tmpDir("rlake")
+    Files.write(Paths.get(in, "PUBLIC_FPP_20250607.csv"),
+      NemFixture.csv.getBytes(StandardCharsets.UTF_8))
+    graft.sources.NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake)
+    val metas = ParquetMeta.readDir(spark, s"$lake/FPP---UNIT_MW---1")
+    assert(metas.map(_.rows).sum === 4)
+    assert(metas.forall(_.rowGroups >= 1))
+    val rep = Reconcile.run(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake)
+      .orderBy("table").collect()
+    assert(rep.length === 2)
+    assert(rep.forall(_.getAs[Boolean]("matches")))
+  }
+}
