@@ -564,6 +564,42 @@ object Registry {
               ORDER BY t, et"""))
   )
 
+  /** Interactive SQL surface — the reference's dashboard corpus (§3.3)
+    * run as spark.sql over temp views. */
+  val sqlSurface: Seq[Q] = Seq(
+    Q("sql_timeseries_panel",
+      (s, d) => SqlSurface.timeseriesPanel(s, d),
+      Some("""SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bucket,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+              FROM events
+              WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+              GROUP BY 1 ORDER BY bucket""")),
+
+    Q("sql_pivot_panel",
+      (s, d) => SqlSurface.pivotPanel(s, d),
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                     max(event_id) FILTER (WHERE user_id % 4 = 0) AS lane_0,
+                     max(event_id) FILTER (WHERE user_id % 4 = 1) AS lane_1,
+                     max(event_id) FILTER (WHERE user_id % 4 = 2) AS lane_2,
+                     max(event_id) FILTER (WHERE user_id % 4 = 3) AS lane_3
+              FROM events GROUP BY 1 ORDER BY day""")),
+
+    Q("sql_percent_panel",
+      (s, d) => SqlSurface.percentPanel(s, d),
+      Some("""SELECT (SELECT count(*) FROM events WHERE event_type = 'purchase') AS n_done,
+                     (SELECT count(*) FROM events) AS n_all,
+                     CAST((SELECT count(*) FROM events WHERE event_type = 'purchase') AS DOUBLE)
+                       / CAST((SELECT count(*) FROM events) AS DOUBLE) AS frac""")),
+
+    Q("sql_timeline_panel",
+      (s, d) => SqlSurface.timelinePanel(s, d),
+      Some("""SELECT event_id, user_id, event_type
+              FROM events
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+              LIMIT 5000"""))
+  )
+
   /** LLM-training-data pipeline operators. */
   val llm: Seq[Q] = Seq(
 
@@ -764,7 +800,7 @@ object Registry {
       None)
   )
 
-  val all: Seq[Q] = relational ++ llm
+  val all: Seq[Q] = relational ++ sqlSurface ++ llm
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
