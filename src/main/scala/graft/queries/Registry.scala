@@ -502,6 +502,39 @@ object Registry {
               SELECT user_id, event_id, ewma
               FROM r ORDER BY user_id, event_id""")),
 
+    Q("w01b_ewma_catalyst",
+      // same semantics as w01_ewma but via the native Catalyst
+      // AggregateWindowFunction (SQL surface); proven bitwise-identical
+      // to the mapPartitions operator in GraftFunctionsSpec
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "events").createOrReplaceTempView("ewma_events_v")
+        s.sql("""SELECT user_id, event_id,
+                        ewma(value, 0.05) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ewma
+                 FROM ewma_events_v ORDER BY user_id, event_id""")
+      },
+      Some("""WITH RECURSIVE b AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              r(user_id, event_id, rn, state, ewma) AS (
+                SELECT user_id, event_id, rn,
+                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
+                       CASE WHEN value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.event_id, b.rn,
+                       CASE WHEN b.value IS NULL THEN r.state
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END,
+                       CASE WHEN b.value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END
+                FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+              SELECT user_id, event_id, ewma
+              FROM r ORDER BY user_id, event_id""")),
+
     Q("w02_row_number",
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -645,6 +678,18 @@ object Registry {
                        BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
                 ) / 3.0::DOUBLE, 6) AS quality
               FROM documents ORDER BY doc_id""")),
+
+    Q("ta_rolling_fingerprint",
+      // native codegen'd Catalyst expression (RollingHash with doGenCode);
+      // no DuckDB equivalent for wrapping 64-bit arithmetic → rows-only,
+      // correctness asserted against a Scala reference in
+      // GraftFunctionsSpec
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "documents").createOrReplaceTempView("fp_docs_v")
+        s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM fp_docs_v ORDER BY doc_id")
+      },
+      None),
 
     Q("ta_langid",
       (s, d) => T(s, d, "documents")
