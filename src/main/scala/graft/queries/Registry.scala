@@ -399,6 +399,27 @@ object Registry {
                 AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR = n.h
               ORDER BY e.event_id""")),
 
+    Q("j05b_asof_native",
+      // the custom LogicalPlan+Strategy+SparkPlan as-of join
+      // (graft.plans.AsOfJoin) vs DuckDB's native ASOF LEFT JOIN
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
+        val hourly = T(s, d, "events")
+          .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+          .agg(round(avg(col("value")), 6).as("av"))
+        graft.plans.AsOfJoin(s, ev, hourly, Seq("event_type"), Seq("et"), "ts", "h")
+          .select(col("event_id"), col("av"))
+          .orderBy("event_id")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       round(avg(value), 6) AS av
+                FROM events GROUP BY 1, 2)
+              SELECT e.event_id, hourly.av
+              FROM events e ASOF LEFT JOIN hourly
+                ON e.event_type = hourly.et AND CAST(e.ts AS TIMESTAMP) >= hourly.h
+              ORDER BY e.event_id""")),
+
     Q("j06_interval_join",
       (s, d) => {
         val spine = s.range(1).select(explode(sequence(

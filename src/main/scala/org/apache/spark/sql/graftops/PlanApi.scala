@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** Bridge into the `private[sql]` plan constructor so custom logical
+  * plans (graft.plans.AsOfJoin) can surface as DataFrames. Lives under
+  * `org.apache.spark.sql` for access; contains no logic. */
+object PlanApi {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
