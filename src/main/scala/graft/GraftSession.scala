@@ -34,6 +34,9 @@ object GraftSession {
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.sql.session.timeZone", tz)
+        // static conf: managed-table writes (bucketing tests) land in tmp
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting: the classic remedy when one join key
+  * dominates a shuffle partition (AQE's skew-join split handles most
+  * cases at runtime; salting is the static fallback for extreme keys).
+  *
+  * The skewed (big) side gets a deterministic pseudo-random salt in
+  * `[0, factor)`; the small side is exploded `factor`× so every
+  * (key, salt) pair finds its match. Join output is identical to the
+  * unsalted join — only the partitioning changes (key cardinality
+  * effectively multiplied by `factor`).
+  */
+object Salt {
+
+  /** Deterministic per-row salt derived from the whole row hash (no RNG:
+    * reproducible plans). */
+  private def saltCol(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int")
+
+  /** Equi-join `big ⋈ small` on `keys`, salted `factor`-ways. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      factor: Int, how: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt", saltCol(big, factor))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", how).drop("__salt")
+  }
+}

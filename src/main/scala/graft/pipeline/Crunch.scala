@@ -105,6 +105,52 @@ object Crunch {
     unitMw.select(col("MEASUREMENT_DATETIME").as("ts"),
       col("FPP_UNITID").as("duid"), col("DEVIATION_MW").as("deviation"))
 
+  /** Steps 5-11 — the FPP settlement tail (spec calcs.md:112-254):
+    * residual aggregation → contribution-factor alignment → DCF overlay
+    * with default fallback → MW-weighting → dollar rates → daily charge.
+    * Input column names follow the spec (lowercase).
+    *
+    * Shapes: one groupBy on ts (map-side combined), then a chain of
+    * left equi-joins on (constraintid, ts) — constraint dimensions are
+    * small and broadcast — and one global agg. Returns
+    * (interval_charges, daily_summary).
+    */
+  def settlement(
+      perfSplit: DataFrame,   // ts, raise_perf, lower_perf  (from step 4)
+      cf: DataFrame,          // constraintid, ts, contribution_factor
+      defaultCf: DataFrame,   // constraintid, ts, default_contribution_factor
+      residualDcf: DataFrame, // constraintid, ts, residual_dcf
+      perfRates: DataFrame,   // constraintid, ts, fpp_payment_rate, fpp_recovery_rate
+      resRates: DataFrame     // constraintid, ts, fpp, used_fcas, unused_fcas
+  ): (DataFrame, DataFrame) = {
+    // step 5: per-interval residual summary
+    val residualSummary = perfSplit.groupBy("ts").agg(
+      sum(col("raise_perf")).as("raise_residual_perf"),
+      sum(col("lower_perf")).as("lower_residual_perf"))
+    // steps 6-7: align each constraint's CF with the interval residuals
+    val resCf = cf.join(residualSummary, Seq("ts"), "left")
+    // step 8: DCF overlay, residual-DCF falls back to default CF
+    val withDcf = resCf
+      .join(defaultCf, Seq("constraintid", "ts"), "left")
+      .join(residualDcf, Seq("constraintid", "ts"), "left")
+      .withColumn("used_dcf",
+        coalesce(col("residual_dcf"), col("default_contribution_factor")))
+    // step 9: MW-weighted CF
+    val weighted = withDcf
+      .withColumn("weighted_raise_cf", col("raise_residual_perf") * col("used_dcf"))
+      .withColumn("weighted_lower_cf", col("lower_residual_perf") * col("used_dcf"))
+    // step 10: dollar charges
+    val charges = weighted
+      .join(perfRates, Seq("constraintid", "ts"), "left")
+      .join(resRates, Seq("constraintid", "ts"), "left")
+      .withColumn("raise_charge", col("weighted_raise_cf") * col("fpp_payment_rate"))
+      .withColumn("lower_charge", col("weighted_lower_cf") * col("fpp_recovery_rate"))
+      .withColumn("interval_charge", col("raise_charge") + col("lower_charge"))
+    // step 11: single-row daily total
+    val summary = charges.agg(sum(col("interval_charge")).as("total_fpp_charge"))
+    (charges, summary)
+  }
+
   /** Step 4 — performance (crunch.rs:93-176): deviations ⟕ freq-measure of
     * one region on ts; split by frequency-measure sign. */
   def performance(deviations: DataFrame, freqMeasure: DataFrame,

@@ -789,6 +789,47 @@ object Registry {
       (s, _) => graft.sources.NemFixture.compactRoundtrip(s).orderBy("table", "partition"),
       None),
 
+    // FPP settlement tail (calcs.md steps 5-11) with inputs derived
+    // deterministically from the events table so DuckDB can oracle-check
+    // the whole chain: residual sums → DCF fallback → weighted charges.
+    Q("nem_settlement",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val perfSplit = ev.select(date_trunc("hour", col("ts")).as("ts"),
+          col("value").as("raise_perf"), (-col("value") / lit(2.0)).as("lower_perf"))
+        val hours = ev.select(col("event_type").as("constraintid"),
+          date_trunc("hour", col("ts")).as("ts")).distinct()
+        val cf = hours.withColumn("contribution_factor", lit(0.5))
+        val defCf = hours.withColumn("default_contribution_factor", lit(0.8))
+        val resDcf = hours.filter(col("constraintid") === "click")
+          .withColumn("residual_dcf", lit(0.6))
+        val perfRates = hours.withColumn("fpp_payment_rate", lit(10.0))
+          .withColumn("fpp_recovery_rate", lit(20.0))
+        val resRates = hours.withColumn("fpp", lit(1.0))
+          .withColumn("used_fcas", lit(2.0)).withColumn("unused_fcas", lit(3.0))
+        val (charges, _) = graft.pipeline.Crunch.settlement(
+          perfSplit, cf, defCf, resDcf, perfRates, resRates)
+        charges.select(col("constraintid"), col("ts"),
+            round(col("used_dcf"), 6).as("used_dcf"),
+            round(col("interval_charge"), 4).as("interval_charge"))
+          .orderBy("constraintid", "ts")
+      },
+      Some("""WITH ev AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, value
+                          FROM events),
+                   rs AS (SELECT h AS ts, sum(value) AS raise_residual_perf,
+                                 sum(-value / 2.0::DOUBLE) AS lower_residual_perf
+                          FROM ev GROUP BY 1),
+                   hours AS (SELECT DISTINCT event_type AS constraintid, h AS ts FROM ev),
+                   wd AS (SELECT hours.constraintid, hours.ts,
+                                 rs.raise_residual_perf, rs.lower_residual_perf,
+                                 CASE WHEN hours.constraintid = 'click' THEN 0.6::DOUBLE
+                                      ELSE 0.8::DOUBLE END AS used_dcf
+                          FROM hours LEFT JOIN rs ON hours.ts = rs.ts)
+              SELECT constraintid, ts, round(used_dcf, 6) AS used_dcf,
+                     round(raise_residual_perf * used_dcf * 10.0::DOUBLE
+                           + lower_residual_perf * used_dcf * 20.0::DOUBLE, 4) AS interval_charge
+              FROM wd ORDER BY constraintid, ts""")),
+
     // Full crunch pipeline (steps 1-4) over a deterministic in-memory
     // fixture; the oracle-checked per-step analogs are w01_ewma,
     // a07_keepfirst_dedup, j05_asof_interp, w06_spine_densify.

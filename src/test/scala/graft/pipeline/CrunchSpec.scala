@@ -66,6 +66,38 @@ class CrunchSpec extends SparkSpec {
     assert(traj.count() === 21600)
   }
 
+  test("steps 5-11: settlement chain with DCF fallback and daily total") {
+    import spark.implicits._
+    val t0 = ts("2025-06-07T00:00:00Z"); val t1 = ts("2025-06-07T00:00:04Z")
+    // two units per interval → step 5 sums them
+    val perfSplit = Seq((t0, 2.0, 0.0), (t0, 3.0, -1.0), (t1, 0.0, -4.0))
+      .toDF("ts", "raise_perf", "lower_perf")
+    val cf = Seq(("C1", t0, 0.5), ("C1", t1, 0.5), ("C2", t0, 0.25))
+      .toDF("constraintid", "ts", "contribution_factor")
+    val defCf = Seq(("C1", t0, 0.9), ("C1", t1, 0.8), ("C2", t0, 0.7))
+      .toDF("constraintid", "ts", "default_contribution_factor")
+    val resDcf = Seq(("C1", t0, 0.6)) // only C1@t0 → others fall back to default
+      .toDF("constraintid", "ts", "residual_dcf")
+    val perfRates = Seq(("C1", t0, 10.0, 20.0), ("C1", t1, 10.0, 20.0), ("C2", t0, 5.0, 5.0))
+      .toDF("constraintid", "ts", "fpp_payment_rate", "fpp_recovery_rate")
+    val resRates = Seq(("C1", t0, 1.0, 1.0, 1.0))
+      .toDF("constraintid", "ts", "fpp", "used_fcas", "unused_fcas")
+    val (charges, summary) = Crunch.settlement(perfSplit, cf, defCf, resDcf, perfRates, resRates)
+    val byKey = charges.collect().map(r =>
+      (r.getAs[String]("constraintid"), r.getAs[java.sql.Timestamp]("ts")) -> r).toMap
+    // C1@t0: residuals raise=5, lower=-1; used_dcf=0.6 (residual present)
+    //   raise_charge = 5*0.6*10 = 30 ; lower_charge = -1*0.6*20 = -12 → 18
+    assert(byKey(("C1", t0)).getAs[Double]("used_dcf") === 0.6)
+    assert(byKey(("C1", t0)).getAs[Double]("interval_charge") === 30.0 - 12.0)
+    // C1@t1: residuals raise=0, lower=-4; fallback used_dcf=0.8
+    //   charge = 0 + (-4*0.8*20) = -64
+    assert(byKey(("C1", t1)).getAs[Double]("used_dcf") === 0.8)
+    assert(byKey(("C1", t1)).getAs[Double]("interval_charge") === -64.0)
+    // C2@t0: fallback 0.7; raise 5*0.7*5=17.5; lower -1*0.7*5=-3.5 → 14
+    assert(byKey(("C2", t0)).getAs[Double]("interval_charge") === 14.0)
+    assert(summary.head().getDouble(0) === 18.0 - 64.0 + 14.0)
+  }
+
   test("steps 3+4: deviation and sign-split performance") {
     import spark.implicits._
     val traj = Seq(
