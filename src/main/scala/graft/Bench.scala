@@ -12,6 +12,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // one warmup execution (codegen compile + page cache), then measure:
+      // per-round bench runs in a fresh JVM whose first execution of the
+      // wide generated expressions is dominated by janino compilation
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

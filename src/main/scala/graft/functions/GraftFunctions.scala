@@ -15,5 +15,7 @@ object GraftFunctions {
       exprs => EwmaWindow(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("vector_cosine",
+      exprs => VectorCosine(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.classic.{Dataset => CDataset, ExpressionUtils, SparkSession => CSparkSession}
 
 /** Bridge into the `private[sql]` plan constructor so custom logical
   * plans (graft.plans.AsOfJoin) can surface as DataFrames. Lives under
@@ -13,4 +14,7 @@ object PlanApi {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

@@ -38,6 +38,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(out(3).getDouble(2) === 12.5)  // k3: 0.5*5 + 0.5*20 — state carried
   }
 
+  test("vector_cosine: codegen vs interpreted vs scala reference; null/len edge cases") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = df.selectExpr("a", "b", "vector_cosine(a, b) AS c").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) === ref(r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
+    }
+    // zero vector and length mismatch → null
+    val edge = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(edge.selectExpr("vector_cosine(a, b)").head().isNullAt(0))
+    val lens = spark.sql("SELECT vector_cosine(array(1.0D), array(1.0D, 2.0D))")
+    assert(lens.head().isNullAt(0))
+  }
+
   test("rolling_hash: codegen matches interpreted eval and scala reference") {
     import spark.implicits._
     GraftFunctions.register(spark)
