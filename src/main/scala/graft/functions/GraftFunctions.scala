@@ -17,5 +17,7 @@ object GraftFunctions {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("vector_cosine",
       exprs => VectorCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)), "built-in")
   }
 }

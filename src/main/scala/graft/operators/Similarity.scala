@@ -56,12 +56,14 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Signature bits column: for each hyperplane, sign(dot(v, h)). */
+  /** Signature bits column: for each hyperplane, sign(dot(v, h)) —
+    * codegen'd [[graft.functions.VectorDot]] per plane. */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftops.PlanApi
     val bits = planes.map { h =>
       val hCol = array(h.map(lit): _*)
-      val dot = aggregate(zip_with(transform(vec, x => x.cast("double")), hCol, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = PlanApi.column(graft.functions.VectorDot(
+        PlanApi.expression(vec), PlanApi.expression(hCol)))
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     array(bits.toIndexedSeq: _*)

@@ -897,7 +897,8 @@ object Registry {
     Q("mm_decode_frames",
       (s, d) => {
         import graft.multimodal.Multimodal._
-        val decoded = decode(attachBinary(T(s, d, "documents"), "text"), "payload")
+        val decoded = decode(
+          extractMeta(attachBinary(T(s, d, "documents"), "text"), "payload"), "payload")
         featureStub(frameSample(decoded, 3))
           .groupBy("doc_id")
           .agg(first(col("width")).as("width"), first(col("height")).as("height"),

@@ -62,6 +62,14 @@ def main():
     con = duckdb.connect()
     load_tables(con, sfdir)
     n_ok = n_bad = n_noracle = 0
+    declared = set()
+    qfile = os.path.join(outdir, "queries.txt")
+    if os.path.exists(qfile):
+        declared = set(open(qfile).read().split())
+    produced = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{outdir}/*/")}
+    for missing in sorted(declared - produced):
+        if not only or missing in only:
+            print(f"[FAIL] {missing}: query threw (no output dir)"); n_bad += 1
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only: continue
