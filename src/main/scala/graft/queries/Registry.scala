@@ -789,6 +789,27 @@ object Registry {
       (s, _) => graft.sources.NemFixture.compactRoundtrip(s).orderBy("table", "partition"),
       None),
 
+    // Compression study (S10/S11; reference README.md:14-27 chose
+    // brotli-5 — that codec jar isn't bundled with Spark, so the engine
+    // standardizes on zstd; this reports the actual trade-off on real data
+    // the way the reference's study did. Rows-only (sizes are
+    // environment-dependent).
+    Q("nem_compression_study",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+        val out = java.nio.file.Files.createTempDirectory("graft_codec")
+        val sizes = Seq("none", "snappy", "zstd").map { codec =>
+          val dir = s"$out/$codec"
+          li.coalesce(1).write.option("compression", codec).parquet(dir)
+          val bytes = new java.io.File(dir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+          (codec, bytes)
+        }
+        sizes.toDF("codec", "bytes").orderBy("codec")
+      },
+      None),
+
     // FPP settlement tail (calcs.md steps 5-11) with inputs derived
     // deterministically from the events table so DuckDB can oracle-check
     // the whole chain: residual sums → DCF fallback → weighted charges.

@@ -140,22 +140,36 @@ object NemCsv {
     import spark.implicits._
     val files = spark.sparkContext.binaryFiles(paths.mkString(","), paths.size.min(256))
     files.flatMap { case (name, data) =>
-      if (name.toLowerCase.endsWith(".zip")) {
-        val zin = new ZipInputStream(data.open())
-        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-          .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
-          .flatMap { entry =>
-            val br = new BufferedReader(new InputStreamReader(zin, StandardCharsets.UTF_8))
-            // scan eagerly per entry: ZipInputStream is positional
-            scanLines(name + "!" + entry.getName,
-              Iterator.continually(br.readLine()).takeWhile(_ != null)).toVector
-          }
-      } else {
+      if (name.toLowerCase.endsWith(".zip"))
+        zipRecords(name, new ZipInputStream(data.open()))
+      else {
         val br = new BufferedReader(new InputStreamReader(data.open(), StandardCharsets.UTF_8))
         scanLines(name, Iterator.continually(br.readLine()).takeWhile(_ != null))
       }
     }.toDF()
   }
+
+  /** Fully streaming scan over a zip's csv entries: ZipInputStream is
+    * positional, so entries are consumed strictly in order, one lazy line
+    * iterator at a time — a multi-GB entry never materializes in memory
+    * (the reference streams too: split.rs:30-62). */
+  private[sources] def zipRecords(name: String, zin: ZipInputStream): Iterator[RawRecord] =
+    new Iterator[RawRecord] {
+      private var cur: Iterator[RawRecord] = Iterator.empty
+      private def advance(): Unit = {
+        while (!cur.hasNext) {
+          val entry = zin.getNextEntry
+          if (entry == null) return
+          if (!entry.isDirectory && entry.getName.toLowerCase.endsWith(".csv")) {
+            val br = new BufferedReader(new InputStreamReader(zin, StandardCharsets.UTF_8))
+            cur = scanLines(name + "!" + entry.getName,
+              Iterator.continually(br.readLine()).takeWhile(_ != null))
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): RawRecord = { advance(); cur.next() }
+    }
 
   /** Distinct logical tables present in a raw record stream. */
   def tablesIn(raw: DataFrame): Seq[String] =

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
@@ -93,15 +94,22 @@ class NemCsvSpec extends SparkSpec {
     assert(back.schema.fieldNames.contains("date")) // partition col discovered
   }
 
-  test("zip source: csv entries scanned in-stream") {
+  test("zip source: multiple csv entries scanned in-stream, boundaries intact") {
     val dir = tmpDir("nemzip")
     val zipPath = Paths.get(dir, "PUBLIC_FPP_20250607.zip")
     val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
     zos.putNextEntry(new java.util.zip.ZipEntry("PUBLIC_FPP_20250607.CSV"))
     zos.write(fixture.getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("README.txt")) // non-csv: skipped
+    zos.write("not a csv".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("SECOND_20250607.csv"))
+    zos.write("C,hdr\nI,FPP,X,1,COL1\nD,FPP,X,1,v\n".getBytes(StandardCharsets.UTF_8))
     zos.closeEntry(); zos.close()
     val raw = NemCsv.rawRecords(spark, Seq(zipPath.toString))
-    assert(raw.count() === 5)
+    assert(raw.count() === 6) // 5 from entry 1 + 1 from entry 3
+    assert(raw.filter(col("table") === "FPP---X---1").count() === 1)
     assert(raw.select("date").distinct().collect().map(_.getString(0)) === Array("2025-06-07"))
   }
 
