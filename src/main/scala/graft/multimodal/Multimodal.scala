@@ -71,13 +71,17 @@ object Multimodal {
   }
 
   /** Sample up to `n` evenly-spaced frame indices per decoded row —
-    * the "video → frames" fan-out as a generator (posexplode), no shuffle. */
-  def frameSample(decoded: DataFrame, n: Int): DataFrame =
+    * the "video → frames" fan-out as a generator (explode), no shuffle.
+    * k = min(n, n_frames) indices at `i * n_frames / k` (i in [0, k)). */
+  def frameSample(decoded: DataFrame, n: Int): DataFrame = {
+    val k = least(col("n_frames"), lit(n))
     decoded
       .withColumn("frame_idx", explode(
         when(col("n_frames") <= 0, array())
-          .otherwise(sequence(lit(0), least(col("n_frames") - 1, lit(n - 1))))))
+          .otherwise(transform(sequence(lit(0), k - 1),
+            i => (i * col("n_frames") / k).cast("int")))))
       .withColumn("frame_key", concat_ws("#", col("digest"), col("frame_idx")))
+  }
 
   /** Deterministic fake feature vector per frame (real impl: model
     * embedding). Pure expressions: stable hash → 8 pseudo-floats. */

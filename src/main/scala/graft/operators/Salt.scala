@@ -20,9 +20,15 @@ object Salt {
   private def saltCol(df: DataFrame, factor: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int")
 
-  /** Equi-join `big ⋈ small` on `keys`, salted `factor`-ways. */
+  /** Equi-join `big ⋈ small` on `keys`, salted `factor`-ways.
+    * Only inner/left(-semi) preserve output equivalence: an outer join on
+    * the exploded small side would emit `factor` null-padded copies of an
+    * unmatched small key. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int, how: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(how.toLowerCase),
+      s"saltedJoin preserves semantics only for inner/left joins, got $how")
     val saltedBig = big.withColumn("__salt", saltCol(big, factor))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))

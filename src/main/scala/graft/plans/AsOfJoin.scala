@@ -69,14 +69,21 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     require(leftBy.nonEmpty && leftBy.size == rightBy.size, "need matching by-keys")
+    val (lt, rt) = (resolve(lp, leftTs), resolve(rp, rightTs))
+    // the merge reads ts via getLong: only 8-byte-backed types are safe
+    // (int/date would zero-extend negatives into huge positives)
+    Seq(lt, rt).foreach { a =>
+      require(a.dataType == org.apache.spark.sql.types.TimestampType
+        || a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of ts column ${a.name} must be TIMESTAMP or BIGINT, got ${a.dataType.catalogString}")
+    }
     PlanApi.ofRows(spark, AsOfJoinPlan(lp, rp,
-      leftBy.map(resolve(lp, _)), rightBy.map(resolve(rp, _)),
-      resolve(lp, leftTs), resolve(rp, rightTs)))
+      leftBy.map(resolve(lp, _)), rightBy.map(resolve(rp, _)), lt, rt))
   }
 }
 
-/** Streaming merge implementation. Requires ts to be an internally
-  * long-backed type (timestamp/long/int/date). */
+/** Streaming merge implementation. Requires ts to be TimestampType or
+  * LongType (8-byte-backed; enforced in [[AsOfJoin.apply]]). */
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftBy: Seq[Attribute], rightBy: Seq[Attribute],

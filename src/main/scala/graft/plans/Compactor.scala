@@ -36,18 +36,55 @@ object Compactor {
     } yield (t.getPath.getName, p.getPath.getName)
   }
 
+  private val NewFile = ".compact_new.parquet"
+  private val Manifest = ".compact_manifest"
+
+  /** Crash recovery for [[compactPartition]]'s publish protocol. States:
+    *  - `.compact_new.parquet` without manifest: merge result existed but
+    *    nothing was deleted yet → discard it (inputs are intact);
+    *  - manifest present: the files it lists were merged into the new
+    *    file → finish the deletes; if the new file is still hidden,
+    *    promote it to `compacted.parquet` (when the manifest lists
+    *    `compacted.parquet` but the new file was already promoted, the
+    *    listed name IS the merged data — never delete it then). */
+  private def recover(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val newP = new Path(dir, NewFile)
+    val manP = new Path(dir, Manifest)
+    if (f.exists(manP)) {
+      val in = f.open(manP)
+      val listed = scala.io.Source.fromInputStream(in).getLines().toVector
+      in.close()
+      val newExists = f.exists(newP)
+      listed.foreach { name =>
+        if (newExists || name != "compacted.parquet") {
+          val p = new Path(dir, name)
+          if (f.exists(p)) f.delete(p, false)
+        }
+      }
+      if (newExists) f.rename(newP, new Path(dir, "compacted.parquet"))
+      f.delete(manP, false)
+    } else if (f.exists(newP)) {
+      f.delete(newP, false)
+    }
+  }
+
   /** Compact one partition dir: read every non-compacted parquet file under
-    * the widened schema, rewrite as a single `compacted.parquet`
-    * (tmp + rename, compactor.rs:644-755), delete inputs. Returns None if
-    * there was nothing to do. */
+    * the widened schema, rewrite as a single `compacted.parquet`, delete
+    * inputs. Publish protocol (crash-safe refinement of the reference's
+    * tmp+rename, compactor.rs:644-755): merge → hidden new file →
+    * manifest of merged names → deletes → promote → drop manifest; a crash
+    * at any point is repaired by [[recover]] on the next sweep. Returns
+    * None if there was nothing to do. */
   def compactPartition(spark: SparkSession, lakeRoot: String, table: String,
       partition: String, compression: String = "zstd"): Option[Stat] = {
     val dir = s"$lakeRoot/$table/$partition"
     val f = fs(spark, dir)
+    recover(f, dir)
     val inputs = f.listStatus(new Path(dir)).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && p.getName != "compacted.parquet")
     val existing = new Path(dir, "compacted.parquet")
-    val sources = (inputs ++ (if (f.exists(existing)) Seq(existing) else Seq.empty)).map(_.toString)
+    val hadExisting = f.exists(existing)
+    val sources = (inputs ++ (if (hadExisting) Seq(existing) else Seq.empty)).map(_.toString)
     if (inputs.isEmpty) return None
     val merged = SchemaEvolution.readWidened(spark, sources.toIndexedSeq)
     val tmp = new Path(dir, ".compact_tmp")
@@ -55,13 +92,18 @@ object Compactor {
       .option("compression", compression).parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     val part = f.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    // atomic publish: delete inputs, rename tmp part into place
+    val newP = new Path(dir, NewFile)
+    f.rename(part, newP)
+    val manifest = inputs.map(_.getName) ++ (if (hadExisting) Seq("compacted.parquet") else Nil)
+    val out = f.create(new Path(dir, Manifest), true)
+    out.write(manifest.mkString("\n").getBytes("UTF-8")); out.close()
     inputs.foreach(p => f.delete(p, false))
     if (f.exists(existing)) f.delete(existing, false)
-    f.rename(part, existing)
+    f.rename(newP, existing)
+    f.delete(new Path(dir, Manifest), false)
     f.delete(tmp, true)
     f.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .filter(p => p.getName.startsWith("_") || (p.getName.startsWith(".") && p.getName != NewFile && p.getName != Manifest))
       .foreach(p => f.delete(p, true))
     Some(Stat(table, partition, inputs.length, rows))
   }

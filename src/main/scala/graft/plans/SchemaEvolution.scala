@@ -18,16 +18,6 @@ import org.apache.spark.sql.types._
   */
 object SchemaEvolution {
 
-  /** Rank of "evolution": higher wins when one side is string. */
-  private def rank(dt: DataType): Int = dt match {
-    case StringType => 0
-    case _: IntegerType => 1
-    case _: LongType => 2
-    case _: DoubleType => 3
-    case _: TimestampType => 3
-    case _ => 0
-  }
-
   /** Most-evolved common type for one field observed with types a and b. */
   def widenTypes(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x

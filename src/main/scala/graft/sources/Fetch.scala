@@ -40,9 +40,13 @@ object Fetch {
   /** S3: download to `<destDir>/<filename>.tmp`, rename to final name on
     * success; `attempts` tries with exponential backoff (1-2-4 s pattern,
     * zips.rs:47,80). Returns the final path and size. */
+  private def defaultClient: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL) // feed hosts 301 http→https
+    .build()
+
   def download(url: String, destDir: String, attempts: Int = 3,
       backoffMs: Long = 1000L,
-      client: HttpClient = HttpClient.newHttpClient()): (Path, Long) = {
+      client: HttpClient = defaultClient): (Path, Long) = {
     val name = url.split('/').last
     val dest = Paths.get(destDir, name)
     val tmp = Paths.get(destDir, name + ".tmp")
@@ -51,7 +55,11 @@ object Fetch {
     while (attempt < attempts) {
       try {
         val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+        // TRUNCATE: a stale .tmp from a killed run must not leave its tail
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE))
         if (resp.statusCode() / 100 != 2)
           throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
         Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,

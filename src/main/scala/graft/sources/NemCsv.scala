@@ -40,9 +40,11 @@ object NemCsv {
   val MarkerData = "D"
 
   /** One data record: logical table, its I-line columns (already cleaned,
-    * first 4 dropped) and the D-line values (first 4 dropped). */
+    * first 4 dropped) and the D-line values (first 4 dropped). `seq` is
+    * the record's position within its file — type inference samples the
+    * FIRST non-null value in (file, seq) order, deterministically. */
   final case class RawRecord(
-      file: String, date: String, table: String,
+      file: String, seq: Long, date: String, table: String,
       header: Seq[String], values: Seq[String])
 
   /** Trim whitespace then strip one pair of outer double quotes. */
@@ -104,6 +106,7 @@ object NemCsv {
     var curHeader: Seq[String] = null
     var sawFirstLine = false
     var stopped = false
+    var seq = 0L
     lines.flatMap { line =>
       if (stopped || line.isEmpty) Iterator.empty
       else {
@@ -126,7 +129,8 @@ object NemCsv {
             Iterator.empty
           case MarkerData if curTable != null =>
             val vals = splitCsvLine(line).map(cleanStr).drop(4).toSeq
-            Iterator.single(RawRecord(file, date, curTable, curHeader, vals))
+            seq += 1
+            Iterator.single(RawRecord(file, seq, date, curTable, curHeader, vals))
           case _ => Iterator.empty // D before any I, or junk: dropped
         }
       }
@@ -192,11 +196,16 @@ object NemCsv {
       when(element_at(col("values"), i + 1) === "", lit(null))
         .otherwise(element_at(col("values"), i + 1)).as(h)
     }
-    val strs = recs.select((stringCols :+ col("date")): _*)
-    // first non-null sample per column decides the type (chunk.rs:69-141)
-    val samples = strs.select(header.map(h => first(col(h), ignoreNulls = true).as(h)): _*).head()
+    val strs = recs.select((stringCols ++ Seq(col("date"), col("file").as("__file"),
+      col("seq").as("__seq"))): _*)
+    // first non-null sample per column decides the type (chunk.rs:69-141).
+    // min over (file, seq, value) structs = the first value in file order —
+    // deterministic across partitions (a bare `first()` is not)
+    val sampleRow = strs.select(header.map { h =>
+      min(when(col(h).isNotNull, struct(col("__file"), col("__seq"), col(h)))).as(h)
+    }: _*).head()
     val typed = header.zipWithIndex.map { case (h, i) =>
-      val sample = if (samples.isNullAt(i)) null else samples.getString(i)
+      val sample = if (sampleRow.isNullAt(i)) null else sampleRow.getStruct(i).getString(2)
       if (sample == null) col(h) // all-null column stays string
       else if (looksDouble(sample)) col(h).cast("double").as(h)
       else if (looksTimestamp(sample))
@@ -206,6 +215,11 @@ object NemCsv {
     }
     strs.select((typed :+ col("date")): _*)
   }
+
+  /** Rows per table, one job over the (cached) raw stream. */
+  def tableCounts(raw: DataFrame): Map[String, Long] =
+    raw.groupBy("table").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Full split: read files, write each logical table to
     * `<lakeRoot>/<table>/date=YYYY-MM-DD/part-N.parquet`, return a summary frame
@@ -217,13 +231,12 @@ object NemCsv {
     import spark.implicits._
     val raw = rawRecords(spark, paths).cache()
     try {
-      val tables = tablesIn(raw)
-      val counts = tables.map { t =>
-        val df = tableFrame(raw, t)
-        df.write.mode("append").partitionBy("date")
+      val rows = tableCounts(raw) // one job, not one count() per table
+      val counts = rows.keys.toSeq.sorted.map { t =>
+        tableFrame(raw, t).write.mode("append").partitionBy("date")
           .option("compression", compression)
           .parquet(s"$lakeRoot/$t")
-        (t, df.count())
+        (t, rows(t))
       }
       counts.toDF("table", "rows")
     } finally raw.unpersist()

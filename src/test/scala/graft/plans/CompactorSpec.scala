@@ -25,6 +25,42 @@ class CompactorSpec extends SparkSpec {
     assert(back.schema("mw").dataType.typeName === "double") // widened from string
   }
 
+  test("crash recovery: interrupted publish is repaired without loss or duplication") {
+    import spark.implicits._
+    val lake = tmpDir("lakecrash")
+    val part = s"$lake/T---C---1/date=2025-06-07"
+    Seq((1.0, "a"), (2.0, "b")).toDF("v", "id").coalesce(1).write.mode("append").parquet(part)
+    // simulate a crash AFTER the merge result + manifest were written but
+    // BEFORE any deletes: hidden new file holds the merged copy
+    val inputs = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    assert(inputs.length === 1)
+    spark.read.parquet(part).coalesce(1).write
+      .parquet(s"$part/.crash_stage") // stand-in merge output
+    val stagePart = Files.list(Paths.get(s"$part/.crash_stage"))
+      .filter(_.toString.endsWith(".parquet")).toArray.head.toString
+    Files.move(Paths.get(stagePart), Paths.get(s"$part/.compact_new.parquet"))
+    Files.writeString(Paths.get(s"$part/.compact_manifest"),
+      new java.io.File(inputs.head).getName)
+    // next sweep must: delete the listed input, promote the new file
+    val stat = Compactor.compactPartition(spark, lake, "T---C---1", "date=2025-06-07")
+    assert(stat.isEmpty) // after recovery there is nothing left to compact
+    val back = spark.read.parquet(s"$lake/T---C---1")
+    assert(back.count() === 2) // no loss, no duplication
+    val files = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    assert(files.length === 1 && files.head.endsWith("compacted.parquet"))
+    // orphaned new-file WITHOUT manifest (crash before manifest): discarded
+    Seq((3.0, "c")).toDF("v", "id").coalesce(1).write.mode("append").parquet(part)
+    spark.read.parquet(part).limit(1).coalesce(1).write.parquet(s"$part/.crash2")
+    val stale = Files.list(Paths.get(s"$part/.crash2"))
+      .filter(_.toString.endsWith(".parquet")).toArray.head.toString
+    Files.move(Paths.get(stale), Paths.get(s"$part/.compact_new.parquet"))
+    val stat2 = Compactor.compactPartition(spark, lake, "T---C---1", "date=2025-06-07")
+    assert(stat2.get.rows === 3) // stale new-file discarded, real merge ran
+    assert(spark.read.parquet(s"$lake/T---C---1").count() === 3)
+  }
+
   test("runOnce: anti-join bookkeeping makes the sweep idempotent; recompaction folds in new files") {
     import spark.implicits._
     val lake = tmpDir("lake2")
