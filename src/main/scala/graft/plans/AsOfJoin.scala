@@ -54,6 +54,8 @@ object AsOfJoin {
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[AsOfStrategy.type]))
       spark.experimental.extraStrategies = cur :+ AsOfStrategy
+    AsOfPushdown.register(spark) // filters must reach the scans (pushdown
+    // does not traverse unknown nodes without it)
   }
 
   /** Public API: `AsOfJoin(left, right, by, leftTs, rightTs)`.

@@ -17,4 +17,12 @@ object PlanApi {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test access to the private[sql] extension builders. */
+  def plannerStrategiesOf(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[Any] =
+    e.buildPlannerStrategies(spark.asInstanceOf[CSparkSession])
+  def optimizerRulesOf(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[Any] =
+    e.buildOptimizerRules(spark.asInstanceOf[CSparkSession])
 }
