@@ -887,7 +887,34 @@ object Registry {
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, minJaccard = 0.5)
         .orderBy("id_a", "id_b"),
-      None),
+      // the full inverted-index pipeline (normalize → 3-gram shingles →
+      // stop-shingle pruning → shared≥3 prefilter → exact jaccard) is
+      // SQL-expressible, so this dedup variant is oracle-gated
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
+                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
+                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                            GROUP BY 1, 2 HAVING count(*) >= 3),
+                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                             FROM cand c
+                             JOIN posts a ON a.doc_id = c.id_a
+                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
+                             GROUP BY 1, 2)
+              SELECT i.id_a, i.id_b,
+                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
+              ORDER BY id_a, id_b""")),
 
     Q("dd_embed_neardup",
       // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
