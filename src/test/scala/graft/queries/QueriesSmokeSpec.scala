@@ -18,6 +18,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("no unintended cartesian products anywhere in the corpus") {
+    // j04 is the deliberate cross join (small dims); everything else must
+    // pair via equi-joins or broadcast range joins
+    val allowed = Set("j04_cross_join", "w06_spine_densify")
+    Registry.all.foreach { q =>
+      if (!allowed(q.name)) {
+        val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
+      }
+    }
+  }
+
   test("oracle map is consistent with the query map") {
     val qNames = Registry.queries.keySet
     Registry.oracleSql.keys.foreach(k => assert(qNames.contains(k), s"orphan oracle $k"))
