@@ -30,6 +30,10 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("oracle map is consistent with the query map") {
     val qNames = Registry.queries.keySet
     Registry.oracleSql.keys.foreach(k => assert(qNames.contains(k), s"orphan oracle $k"))
