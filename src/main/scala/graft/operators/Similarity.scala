@@ -49,6 +49,67 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to LSH: a
+    * coarse k-means quantizer buckets the corpus into `nlist` cells;
+    * each probe searches only its `nprobe` nearest cells (equi-join on
+    * cell id), then exact cosine re-ranks. At 100 TB the corpus-side
+    * assignment is one broadcast-free scan per Lloyd iteration (centroids
+    * are driver-side literals), and query cost is bounded by
+    * nprobe/nlist of the corpus.
+    *
+    * Deterministic: centroids initialize from the first `nlist` vectors
+    * by id; `iters` Lloyd iterations.
+    */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def centroidLit(cent: Array[Double]): Column = array(cent.map(lit).toIndexedSeq: _*)
+    def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column = {
+      val scored = cents.zipWithIndex.map { case (cent, i) =>
+        struct((-cosine(vec, centroidLit(cent))).as("d"), lit(i).as("c"))
+      }
+      least(scored: _*).getField("c")
+    }
+
+    // init: first nlist vectors by id (deterministic, no RNG)
+    var centroids: Seq[Array[Double]] = c.orderBy("cand_id").limit(nlist)
+      .select("cand_vec").collect().map(_.getSeq[Double](0).toArray).toSeq
+    // Lloyd iterations: assign, then element-wise mean per cell
+    for (_ <- 0 until iters) {
+      val assigned = c.withColumn("cell", nearestCell(col("cand_vec"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cand_vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val cells = c.withColumn("cell", nearestCell(col("cand_vec"), centroids))
+    // probes explode to their nprobe nearest cells
+    val probeCells = probes.select(col(idCol).as("probe_id"),
+        transform(col(vecCol), x => x.cast("double")).as("probe_vec"))
+      .withColumn("ranked", array_sort(array(centroids.zipWithIndex.map { case (cent, i) =>
+        struct((-cosine(col("probe_vec"), centroidLit(cent))).as("d"), lit(i).as("c"))
+      }: _*)))
+      .withColumn("cell", explode(slice(transform(col("ranked"), r => r.getField("c")), 1, nprobe)))
+      .select("probe_id", "probe_vec", "cell")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    cells.join(probeCells, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_vec"), col("cand_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
   /** Deterministic random hyperplanes: `tables` of `dim` doubles drawn from
     * a fixed-seed RNG (no runtime entropy — plans must be reproducible). */
   private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

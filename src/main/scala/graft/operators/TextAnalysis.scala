@@ -15,6 +15,12 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword pre-token count: letter runs, digit runs, single
+    * punctuation marks — the GPT-2-style pre-tokenizer split, minus
+    * lookarounds so the same pattern runs on RE2 engines (the oracle). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Normalize: lowercase, trim, collapse whitespace runs to one space. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

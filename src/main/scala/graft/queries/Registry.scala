@@ -680,6 +680,14 @@ object Registry {
                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
               FROM documents ORDER BY doc_id""")),
 
+    Q("ta_tokens_bpe",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
     Q("ta_quality",
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -766,6 +774,15 @@ object Registry {
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, dim = 64)
           .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+          .orderBy("probe_id", "rn")
+      },
+      None),
+
+    Q("ann_topk_ivf",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 4)
           .orderBy("probe_id", "rn")
       },
       None),

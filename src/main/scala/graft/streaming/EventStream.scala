@@ -21,6 +21,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on an id column with a watermark bounding the
+    * dedup state (late duplicates beyond the watermark are not caught —
+    * the standard trade; the batch `Dedup.exactDedup` is the unbounded
+    * form). */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
   final case class EwmaOut(key: String, ts: java.sql.Timestamp, ewma: Double)
   final case class EwmaState(ewma: Double)

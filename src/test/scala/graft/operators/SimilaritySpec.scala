@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cands.contains(1L)) // the near-identical vector must share a band
   }
 
+  test("ivf recall vs brute force; candidates bounded by probed cells") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall vs brute")
+    // determinism: same call twice, same result
+    val again = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === got)
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)

@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("EventStream.dedupStream: duplicate ids across micro-batches collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupStream(df, "event_id").writeStream
+      .format("memory").queryName("dedupst").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    mem.addData((1L, t("2024-01-01T00:00:00Z"), "a"), (2L, t("2024-01-01T00:00:01Z"), "b"),
+      (1L, t("2024-01-01T00:00:02Z"), "a-dup-same-batch"))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01T00:00:03Z"), "a-dup-next-batch"),
+      (3L, t("2024-01-01T00:00:04Z"), "c"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedupst").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids === Array(1L, 2L, 3L)) // both in-batch and cross-batch dups dropped
+  }
+
   test("EventStream.streamingEwma: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
