@@ -814,7 +814,9 @@ object Registry {
     Q("nem_compression_study",
       (s, d) => {
         import s.implicits._
-        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+        // bounded deterministic sample: the codec RATIO is the result,
+        // writing the full table per codec is just benchmark tax
+        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(60000)
         val out = java.nio.file.Files.createTempDirectory("graft_codec")
         val sizes = Seq("none", "snappy", "zstd").map { codec =>
           val dir = s"$out/$codec"
