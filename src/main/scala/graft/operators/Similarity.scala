@@ -69,12 +69,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def centroidLit(cent: Array[Double]): Column = array(cent.map(lit).toIndexedSeq: _*)
-    def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column = {
-      val scored = cents.zipWithIndex.map { case (cent, i) =>
-        struct((-cosine(vec, centroidLit(cent))).as("d"), lit(i).as("c"))
+    def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column =
+      if (cents.size < 2) lit(0) // least() needs ≥2 args; one cell is trivial
+      else {
+        val scored = cents.zipWithIndex.map { case (cent, i) =>
+          struct((-cosine(vec, centroidLit(cent))).as("d"), lit(i).as("c"))
+        }
+        least(scored: _*).getField("c")
       }
-      least(scored: _*).getField("c")
-    }
 
     // init: first nlist vectors by id (deterministic, no RNG)
     var centroids: Seq[Array[Double]] = c.orderBy("cand_id").limit(nlist)

@@ -17,9 +17,11 @@ object TextAnalysis {
 
   /** BPE-ish subword pre-token count: letter runs, digit runs, single
     * punctuation marks — the GPT-2-style pre-tokenizer split, minus
-    * lookarounds so the same pattern runs on RE2 engines (the oracle). */
+    * lookarounds so the same pattern runs on RE2 engines (the oracle).
+    * Whitespace is spelled out because Java `\s` includes vertical tab
+    * while RE2's does not — the explicit class keeps both engines equal. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** Normalize: lowercase, trim, collapse whitespace runs to one space. */
   def normalize(text: Column): Column =

@@ -45,8 +45,15 @@ object IngestDaemon {
         .withColumn("downloaded_at", org.apache.spark.sql.functions.lit(now)))
     }
 
+    // process everything in the download dir not yet split — NOT just this
+    // tick's downloads: a crash between the download-history write and
+    // splitToLake would otherwise orphan the file forever (the download
+    // gate above would skip it on every later tick)
+    val landed = Option(new java.io.File(downloadDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.endsWith(".tmp"))
+      .map(_.getAbsolutePath).toSeq
     val toProcess = processedHist
-      .filterNew(downloaded.map(_._4).toDF("candidate"), "candidate")
+      .filterNew(landed.toDF("candidate"), "candidate")
       .as[String].collect().toSeq
     val tables =
       if (toProcess.isEmpty) 0L

@@ -20,8 +20,12 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("no unintended cartesian products anywhere in the corpus") {
     // j04 is the deliberate cross join (small dims); everything else must
-    // pair via equi-joins or broadcast range joins
-    val allowed = Set("j04_cross_join", "w06_spine_densify")
+    // pair via equi-joins or broadcast range joins. Fixture queries that
+    // do their work eagerly and return a local frame are skipped — their
+    // returned plan is a LocalTableScan, so the assert would be vacuous
+    // while re-paying the side effects.
+    val allowed = Set("j04_cross_join", "w06_spine_densify",
+      "nem_split_roundtrip", "nem_compact_roundtrip", "nem_compression_study")
     Registry.all.foreach { q =>
       if (!allowed(q.name)) {
         val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

@@ -49,6 +49,14 @@ class IngestDaemonSpec extends SparkSpec {
       assert(r2 === IngestDaemon.TickResult(scraped = 1, downloaded = 0, tablesWritten = 0))
       assert(hits === 1) // the server was not contacted again
       assert(spark.read.parquet(s"$lake/FPP---UNIT_MW---1").count() === 4) // no dupes
+      // crash-recovery: a file that was downloaded (on disk) but never
+      // split (e.g. JVM died before splitToLake) is picked up by the
+      // next tick even though the feed offers nothing new
+      java.nio.file.Files.write(java.nio.file.Paths.get(dl, "PUBLIC_ORPHAN_20250608.zip"),
+        zipBytes(NemFixture.csv.replace("UNIT_MW", "ORPHAN_MW")))
+      val r3 = IngestDaemon.runOnce(spark, base, html, dl, lake, hist)
+      assert(r3.downloaded === 0 && r3.tablesWritten === 2)
+      assert(spark.read.parquet(s"$lake/FPP---ORPHAN_MW---1").count() === 4)
     } finally server.stop(0)
   }
 }
