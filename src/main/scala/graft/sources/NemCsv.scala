@@ -128,7 +128,13 @@ object NemCsv {
             } else { curTable = null; curHeader = null }
             Iterator.empty
           case MarkerData if curTable != null =>
-            val vals = splitCsvLine(line).map(cleanStr).drop(4).toSeq
+            val raw = splitCsvLine(line).map(cleanStr).drop(4).toSeq
+            // ragged rows: pad to the header width with empty (→ null),
+            // drop extras — Spark 4's ANSI mode would otherwise fail the
+            // whole job on one short row (element_at out of bounds)
+            val vals =
+              if (raw.size == curHeader.size) raw
+              else raw.take(curHeader.size).padTo(curHeader.size, "")
             seq += 1
             Iterator.single(RawRecord(file, seq, date, curTable, curHeader, vals))
           case _ => Iterator.empty // D before any I, or junk: dropped

@@ -113,6 +113,20 @@ class NemCsvSpec extends SparkSpec {
     assert(raw.select("date").distinct().collect().map(_.getString(0)) === Array("2025-06-07"))
   }
 
+  test("ragged D rows are padded/truncated to the header width (ANSI-safe)") {
+    val body = "C,hdr\nI,FPP,X,1,C1,C2,C3\nD,FPP,X,1,a\nD,FPP,X,1,a,b,c,EXTRA\nD,FPP,X,1,a,b,c\n"
+    val dir = tmpDir("ragged")
+    writeFixture(dir, "ragged_20250607.csv", body)
+    val raw = NemCsv.rawRecords(spark, Seq(s"$dir/ragged_20250607.csv"))
+    val df = NemCsv.tableFrame(raw, "FPP---X---1")
+    val rows = df.orderBy("C1", "C2").collect()
+    assert(rows.length === 3)
+    assert(df.columns.toSeq === Seq("C1", "C2", "C3", "date"))
+    // short row: missing cols are null; long row: extras dropped
+    assert(rows.exists(r => r.getString(0) == "a" && r.isNullAt(1) && r.isNullAt(2)))
+    assert(rows.count(r => r.getString(0) == "a" && r.getString(1) == "b") === 2)
+  }
+
   test("csv line split: embedded commas and escaped quotes") {
     assert(NemCsv.splitCsvLine("""a,"b,c",d""").toSeq === Seq("a", "b,c", "d"))
     assert(NemCsv.splitCsvLine("a,\"he said \"\"hi\"\"\",c").toSeq === Seq("a", "he said \"hi\"", "c"))
