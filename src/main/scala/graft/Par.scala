@@ -1,0 +1,27 @@
+package graft
+
+/** Bounded concurrent fan-out over independent units of driver-side work
+  * (each unit typically submits its own Spark jobs — the scheduler is
+  * thread-safe). The Spark analog of the reference's rayon scope
+  * (/root/reference/src/bin/compactor.rs:76-94): output paths are disjoint
+  * per unit, so no locking is needed; concurrency is what keeps more than
+  * one core busy when each unit is a small (often single-task) job.
+  */
+object Par {
+
+  /** Map `work` over `items` with at most `parallelism` concurrent units;
+    * result preserves input order, `None` results are dropped. */
+  def mapBounded[A, B](items: IndexedSeq[A], parallelism: Int = 8)(
+      work: A => Option[B]): IndexedSeq[B] = {
+    if (items.isEmpty) return IndexedSeq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fut = scala.concurrent.Future.sequence(
+        items.map(a => scala.concurrent.Future(work(a))))
+      scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
+  }
+}

@@ -16,6 +16,13 @@ import org.apache.spark.storage.StorageLevel
   *    made the array formulation ~10× slower;
   *  - the postings stream is persisted once and every downstream branch
   *    (signature, inverted index, verification) reuses it.
+  *
+  * Cache lifecycle: the persisted intermediates (postings, bands,
+  * candidates) back the RETURNED lazy DataFrame, so these operators cannot
+  * unpersist them eagerly. Callers own cleanup — materialize the result,
+  * then `spark.catalog.clearCache()` (what Verify/Bench do) or
+  * `df.unpersist()` the handles. In a long-lived session the blocks are
+  * MEMORY_AND_DISK and evict under LRU pressure, so leakage is bounded.
   */
 object Dedup {
 
@@ -208,6 +215,8 @@ object Dedup {
     }
     val banded = sig.withColumn("c", explode(array(chunks: _*)))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join:
+      // without this the 64-column bit-sum aggregation executes once per branch
     val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("ckey"))
     a.join(b, Seq("chunk", "ckey"))

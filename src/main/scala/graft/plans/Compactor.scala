@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
-import graft.sources.HistoryTable
+import graft.sources.{HistoryTable, ParquetMeta}
 
 /** Partition compactor: merge the many small per-ingest parquet files of
   * each `<table>/date=D/` partition into one `compacted.parquet`, with
@@ -90,8 +90,8 @@ object Compactor {
     val tmp = new Path(dir, ".compact_tmp")
     merged.coalesce(1).write.mode("overwrite")
       .option("compression", compression).parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
     val part = f.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val rows = ParquetMeta.read(spark, part.toString).rows // footer, not a re-scan
     val newP = new Path(dir, NewFile)
     f.rename(part, newP)
     val manifest = inputs.map(_.getName) ++ (if (hadExisting) Seq("compacted.parquet") else Nil)
@@ -126,7 +126,11 @@ object Compactor {
     val dirty = fresh.select("table", "partition").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     val freshPaths = fresh.select("path").as[String].collect()
-    val stats = dirty.toIndexedSeq.flatMap { case (t, p) =>
+    // fan the per-partition rewrites out concurrently (the reference's
+    // rayon scope, compactor.rs:76-94): output dirs are disjoint and the
+    // manifest protocol is per-dir, so no lock is needed. Each job is a
+    // single coalesce(1) task — concurrency is what keeps >1 core busy.
+    val stats = graft.Par.mapBounded(dirty.toIndexedSeq) { case (t, p) =>
       compactPartition(spark, lakeRoot, t, p)
     }
     if (freshPaths.nonEmpty) {

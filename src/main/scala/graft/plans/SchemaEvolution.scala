@@ -48,7 +48,7 @@ object SchemaEvolution {
   private def parseTs(c: org.apache.spark.sql.Column) =
     coalesce(
       to_utc_timestamp(try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")), "+10:00"),
-      c.cast(TimestampType))
+      c.try_cast(TimestampType))
 
   /** Cast/null-fill a file's frame to the widened target schema, in target
     * (alphabetical) column order. Empty strings become null before numeric
@@ -64,7 +64,9 @@ object SchemaEvolution {
           val c = when(col(f.name) === "", lit(null)).otherwise(col(f.name))
           f.dataType match {
             case TimestampType => parseTs(c).as(f.name)
-            case other => c.cast(other).as(f.name)
+            // try_cast: unparseable values null out instead of failing the
+            // compaction under ANSI mode (reference nulls: chunk.rs:211-227)
+            case other => c.try_cast(other).as(f.name)
           }
         case Some(_) => col(f.name).cast(f.dataType).as(f.name)
       }

@@ -57,8 +57,12 @@ final class HistoryTable(spark: SparkSession, dir: String, keyCol: String) {
       df.unpersist()
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
       val dst = new Path(dir, s"consolidated-${System.currentTimeMillis()}.parquet")
-      inputs.foreach(p => fs.delete(p, false))
+      // publish FIRST, then delete inputs: a crash in between leaves
+      // duplicate keys (harmless — filterNew is a distinct-key anti-join)
+      // instead of losing the whole history (keys must survive re-open,
+      // table_history.rs:188-275)
       fs.rename(part, dst)
+      inputs.foreach(p => fs.delete(p, false))
       fs.delete(tmp, true)
       // clean write-metadata clutter
       fs.listStatus(new Path(dir)).map(_.getPath)

@@ -192,34 +192,62 @@ object NemCsv {
     try { s.toDouble; true } catch { case _: NumberFormatException => false }
   def looksTimestamp(s: String): Boolean = TsPattern.matcher(s).matches()
 
-  /** Column-ize one logical table from the raw stream and apply the
-    * reference's 3-type inference (first non-null value decides).
+  /** Inference sample depth: the reference sniffs 1,000 rows
+    * (chunk.rs:324); we cap at the first 1,000 records of each file. */
+  val SampleRows = 1000
+
+  /** First non-null sample value per (table, column index), ONE aggregation
+    * job over the whole raw stream regardless of table count. `min` over
+    * (file, seq, value) structs = the first value in file order —
+    * deterministic across partitions (a bare `first()` is not). */
+  private[sources] def sampleFirstNonNull(raw: DataFrame): Map[(String, Int), String] =
+    raw.filter(col("seq") <= SampleRows)
+      .select(col("table"), col("file"), col("seq"),
+        posexplode(col("values")).as(Seq("idx", "v")))
+      .filter(col("v") =!= "") // empty string is null-equivalent pre-cast
+      .groupBy("table", "idx")
+      .agg(min(struct(col("file"), col("seq"), col("v"))).as("s"))
+      .select(col("table"), col("idx"), col("s.v").as("v"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+      .toMap
+
+  /** Column-ize one logical table given its precomputed header and
+    * per-column first-non-null samples — no inference jobs of its own.
     * All columns nullable; empty string → null before any cast. */
-  def tableFrame(raw: DataFrame, table: String): DataFrame = {
+  def tableFrameWith(raw: DataFrame, table: String, header: Seq[String],
+      samples: Seq[Option[String]]): DataFrame = {
     val recs = raw.filter(col("table") === table)
-    val header = recs.select("header").head().getSeq[String](0)
     val stringCols = header.zipWithIndex.map { case (h, i) =>
       when(element_at(col("values"), i + 1) === "", lit(null))
         .otherwise(element_at(col("values"), i + 1)).as(h)
     }
-    val strs = recs.select((stringCols ++ Seq(col("date"), col("file").as("__file"),
-      col("seq").as("__seq"))): _*)
-    // first non-null sample per column decides the type (chunk.rs:69-141).
-    // min over (file, seq, value) structs = the first value in file order —
-    // deterministic across partitions (a bare `first()` is not)
-    val sampleRow = strs.select(header.map { h =>
-      min(when(col(h).isNotNull, struct(col("__file"), col("__seq"), col(h)))).as(h)
-    }: _*).head()
+    val strs = recs.select((stringCols :+ col("date")): _*)
+    // try_cast/try_to_timestamp: a mixed-type value in an inferred column
+    // nulls out (reference convert_numeric_column yields null,
+    // chunk.rs:211-227) — under Spark 4 ANSI mode a plain cast would
+    // instead fail the whole split job
     val typed = header.zipWithIndex.map { case (h, i) =>
-      val sample = if (sampleRow.isNullAt(i)) null else sampleRow.getStruct(i).getString(2)
-      if (sample == null) col(h) // all-null column stays string
-      else if (looksDouble(sample)) col(h).cast("double").as(h)
-      else if (looksTimestamp(sample))
-        // wall time at fixed +10:00 (AEST, no DST) → UTC instant
-        to_utc_timestamp(to_timestamp(col(h), "yyyy/MM/dd HH:mm:ss"), "+10:00").as(h)
-      else col(h)
+      samples(i) match {
+        case None => col(h) // all-null column stays string
+        case Some(s) if looksDouble(s) => col(h).try_cast("double").as(h)
+        case Some(s) if looksTimestamp(s) =>
+          // wall time at fixed +10:00 (AEST, no DST) → UTC instant
+          to_utc_timestamp(try_to_timestamp(col(h), lit("yyyy/MM/dd HH:mm:ss")), "+10:00").as(h)
+        case Some(_) => col(h)
+      }
     }
     strs.select((typed :+ col("date")): _*)
+  }
+
+  /** Column-ize one logical table from the raw stream and apply the
+    * reference's 3-type inference (first non-null value in the first
+    * [[SampleRows]] records of each file decides, chunk.rs:69-141). */
+  def tableFrame(raw: DataFrame, table: String): DataFrame = {
+    val recs = raw.filter(col("table") === table)
+    val header = recs.select("header").head().getSeq[String](0)
+    val samp = sampleFirstNonNull(recs)
+    tableFrameWith(raw, table, header, header.indices.map(i => samp.get((table, i))))
   }
 
   /** Rows per table, one job over the (cached) raw stream. */
@@ -237,12 +265,24 @@ object NemCsv {
     import spark.implicits._
     val raw = rawRecords(spark, paths).cache()
     try {
-      val rows = tableCounts(raw) // one job, not one count() per table
-      val counts = rows.keys.toSeq.sorted.map { t =>
-        tableFrame(raw, t).write.mode("append").partitionBy("date")
+      // job 1: per-table row count + deterministic header, all tables at once
+      val meta = raw.groupBy("table").agg(
+          count(lit(1)).as("rows"),
+          min(struct(col("file"), col("seq"), col("header"))).as("h"))
+        .select(col("table"), col("rows"), col("h.header").as("header"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+        .sortBy(_._1)
+      // job 2: every table's type-inference samples in one capped pass
+      val samples = sampleFirstNonNull(raw)
+      // then the per-table writes run concurrently (disjoint output dirs) —
+      // total job count is O(1) in table count + one write per table
+      val counts = graft.Par.mapBounded(meta.toIndexedSeq) { case (t, n, header) =>
+        tableFrameWith(raw, t, header, header.indices.map(i => samples.get((t, i))))
+          .write.mode("append").partitionBy("date")
           .option("compression", compression)
           .parquet(s"$lakeRoot/$t")
-        (t, rows(t))
+        Some((t, n))
       }
       counts.toDF("table", "rows")
     } finally raw.unpersist()

@@ -61,6 +61,27 @@ class CompactorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$lake/T---C---1").count() === 3)
   }
 
+  test("runOnce: dirty partitions compact concurrently, results complete and correct") {
+    import spark.implicits._
+    val lake = tmpDir("lakepar")
+    val hist = HistoryTable.compacted(spark, tmpDir("histpar"))
+    // 12 independent partitions across 3 tables, 2 small files each
+    val parts = for (t <- 1 to 3; d <- 1 to 4) yield (s"T---P$t---1", f"date=2025-06-$d%02d")
+    parts.foreach { case (t, p) =>
+      Seq((1.0, s"$t/$p/a")).toDF("v", "id").coalesce(1).write.mode("append").parquet(s"$lake/$t/$p")
+      Seq((2.0, s"$t/$p/b")).toDF("v", "id").coalesce(1).write.mode("append").parquet(s"$lake/$t/$p")
+    }
+    val stats = Compactor.runOnce(spark, lake, hist)
+    assert(stats.length === 12)
+    assert(stats.map(_.rows).sum === 24)
+    parts.foreach { case (t, p) =>
+      val files = Files.list(Paths.get(s"$lake/$t/$p"))
+        .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+      assert(files.length === 1 && files.head.endsWith("compacted.parquet"))
+    }
+    assert(Compactor.runOnce(spark, lake, hist).isEmpty) // idempotent after fan-out
+  }
+
   test("runOnce: anti-join bookkeeping makes the sweep idempotent; recompaction folds in new files") {
     import spark.implicits._
     val lake = tmpDir("lake2")

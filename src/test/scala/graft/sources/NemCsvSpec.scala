@@ -127,6 +127,42 @@ class NemCsvSpec extends SparkSpec {
     assert(rows.count(r => r.getString(0) == "a" && r.getString(1) == "b") === 2)
   }
 
+  test("mixed-type value in an inferred column nulls out, never fails (ANSI)") {
+    // first value of C1 looks numeric → double; a later non-numeric value
+    // must yield null (reference convert_numeric_column, chunk.rs:211-227),
+    // not an ANSI cast failure. Same for a malformed timestamp in C2.
+    val body = "C,hdr\nI,FPP,X,1,C1,C2\n" +
+      "D,FPP,X,1,1.5,\"2025/06/07 23:10:04\"\n" +
+      "D,FPP,X,1,notanumber,\"2025/13/99 99:99:99\"\n" +
+      "D,FPP,X,1,2.5,\"2025/06/07 23:10:08\"\n"
+    val dir = tmpDir("mixed")
+    writeFixture(dir, "mixed_20250607.csv", body)
+    val raw = NemCsv.rawRecords(spark, Seq(s"$dir/mixed_20250607.csv"))
+    val df = NemCsv.tableFrame(raw, "FPP---X---1")
+    assert(df.schema("C1").dataType === DoubleType)
+    assert(df.schema("C2").dataType === TimestampType)
+    val rows = df.orderBy(col("C1").asc_nulls_last).collect()
+    assert(rows.length === 3)
+    assert(rows(0).getDouble(0) === 1.5)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1)) // both nulled, job alive
+  }
+
+  test("splitToLake inference sample is capped at SampleRows per file") {
+    // 1,200 numeric rows then a string-only tail: type still double (the
+    // reference sniffs 1,000 rows, chunk.rs:324) and the engine must not
+    // fail on the out-of-sample strings — they null out via try_cast
+    val sb = new StringBuilder("C,hdr\nI,FPP,Y,1,V\n")
+    (1 to 1100).foreach(i => sb.append(s"D,FPP,Y,1,$i.0\n"))
+    sb.append("D,FPP,Y,1,tail_string\n")
+    val dir = tmpDir("capped")
+    writeFixture(dir, "capped_20250607.csv", sb.toString)
+    val raw = NemCsv.rawRecords(spark, Seq(s"$dir/capped_20250607.csv"))
+    val df = NemCsv.tableFrame(raw, "FPP---Y---1")
+    assert(df.schema("V").dataType === DoubleType)
+    assert(df.count() === 1101)
+    assert(df.filter(col("V").isNull).count() === 1) // the tail string
+  }
+
   test("csv line split: embedded commas and escaped quotes") {
     assert(NemCsv.splitCsvLine("""a,"b,c",d""").toSeq === Seq("a", "b,c", "d"))
     assert(NemCsv.splitCsvLine("a,\"he said \"\"hi\"\"\",c").toSeq === Seq("a", "he said \"hi\"", "c"))
