@@ -60,11 +60,27 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Default seed-varied 64-bit hash family: xxhash64 of `s#i` — fastest
+    * (codegen'd) but engine-specific. */
+  val xxhashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+    (s, i) => xxhash64(concat(s, lit(s"#$i")))
+
+  /** 60-bit md5-derived hash — slower than xxhash64, but reproducible in
+    * any engine with md5 (DuckDB: `('0x'||substr(md5(x),18,15))::BIGINT`),
+    * which lets the whole LSH pipeline be oracle-checked end-to-end. */
+  def portableHash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 18, 15), 16, 10).cast("long")
+
+  /** [[portableHash60]] as a seed-varied family over `s#i`. */
+  val portableFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+    (s, i) => portableHash60(concat(s, lit(s"#$i")))
+
   /** MinHash signature from a postings stream: `numHashes` seed-varied
-    * xxhash64 mins, partial-aggregated in one groupBy. */
-  private def signatureOf(posts: DataFrame, numHashes: Int): DataFrame = {
+    * hash mins, partial-aggregated in one groupBy. */
+  private def signatureOf(posts: DataFrame, numHashes: Int,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(concat(col("s"), lit(s"#$i")))).as(s"mh_$i")
+      min(hashFamily(col("s"), i)).as(s"mh_$i")
     }
     posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -72,7 +88,7 @@ object Dedup {
   /** MinHash signatures (public surface; one row per doc, mh_0..mh_n-1). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int): DataFrame =
-    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes)
+    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes, xxhashFamily)
       .withColumnRenamed("id", idCol)
 
   private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -96,7 +112,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    bandPairs(signatureOf(posts, numHashes), numHashes, bands)
+    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands)
   }
 
   /** Exact Jaccard for given candidate pairs, from the postings stream:
@@ -120,12 +136,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard. */
+  /** Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard.
+    * `hashFamily` defaults to xxhash64 (fastest); pass [[portableFamily]]
+    * for a cross-engine-reproducible signature. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val cands = bandPairs(signatureOf(posts, numHashes), numHashes, bands)
+    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands)
     verifyJaccard(cands, posts, minJaccard)
   }
 
@@ -186,32 +205,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** 64-bit SimHash of word tokens: per bit, sum +1/-1 weighted by token
-    * hash bit, sign → bit. Computed with built-in bit ops over an exploded
-    * token stream (one shuffle on doc id). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `bits`-wide SimHash of word tokens: per bit, sum +1/-1 weighted by
+    * token hash bit, sign → bit. Computed with built-in bit ops over an
+    * exploded token stream (one shuffle on doc id). `tokenHash` defaults
+    * to xxhash64 (64-bit, fastest); [[portableHash60]] with `bits = 60`
+    * gives a cross-engine-reproducible variant. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+      bits: Int = 64): DataFrame = {
     val toks = df.repartition(col(idCol)).select(col(idCol).as("id"),
       explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until bits).map { i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * generated by matching any of 4 16-bit chunks (pigeonhole: distance ≤ 3
-    * guarantees one exact chunk match). */
+    * generated by matching any of 4 `bits/4`-bit chunks (pigeonhole:
+    * distance ≤ 3 guarantees one exact chunk match). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+      maxHamming: Int = 3,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+      bits: Int = 64): DataFrame = {
+    val sig = simhash(df, idCol, textCol, tokenHash, bits)
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("ckey"))
     }
     val banded = sig.withColumn("c", explode(array(chunks: _*)))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))

@@ -114,7 +114,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `tables` of `dim` doubles drawn from
     * a fixed-seed RNG (no runtime entropy — plans must be reproducible). */
-  private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

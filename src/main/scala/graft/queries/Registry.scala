@@ -655,6 +655,14 @@ object Registry {
   )
 
   /** LLM-training-data pipeline operators. */
+  /** The dd_embed_neardup hyperplanes (numPlanes=16, dim=64, seed=42) as
+    * DuckDB VALUES rows — Scala's Double.toString round-trips exactly, so
+    * both engines see identical constants. */
+  private lazy val planeLiterals: String =
+    Similarity.hyperplanes(16, 64, 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(", ")
+
   val llm: Seq[Q] = Seq(
 
     Q("dd_exact_groups",
@@ -787,16 +795,71 @@ object Registry {
       },
       None),
 
+    // Oracle-gated with the portable (md5-derived 60-bit) hash family so
+    // DuckDB can replicate signatures bit-for-bit; the xxhash64 default
+    // (faster, engine-specific) is exercised by DedupSpec. Band-bucketing
+    // in Spark joins on murmur3(band values) while the oracle joins on the
+    // values themselves — identical output unless a 32-bit hash collision
+    // coincides with a ≥-threshold pair (vanishing, and deterministic per
+    // dataset).
     Q("dd_minhash_neardup",
       (s, d) => Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+          shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+          hashFamily = Dedup.portableFamily)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   sigs AS (SELECT doc_id, r.i AS i,
+                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
+                            FROM posts CROSS JOIN range(32) r(i) GROUP BY 1, 2),
+                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                            FROM bands a JOIN bands b
+                              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                             FROM cand c
+                             JOIN posts a ON a.doc_id = c.id_a
+                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
+                             GROUP BY 1, 2)
+              SELECT i.id_a, i.id_b,
+                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
+              ORDER BY id_a, id_b""")),
 
     Q("dd_simhash_neardup",
-      (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+      (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60)
         .orderBy("id_a", "id_b"),
-      None),
+      // full simhash pipeline: token hash → per-bit ±1 sums → sign bits →
+      // 4×15-bit chunk bucketing (pigeonhole) → hamming ≤ 6
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+                   h AS (SELECT doc_id, ('0x' || substr(md5(tok), 18, 15))::BIGINT AS h FROM toks),
+                   bits AS (SELECT doc_id, r.i AS i,
+                              sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                            FROM h CROSS JOIN range(60) r(i) GROUP BY 1, 2),
+                   sig AS (SELECT doc_id,
+                             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS sh
+                           FROM bits GROUP BY 1),
+                   banded AS (SELECT doc_id, sh, c.c AS c, (sh >> (CAST(c.c AS INTEGER) * 15)) & 32767 AS ckey
+                              FROM sig CROSS JOIN range(4) c(c)),
+                   pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+                             FROM banded a JOIN banded b
+                               ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+              SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+              ORDER BY id_a, id_b""")),
 
     Q("nem_split_roundtrip",
       (s, _) => graft.sources.NemFixture.splitRoundtrip(s).orderBy("table"),
@@ -941,7 +1004,31 @@ object Registry {
       (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, minCosine = 0.4)
         .orderBy("id_a", "id_b"),
-      None),
+      // the fixed-seed hyperplanes are driver-side literals, so the oracle
+      // embeds the same 16×64 constants and replicates sign-bit banding +
+      // exact-cosine verification end-to-end
+      Some(s"""WITH planes(pi, pv) AS (VALUES $planeLiterals),
+                   bits AS (SELECT v.vec_id, p.pi,
+                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
+                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+                                   THEN 1 ELSE 0 END AS bit
+                            FROM embeddings v CROSS JOIN planes p),
+                   bands AS (SELECT vec_id, pi // 4 AS band, string_agg(bit, ',' ORDER BY pi) AS bkey
+                             FROM bits GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                            FROM bands a JOIN bands b
+                              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+                   cos AS (SELECT c.id_a, c.id_b,
+                             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+                           FROM cand c
+                           JOIN embeddings va ON va.vec_id = c.id_a
+                           JOIN embeddings vb ON vb.vec_id = c.id_b)
+              SELECT id_a, id_b, round(cosine, 6) AS cosine
+              FROM cos WHERE cosine >= 0.4::DOUBLE
+              ORDER BY id_a, id_b""")),
 
     // Multimodal: binary payload metadata via pure expressions. The
     // payload is text-bytes + a fake 16-byte header; n_bytes and digest
