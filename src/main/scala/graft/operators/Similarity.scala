@@ -64,26 +64,34 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).as("cand_id"),
       transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def centroidLit(cent: Array[Double]): Column = array(cent.map(lit).toIndexedSeq: _*)
-    def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column =
-      if (cents.size < 2) lit(0) // least() needs ≥2 args; one cell is trivial
-      else {
-        val scored = cents.zipWithIndex.map { case (cent, i) =>
-          struct((-cosine(vec, centroidLit(cent))).as("d"), lit(i).as("c"))
-        }
-        least(scored: _*).getField("c")
-      }
+    // centroids live in a small broadcast table, NOT in the expression
+    // tree: a least()-over-nlist-structs expression stops codegen'ing
+    // around nlist≈16 and would be megabytes of plan at nlist=4096. The
+    // broadcast nested-loop fan-out collapses map-side (partial min),
+    // so the shuffle carries one row per vector regardless of nlist.
+    def centDF(cents: Seq[Array[Double]]): DataFrame =
+      cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toDF("cell", "centroid")
+
+    // nearest cell per row of `df` (deterministic tie-break on cell id)
+    def assign(df: DataFrame, id: String, vec: String, cents: Seq[Array[Double]]): DataFrame =
+      df.crossJoin(broadcast(centDF(cents)))
+        .withColumn("d", -cosine(col(vec), col("centroid")))
+        .groupBy(col(id))
+        .agg(first(col(vec)).as(vec),
+          min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
 
     // init: first nlist vectors by id (deterministic, no RNG)
     var centroids: Seq[Array[Double]] = c.orderBy("cand_id").limit(nlist)
       .select("cand_vec").collect().map(_.getSeq[Double](0).toArray).toSeq
     // Lloyd iterations: assign, then element-wise mean per cell
     for (_ <- 0 until iters) {
-      val assigned = c.withColumn("cell", nearestCell(col("cand_vec"), centroids))
+      val assigned = assign(c, "cand_id", "cand_vec", centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("cand_vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
@@ -93,16 +101,18 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
 
-    val cells = c.withColumn("cell", nearestCell(col("cand_vec"), centroids))
-    // probes explode to their nprobe nearest cells
+    val cells = assign(c, "cand_id", "cand_vec", centroids)
+    // probes explode to their nprobe nearest cells (small side: a window
+    // top-nprobe over the same broadcast fan-out)
+    import org.apache.spark.sql.expressions.Window
     val probeCells = probes.select(col(idCol).as("probe_id"),
         transform(col(vecCol), x => x.cast("double")).as("probe_vec"))
-      .withColumn("ranked", array_sort(array(centroids.zipWithIndex.map { case (cent, i) =>
-        struct((-cosine(col("probe_vec"), centroidLit(cent))).as("d"), lit(i).as("c"))
-      }: _*)))
-      .withColumn("cell", explode(slice(transform(col("ranked"), r => r.getField("c")), 1, nprobe)))
+      .crossJoin(broadcast(centDF(centroids)))
+      .withColumn("d", -cosine(col("probe_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d"), col("cell"))))
+      .filter(col("pr") <= nprobe)
       .select("probe_id", "probe_vec", "cell")
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     cells.join(probeCells, Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))

@@ -130,7 +130,13 @@ final case class AsOfJoinExec(
       var lastMatchKey: UnsafeRow = null
       lit.map { l =>
         val lKey = lByProj(l)
-        tsLong(l, lTsProj) match {
+        // SQL equi-join semantics (and DuckDB ASOF): a null by-key never
+        // matches — RowOrdering would otherwise pair null with null. The
+        // right side needs no special case: null-key right rows sort first
+        // and are discarded by the c < 0 branch, and c == 0 against a
+        // fully-non-null left key implies a fully-non-null right key.
+        if (lKey.anyNull) joined(l, nullRight)
+        else tsLong(l, lTsProj) match {
           case None => joined(l, nullRight)
           case Some(lTime) =>
             var advancing = true

@@ -31,6 +31,47 @@ object ParquetMeta {
     } finally reader.close()
   }
 
+  /** Per-column, per-row-group statistics — what the reference's
+    * inspect_parquet prints (inspect_parquet.rs:21-188): null counts,
+    * min/max (as rendered strings), sizes and codec, straight from the
+    * footer without touching data pages. Anyone debugging partition/
+    * row-group pruning wants exactly this. */
+  final case class ColumnMeta(path: String, rowGroup: Int, column: String,
+      physicalType: String, values: Long, nulls: Long,
+      min: String, max: String,
+      compressedBytes: Long, uncompressedBytes: Long, codec: String)
+
+  /** Footer-only column statistics of one parquet file. */
+  def columnStats(spark: SparkSession, file: String): Seq[ColumnMeta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, gi) =>
+        b.getColumns.asScala.map { c =>
+          val st = c.getStatistics
+          val hasMinMax = st != null && !st.isEmpty && st.hasNonNullValue
+          ColumnMeta(
+            path = file,
+            rowGroup = gi,
+            column = c.getPath.toDotString,
+            physicalType = c.getPrimitiveType.getPrimitiveTypeName.name,
+            values = c.getValueCount,
+            nulls = if (st != null && !st.isEmpty) st.getNumNulls else -1L,
+            min = if (hasMinMax) st.minAsString else null,
+            max = if (hasMinMax) st.maxAsString else null,
+            compressedBytes = c.getTotalSize,
+            uncompressedBytes = c.getTotalUncompressedSize,
+            codec = c.getCodec.name)
+        }
+      }
+    } finally reader.close()
+  }
+
+  def columnStatsDF(spark: SparkSession, file: String): DataFrame = {
+    import spark.implicits._
+    columnStats(spark, file).toDF()
+  }
+
   /** Metadata for every parquet file under a directory (recursive). */
   def readDir(spark: SparkSession, dir: String): Seq[FileMeta] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

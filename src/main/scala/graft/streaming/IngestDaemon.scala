@@ -20,6 +20,62 @@ object IngestDaemon {
 
   final case class TickResult(scraped: Int, downloaded: Int, tablesWritten: Long)
 
+  /** Cooperative stop flag for [[run]] — the reference's SIGINT/SIGTERM
+    * handler (utils.rs:5-31) sets an atomic the loop checks between
+    * cycles; here `stop()` also wakes the inter-tick sleep immediately so
+    * shutdown never waits out the cadence. */
+  final class DaemonControl {
+    private val lock = new Object
+    @volatile private var stopRequested = false
+    def stop(): Unit = lock.synchronized { stopRequested = true; lock.notifyAll() }
+    def isStopped: Boolean = stopRequested
+    /** Sleep up to `ms` or until stopped; returns the stop flag. */
+    private[streaming] def awaitOrStop(ms: Long): Boolean = lock.synchronized {
+      val deadline = System.nanoTime() + ms * 1000000L
+      var left = ms
+      while (!stopRequested && left > 0) {
+        lock.wait(left)
+        left = (deadline - System.nanoTime()) / 1000000L
+      }
+      stopRequested
+    }
+  }
+
+  /** Continuous daemon: cycle `feeds` round-robin every `intervalMillis`
+    * (the reference's 60 s loop, urls.rs:176-209), run a full ingest tick
+    * per cycle, stop gracefully on `control.stop()` or JVM shutdown.
+    * A failed tick is logged and the loop continues (transient feed/HTTP
+    * errors must not kill the daemon). Blocking; returns completed tick
+    * results (bounded by `maxTicks` — Long.MaxValue means run forever).
+    */
+  def run(spark: SparkSession, feeds: Seq[String], fetchPage: String => String,
+      downloadDir: String, lakeRoot: String, historyRoot: String,
+      intervalMillis: Long = 60000L, maxTicks: Long = Long.MaxValue,
+      control: DaemonControl = new DaemonControl,
+      installShutdownHook: Boolean = true,
+      onTick: (String, TickResult) => Unit = (_, _) => ()): Seq[TickResult] = {
+    if (installShutdownHook)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => control.stop()))
+    val rr = new Fetch.RoundRobin(feeds)
+    val results = scala.collection.mutable.ArrayBuffer.empty[TickResult]
+    var tick = 0L
+    var stopped = control.isStopped
+    while (tick < maxTicks && !stopped) {
+      val feed = rr.next()
+      try {
+        val res = runOnce(spark, feed, fetchPage(feed), downloadDir, lakeRoot, historyRoot)
+        results += res
+        onTick(feed, res)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[daemon] tick failed for $feed: ${e.getMessage}")
+      }
+      tick += 1
+      stopped = if (tick < maxTicks) control.awaitOrStop(intervalMillis) else control.isStopped
+    }
+    results.toSeq
+  }
+
   def runOnce(spark: SparkSession, feedUrl: String, feedHtml: String,
       downloadDir: String, lakeRoot: String, historyRoot: String): TickResult = {
     import spark.implicits._

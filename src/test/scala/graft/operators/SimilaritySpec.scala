@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("ivf at nlist=256: broadcast-join assignment, no N-wide expression, recall holds") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", 5,
+      nlist = 256, nprobe = 32, iters = 1)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("least("), "centroids must live in a broadcast table, not the expression tree")
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall vs brute at nlist=256")
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)

@@ -25,6 +25,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 100.0), (2, 200.0), (3, null), (4, 100.0)))
   }
 
+  test("null by-keys never match (SQL equi-join / DuckDB ASOF semantics)") {
+    import spark.implicits._
+    val l = Seq((Option("a"), ts("2024-01-01T00:00:05Z"), 1),
+      (Option.empty[String], ts("2024-01-01T00:00:05Z"), 2),
+      (Option("b"), ts("2024-01-01T00:00:05Z"), 3)
+    ).toDF("k", "lts", "lid")
+    val r = Seq((Option("a"), ts("2024-01-01T00:00:01Z"), 100.0),
+      (Option.empty[String], ts("2024-01-01T00:00:01Z"), 999.0) // must never pair with null left
+    ).toDF("rk", "rts", "v")
+    val out = AsOfJoin(spark, l, r, Seq("k"), Seq("rk"), "lts", "rts")
+      .select("lid", "v").orderBy("lid")
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getDouble(1)))
+    assert(out.toSeq === Seq((1, 100.0), (2, null), (3, null)))
+  }
+
   test("physical plan: AsOfJoinExec with co-partitioned sorted children") {
     import spark.implicits._
     val l = (1 to 100).map(i => (s"k${i % 7}", ts(f"2024-01-01T00:${i % 60}%02d:00Z"), i))

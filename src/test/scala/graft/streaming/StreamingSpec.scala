@@ -86,6 +86,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(1) === 0.5 * 5.0 + 0.5 * 20.0) // state survived the batch boundary
   }
 
+  test("ParquetMeta.columnStats: per-column min/max/nulls from the footer") {
+    import spark.implicits._
+    val dir = tmpDir("colstats") + "/data"
+    Seq((1L, Some(2.5), "a"), (7L, None, "z"), (3L, Some(-1.0), "m"))
+      .toDF("k", "v", "s").coalesce(1).write.parquet(dir)
+    val f = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+      .toArray.head.toString
+    val stats = ParquetMeta.columnStats(spark, f)
+    val byCol = stats.groupBy(_.column)
+    assert(byCol.keySet === Set("k", "v", "s"))
+    val k = byCol("k").head
+    assert(k.min === "1" && k.max === "7" && k.nulls === 0 && k.values === 3)
+    val v = byCol("v").head
+    assert(v.min === "-1.0" && v.max === "2.5" && v.nulls === 1)
+    val s = byCol("s").head
+    assert(s.min === "a" && s.max === "z")
+    assert(stats.forall(_.physicalType.nonEmpty))
+    assert(ParquetMeta.columnStatsDF(spark, f).count() === 3)
+  }
+
   test("ParquetMeta + Reconcile: footer counts match D-lines without data scan") {
     val in = tmpDir("rin")
     val lake = tmpDir("rlake")
