@@ -774,8 +774,6 @@ object Registry {
               SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
-    // Approximate / not-SQL-expressible ops: rows-only driver check,
-    // correctness asserted in ScalaTest instead.
     Q("ann_topk_lsh",
       (s, d) => {
         val emb = T(s, d, "embeddings")
@@ -784,7 +782,33 @@ object Registry {
           .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
           .orderBy("probe_id", "rn")
       },
-      None),
+      // same fixed-seed hyperplanes as dd_embed_neardup: sign-bit bands,
+      // shared-band candidates, exact-cosine re-rank — all replicated
+      Some(s"""WITH planes(pi, pv) AS (VALUES $planeLiterals),
+                   bits AS (SELECT v.vec_id, p.pi,
+                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
+                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+                                   THEN 1 ELSE 0 END AS bit
+                            FROM embeddings v CROSS JOIN planes p),
+                   bands AS (SELECT vec_id, pi // 4 AS band, string_agg(bit, ',' ORDER BY pi) AS bkey
+                             FROM bits GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+                            FROM bands p JOIN bands c
+                              ON p.band = c.band AND p.bkey = c.bkey
+                            WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+                   cos AS (SELECT cd.probe_id, cd.cand_id,
+                             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                           FROM cand cd
+                           JOIN embeddings va ON va.vec_id = cd.probe_id
+                           JOIN embeddings vb ON vb.vec_id = cd.cand_id),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM cos)
+              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
     Q("ann_topk_ivf",
       (s, d) => {
@@ -1047,7 +1071,10 @@ object Registry {
               FROM documents ORDER BY doc_id""")),
 
     // Multimodal decode → frame-sample → feature pipeline (stub codec,
-    // real plumbing: mapPartitions decode, posexplode fan-out).
+    // real plumbing: mapPartitions decode, posexplode fan-out). The stub
+    // codec is deterministic 32-bit arithmetic over the 16-byte fake
+    // header (Java Arrays.hashCode fold), so the oracle replicates it
+    // with wrap-around modular math and checks the whole pipeline.
     Q("mm_decode_frames",
       (s, d) => {
         import graft.multimodal.Multimodal._
@@ -1059,7 +1086,29 @@ object Registry {
             count(lit(1)).as("n_sampled_frames"), first(size(col("features"))).as("feat_dim"))
           .orderBy("doc_id")
       },
-      None)
+      // header = 'IMG0' + first 12 hex chars of sha256(text); h = Java
+      // Arrays.hashCode over the 17-element [1 seeded] fold with int32
+      // wrap ((x+2^31) floor-mod 2^32 - 2^31); dims/frames from h exactly
+      // as FakeCodec.decode; n_sampled_frames = min(3, frames)
+      Some("""WITH hdr AS (SELECT doc_id, substr(sha256(text), 1, 12) AS hx FROM documents),
+                   bytes AS (SELECT doc_id,
+                               list_transform([73, 77, 71, 48] ||
+                                 list_transform(range(1, 13), i -> ascii(substr(hx, CAST(i AS INTEGER), 1))),
+                                 x -> CAST(x AS BIGINT)) AS bs
+                             FROM hdr),
+                   hv AS (SELECT doc_id,
+                            list_reduce([CAST(1 AS BIGINT)] || bs,
+                              (a, b) -> CAST((((a * 31 + b + 2147483648) % 4294967296 + 4294967296) % 4294967296)
+                                             - 2147483648 AS BIGINT)) AS h
+                          FROM bytes),
+                   dims AS (SELECT doc_id,
+                              64 + abs(h % 1024) AS width,
+                              64 + abs(CAST(trunc(h / 1024.0) AS BIGINT) % 1024) AS height,
+                              1 + abs(h % 8) AS frames
+                            FROM hv)
+              SELECT doc_id, width, height,
+                     least(frames, 3) AS n_sampled_frames, 8 AS feat_dim
+              FROM dims ORDER BY doc_id"""))
   )
 
   val all: Seq[Q] = relational ++ sqlSurface ++ llm
