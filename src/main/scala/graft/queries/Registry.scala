@@ -987,7 +987,53 @@ object Registry {
             round(col("p_lower"), 6).as("p_lower"), round(col("p_raise"), 6).as("p_raise"))
           .orderBy("ts", "duid")
       },
-      None),
+      // same fixture as VALUES literals; EWMA recurrence (state 0.0,
+      // e = (1-α)state + αv, α = 2/9) via recursive CTE, 5-min-bucket
+      // interpolation evaluated at the scada timestamps (the inner join
+      // on ts makes the rest of the 4 s spine unobservable), performance
+      // split replicated with the same op order
+      Some("""WITH RECURSIVE freq(ts, region, dev) AS (VALUES
+                     (TIMESTAMP '2025-06-07 00:00:00', 'NSW1', 0.10::DOUBLE),
+                     (TIMESTAMP '2025-06-07 00:00:04', 'NSW1', -0.05::DOUBLE),
+                     (TIMESTAMP '2025-06-07 00:00:08', 'NSW1', 0.02::DOUBLE)),
+                   fc(iv, poe50) AS (VALUES
+                     (TIMESTAMP '2025-06-07 00:00:00', 10.0::DOUBLE),
+                     (TIMESTAMP '2025-06-07 00:05:00', 20.0::DOUBLE)),
+                   scada(ts, duid, mw) AS (VALUES
+                     (TIMESTAMP '2025-06-07 00:00:00', 'D1', 12.0::DOUBLE),
+                     (TIMESTAMP '2025-06-07 00:00:04', 'D1', 9.5::DOUBLE),
+                     (TIMESTAMP '2025-06-07 00:00:08', 'D1', 10.1::DOUBLE)),
+                   b AS (SELECT ts, region, -dev AS v,
+                           row_number() OVER (PARTITION BY region ORDER BY ts) AS rn
+                         FROM freq),
+                   r(region, ts, rn, fm) AS (
+                     SELECT region, ts, rn,
+                            (1.0::DOUBLE - (2.0::DOUBLE / 9.0::DOUBLE)) * 0.0::DOUBLE
+                              + (2.0::DOUBLE / 9.0::DOUBLE) * v
+                     FROM b WHERE rn = 1
+                     UNION ALL
+                     SELECT b.region, b.ts, b.rn,
+                            (1.0::DOUBLE - (2.0::DOUBLE / 9.0::DOUBLE)) * r.fm
+                              + (2.0::DOUBLE / 9.0::DOUBLE) * b.v
+                     FROM r JOIN b ON b.region = r.region AND b.rn = r.rn + 1),
+                   t5 AS (SELECT ts, duid, mw,
+                            ts - to_milliseconds(epoch_ms(ts) % 300000) AS ts5,
+                            CAST(epoch_ms(ts) % 300000 AS DOUBLE) / 300000.0::DOUBLE AS frac
+                          FROM scada),
+                   traj AS (SELECT t5.ts, t5.duid, t5.mw,
+                              coalesce(p.poe50, 0.0::DOUBLE) AS p0,
+                              coalesce(n.poe50, p.poe50, 0.0::DOUBLE) AS n0, t5.frac
+                            FROM t5
+                            LEFT JOIN fc p ON p.iv = t5.ts5
+                            LEFT JOIN fc n ON n.iv = t5.ts5 + INTERVAL 5 MINUTE),
+                   dev AS (SELECT ts, duid, mw - (p0 + (n0 - p0) * frac) AS deviation
+                           FROM traj),
+                   perf AS (SELECT d.ts, d.duid, d.deviation, r.fm
+                            FROM dev d LEFT JOIN r ON r.ts = d.ts AND r.region = 'NSW1')
+              SELECT ts, duid, round(deviation, 6) AS deviation,
+                     round((CASE WHEN fm < 0 THEN fm ELSE 0.0::DOUBLE END) * deviation, 6) AS p_lower,
+                     round((CASE WHEN fm > 0 THEN fm ELSE 0.0::DOUBLE END) * deviation, 6) AS p_raise
+              FROM perf ORDER BY ts, duid""")),
 
     Q("dd_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
