@@ -902,16 +902,25 @@ object Registry {
       (s, d) => {
         import s.implicits._
         // bounded deterministic sample: the codec RATIO is the result,
-        // writing the full table per codec is just benchmark tax
+        // writing the full table per codec is just benchmark tax. Levels
+        // mirror the reference's study (zstd 1/10/15 vs its brotli-5
+        // production pick, README.md:18-27; the brotli codec jar is not
+        // bundled with Spark — see BASELINE.md).
         val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(60000)
         val out = java.nio.file.Files.createTempDirectory("graft_codec")
-        val sizes = Seq("none", "snappy", "zstd").map { codec =>
-          val dir = s"$out/$codec"
-          li.coalesce(1).write.option("compression", codec).parquet(dir)
-          val bytes = new java.io.File(dir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-          (codec, bytes)
-        }
+        val hc = s.sparkContext.hadoopConfiguration
+        val LevelKey = "parquet.compression.codec.zstd.level"
+        val sizes = Seq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
+          .map { case (codec, lvl) =>
+            val label = if (lvl > 0) s"${codec}_l$lvl" else codec
+            val prev = hc.get(LevelKey)
+            if (lvl > 0) hc.set(LevelKey, lvl.toString)
+            try li.coalesce(1).write.option("compression", codec).parquet(s"$out/$label")
+            finally if (lvl > 0) { if (prev == null) hc.unset(LevelKey) else hc.set(LevelKey, prev) }
+            val bytes = new java.io.File(s"$out/$label").listFiles()
+              .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+            (label, bytes)
+          }
         sizes.toDF("codec", "bytes").orderBy("codec")
       },
       None),

@@ -34,14 +34,24 @@ final class HistoryTable(spark: SparkSession, dir: String, keyCol: String) {
   def keys(): Option[DataFrame] =
     all().map(_.select(keyCol).distinct())
 
+  /** History row count from parquet footers only — no data scan. */
+  private def footerRows: Long = ParquetMeta.readDir(spark, dir).map(_.rows).sum
+
+  /** Keys above this flip the anti-join from broadcast to shuffle. */
+  private val BroadcastKeyLimit = 10000000L
+
   /** Candidates whose `candKey` has NOT been seen — the idempotent-work
-    * filter (reference main.rs:177-179,248-250). Broadcast-anti on the
-    * (small) key set. */
+    * filter (reference main.rs:177-179,248-250). Broadcast-anti while the
+    * key set is small (file-name cardinality — the normal case); above
+    * ~10M rows (checked against parquet footers, no scan) a broadcast
+    * would OOM the driver, so fall back to a shuffle anti-join. */
   def filterNew(candidates: DataFrame, candKey: String): DataFrame =
     keys() match {
       case None => candidates
-      case Some(k) =>
+      case Some(k) if footerRows <= BroadcastKeyLimit =>
         candidates.join(broadcast(k), candidates(candKey) === k(keyCol), "left_anti")
+      case Some(k) =>
+        candidates.join(k, candidates(candKey) === k(keyCol), "left_anti")
     }
 
   /** Consolidate all files into one `consolidated-<n>.parquet`, delete the
