@@ -10,7 +10,13 @@ package graft
 object Par {
 
   /** Map `work` over `items` with at most `parallelism` concurrent units;
-    * result preserves input order, `None` results are dropped. */
+    * result preserves input order, `None` results are dropped.
+    *
+    * Failure semantics: ALL units are drained before this returns or
+    * throws — a unit failure must not leave sibling writers running in the
+    * background (a caller's retry would then race a leaked job for the
+    * same output dir / committer `_temporary` path). The first failure is
+    * rethrown with any further failures attached as suppressed. */
   def mapBounded[A, B](items: IndexedSeq[A], parallelism: Int = 8)(
       work: A => Option[B]): IndexedSeq[B] = {
     if (items.isEmpty) return IndexedSeq.empty
@@ -19,9 +25,17 @@ object Par {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      val fut = scala.concurrent.Future.sequence(
-        items.map(a => scala.concurrent.Future(work(a))))
-      scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf).flatten
+      val fut = scala.concurrent.Future.traverse(items) { a =>
+        scala.concurrent.Future(work(a)).transform(scala.util.Success(_))
+      }
+      val outcomes = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration.Inf)
+      val failures = outcomes.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
+      outcomes.collect { case scala.util.Success(Some(b)) => b }
     } finally pool.shutdown()
   }
 }

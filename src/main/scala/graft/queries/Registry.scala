@@ -835,7 +835,8 @@ object Registry {
                          FROM documents),
                    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
                    sh AS (SELECT doc_id,
-                            list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
                           FROM w),
                    posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
                    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -1055,7 +1056,8 @@ object Registry {
                          FROM documents),
                    w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
                    sh AS (SELECT doc_id,
-                            list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS s
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
                           FROM w),
                    posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
                    sizes AS (SELECT doc_id, len(s) AS n FROM sh),

@@ -34,21 +34,29 @@ final class HistoryTable(spark: SparkSession, dir: String, keyCol: String) {
   def keys(): Option[DataFrame] =
     all().map(_.select(keyCol).distinct())
 
-  /** History row count from parquet footers only — no data scan. */
-  private def footerRows: Long = ParquetMeta.readDir(spark, dir).map(_.rows).sum
+  /** Total parquet bytes in the history dir — one directory listing, the
+    * same metadata `hasData` already reads; no footer opens, no scan. */
+  private def totalBytes: Long = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+  }
 
-  /** Keys above this flip the anti-join from broadcast to shuffle. */
-  private val BroadcastKeyLimit = 10000000L
+  /** Above this on-disk size the anti-join flips from broadcast to
+    * shuffle. 64 MB of parquet ≫ what a driver-broadcast key set should
+    * ever be (keys are file names; this history is millions of rows
+    * before the limit trips). */
+  private val BroadcastByteLimit = 64L * 1024 * 1024
 
   /** Candidates whose `candKey` has NOT been seen — the idempotent-work
     * filter (reference main.rs:177-179,248-250). Broadcast-anti while the
-    * key set is small (file-name cardinality — the normal case); above
-    * ~10M rows (checked against parquet footers, no scan) a broadcast
-    * would OOM the driver, so fall back to a shuffle anti-join. */
+    * history is small (file-name cardinality — the normal case, decided
+    * from one dir listing); a huge history falls back to a shuffle
+    * anti-join instead of OOMing the driver. */
   def filterNew(candidates: DataFrame, candKey: String): DataFrame =
     keys() match {
       case None => candidates
-      case Some(k) if footerRows <= BroadcastKeyLimit =>
+      case Some(k) if totalBytes <= BroadcastByteLimit =>
         candidates.join(broadcast(k), candidates(candKey) === k(keyCol), "left_anti")
       case Some(k) =>
         candidates.join(k, candidates(candKey) === k(keyCol), "left_anti")

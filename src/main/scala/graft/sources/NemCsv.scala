@@ -41,8 +41,10 @@ object NemCsv {
 
   /** One data record: logical table, its I-line columns (already cleaned,
     * first 4 dropped) and the D-line values (first 4 dropped). `seq` is
-    * the record's position within its file — type inference samples the
-    * FIRST non-null value in (file, seq) order, deterministically. */
+    * the record's position within its TABLE in this file — type inference
+    * samples the first non-null value in (file, seq) order per table, and
+    * the [[SampleRows]] cap applies per table (a table whose records start
+    * late in a multi-table file still gets a full sample window). */
   final case class RawRecord(
       file: String, seq: Long, date: String, table: String,
       header: Seq[String], values: Seq[String])
@@ -106,7 +108,7 @@ object NemCsv {
     var curHeader: Seq[String] = null
     var sawFirstLine = false
     var stopped = false
-    var seq = 0L
+    val seqByTable = scala.collection.mutable.HashMap.empty[String, Long]
     lines.flatMap { line =>
       if (stopped || line.isEmpty) Iterator.empty
       else {
@@ -135,7 +137,8 @@ object NemCsv {
             val vals =
               if (raw.size == curHeader.size) raw
               else raw.take(curHeader.size).padTo(curHeader.size, "")
-            seq += 1
+            val seq = seqByTable.getOrElse(curTable, 0L) + 1
+            seqByTable(curTable) = seq
             Iterator.single(RawRecord(file, seq, date, curTable, curHeader, vals))
           case _ => Iterator.empty // D before any I, or junk: dropped
         }

@@ -23,12 +23,19 @@ object IngestDaemon {
   /** Cooperative stop flag for [[run]] — the reference's SIGINT/SIGTERM
     * handler (utils.rs:5-31) sets an atomic the loop checks between
     * cycles; here `stop()` also wakes the inter-tick sleep immediately so
-    * shutdown never waits out the cadence. */
+    * shutdown never waits out the cadence, and `awaitExit` lets the
+    * shutdown hook hold the JVM open until the in-flight tick drains
+    * (a half-written parquet job is what "graceful" must prevent). */
   final class DaemonControl {
     private val lock = new Object
+    private val exited = new java.util.concurrent.CountDownLatch(1)
     @volatile private var stopRequested = false
     def stop(): Unit = lock.synchronized { stopRequested = true; lock.notifyAll() }
     def isStopped: Boolean = stopRequested
+    /** Block until the run loop has exited (true) or timeout (false). */
+    def awaitExit(timeoutMillis: Long): Boolean =
+      exited.await(timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    private[streaming] def markExited(): Unit = exited.countDown()
     /** Sleep up to `ms` or until stopped; returns the stop flag. */
     private[streaming] def awaitOrStop(ms: Long): Boolean = lock.synchronized {
       val deadline = System.nanoTime() + ms * 1000000L
@@ -54,26 +61,36 @@ object IngestDaemon {
       control: DaemonControl = new DaemonControl,
       installShutdownHook: Boolean = true,
       onTick: (String, TickResult) => Unit = (_, _) => ()): Seq[TickResult] = {
-    if (installShutdownHook)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => control.stop()))
+    // the hook requests stop, then HOLDS the JVM open until the loop has
+    // drained its in-flight tick (bounded wait) — a hook that only flips
+    // the flag would let the JVM kill a parquet write mid-commit
+    val hook = new Thread(() => { control.stop(); control.awaitExit(60000L); () })
+    if (installShutdownHook) Runtime.getRuntime.addShutdownHook(hook)
     val rr = new Fetch.RoundRobin(feeds)
     val results = scala.collection.mutable.ArrayBuffer.empty[TickResult]
-    var tick = 0L
-    var stopped = control.isStopped
-    while (tick < maxTicks && !stopped) {
-      val feed = rr.next()
-      try {
-        val res = runOnce(spark, feed, fetchPage(feed), downloadDir, lakeRoot, historyRoot)
-        results += res
-        onTick(feed, res)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[daemon] tick failed for $feed: ${e.getMessage}")
+    try {
+      var tick = 0L
+      var stopped = control.isStopped
+      while (tick < maxTicks && !stopped) {
+        val feed = rr.next()
+        try {
+          val res = runOnce(spark, feed, fetchPage(feed), downloadDir, lakeRoot, historyRoot)
+          results += res
+          onTick(feed, res)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[daemon] tick failed for $feed: ${e.getMessage}")
+        }
+        tick += 1
+        stopped = if (tick < maxTicks) control.awaitOrStop(intervalMillis) else control.isStopped
       }
-      tick += 1
-      stopped = if (tick < maxTicks) control.awaitOrStop(intervalMillis) else control.isStopped
+      results.toSeq
+    } finally {
+      control.markExited()
+      if (installShutdownHook)
+        try Runtime.getRuntime.removeShutdownHook(hook) // don't pile up hooks
+        catch { case _: IllegalStateException => () }   // already shutting down
     }
-    results.toSeq
   }
 
   def runOnce(spark: SparkSession, feedUrl: String, feedHtml: String,

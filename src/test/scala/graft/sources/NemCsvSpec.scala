@@ -163,6 +163,27 @@ class NemCsvSpec extends SparkSpec {
     assert(df.filter(col("V").isNull).count() === 1) // the tail string
   }
 
+  test("inference sample cap is per TABLE, not per file position") {
+    // table A fills >SampleRows records first; table B starts after it and
+    // must still get a full sample window (numeric type inferred), because
+    // seq counts within each table, not across the file
+    val sb = new StringBuilder("C,hdr\nI,FPP,A,1,VA\n")
+    (1 to 1100).foreach(i => sb.append(s"D,FPP,A,1,$i.0\n"))
+    sb.append("I,FPP,B,1,VB\n")
+    (1 to 5).foreach(i => sb.append(s"D,FPP,B,1,$i.5\n"))
+    val dir = tmpDir("pertable")
+    writeFixture(dir, "pertable_20250607.csv", sb.toString)
+    val raw = NemCsv.rawRecords(spark, Seq(s"$dir/pertable_20250607.csv"))
+    val b = NemCsv.tableFrame(raw, "FPP---B---1")
+    assert(b.schema("VB").dataType === DoubleType)
+    assert(b.count() === 5)
+    val lake = tmpDir("pertable_lake")
+    val summary = NemCsv.splitToLake(spark, Seq(s"$dir/pertable_20250607.csv"), lake)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("FPP---A---1" -> 1100L, "FPP---B---1" -> 5L))
+    assert(spark.read.parquet(s"$lake/FPP---B---1").schema("VB").dataType === DoubleType)
+  }
+
   test("csv line split: embedded commas and escaped quotes") {
     assert(NemCsv.splitCsvLine("""a,"b,c",d""").toSeq === Seq("a", "b,c", "d"))
     assert(NemCsv.splitCsvLine("a,\"he said \"\"hi\"\"\",c").toSeq === Seq("a", "he said \"hi\"", "c"))
