@@ -406,14 +406,17 @@ object Registry {
         val ev = T(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
         val hourly = T(s, d, "events")
           .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
-          .agg(round(avg(col("value")), 6).as("av"))
+          // exact cent-sum, not round(avg(..)): float-sum order differs
+          // between engines and a 6-decimal round flips at half-ulp
+          // boundaries once the group count grows (seen at sf0.1)
+          .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("av"))
         graft.plans.AsOfJoin(s, ev, hourly, Seq("event_type"), Seq("et"), "ts", "h")
           .select(col("event_id"), col("av"))
           .orderBy("event_id")
       },
       Some("""WITH hourly AS (
                 SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                       round(avg(value), 6) AS av
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS av
                 FROM events GROUP BY 1, 2)
               SELECT e.event_id, hourly.av
               FROM events e ASOF LEFT JOIN hourly
