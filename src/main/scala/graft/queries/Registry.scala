@@ -822,6 +822,50 @@ object Registry {
       },
       None),
 
+    // IVF search path with iters=0: centroids are then exactly the first
+    // nlist vectors by id, which DuckDB can derive too — oracle-checks
+    // cell assignment (argmin cosine, cell tie-break), nprobe expansion
+    // and the exact-cosine re-rank. The Lloyd-trained variant above stays
+    // rows-only (runtime k-means state is not SQL-expressible).
+    Q("ann_topk_ivf0",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 4, iters = 0)
+          .orderBy("probe_id", "rn")
+      },
+      Some("""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                               embedding AS cv
+                             FROM embeddings ORDER BY vec_id LIMIT 16),
+                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id AS cand_id, embedding AS cand_vec, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1),
+                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
+                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                    FROM scored WHERE vec_id < 10)
+                              WHERE rn <= 4),
+                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, c.cand_vec
+                            FROM pcells p JOIN cells c ON c.cell = p.cell
+                            WHERE c.cand_id <> p.probe_id),
+                   sims AS (SELECT probe_id, cand_id,
+                              list_sum(list_transform(list_zip(probe_vec, cand_vec),
+                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                            FROM cand),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM sims)
+              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     // Oracle-gated with the portable (md5-derived 60-bit) hash family so
     // DuckDB can replicate signatures bit-for-bit; the xxhash64 default
     // (faster, engine-specific) is exercised by DedupSpec. Band-bucketing
