@@ -140,4 +140,57 @@ object Compactor {
     }
     stats
   }
+
+  /** Continuous compactor — the reference's compactor binary loop:
+    * a compaction sweep every `intervalMillis` (5 min,
+    * compactor.rs:108-110) and a history vacuum every
+    * `vacuumIntervalMillis` (30 s, table_history.rs:95-103), on one
+    * driver loop with graceful stop ([[graft.DaemonControl]]). A failed
+    * sweep logs and the loop continues. Blocking; returns the stats of
+    * completed sweeps (bounded by `maxSweeps`). */
+  def runLoop(spark: SparkSession, lakeRoot: String, history: HistoryTable,
+      intervalMillis: Long = 300000L, vacuumIntervalMillis: Long = 30000L,
+      maxSweeps: Long = Long.MaxValue,
+      control: graft.DaemonControl = new graft.DaemonControl,
+      installShutdownHook: Boolean = true,
+      onSweep: Seq[Stat] => Unit = _ => ()): Seq[Stat] = {
+    val hook = new Thread(() => { control.stop(); control.awaitExit(60000L); () })
+    if (installShutdownHook) Runtime.getRuntime.addShutdownHook(hook)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Stat]
+    try {
+      var sweeps = 0L
+      var nextCompact = System.currentTimeMillis()
+      var nextVacuum = System.currentTimeMillis() + vacuumIntervalMillis
+      var stopped = control.isStopped
+      while (sweeps < maxSweeps && !stopped) {
+        val t = System.currentTimeMillis()
+        try {
+          if (t >= nextVacuum) { history.vacuum(); nextVacuum = t + vacuumIntervalMillis }
+          if (t >= nextCompact) {
+            val stats = runOnce(spark, lakeRoot, history)
+            out ++= stats
+            sweeps += 1
+            nextCompact = t + intervalMillis
+            onSweep(stats)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[compactor] sweep failed: ${e.getMessage}")
+            sweeps += 1 // a failing sweep still counts toward maxSweeps
+            nextCompact = System.currentTimeMillis() + intervalMillis
+        }
+        val wait = math.min(nextCompact, nextVacuum) - System.currentTimeMillis()
+        stopped =
+          if (sweeps >= maxSweeps) control.isStopped
+          else if (wait > 0) control.awaitOrStop(wait)
+          else control.isStopped
+      }
+      out.toSeq
+    } finally {
+      control.markExited()
+      if (installShutdownHook)
+        try Runtime.getRuntime.removeShutdownHook(hook)
+        catch { case _: IllegalStateException => () }
+    }
+  }
 }

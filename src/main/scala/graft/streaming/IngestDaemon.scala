@@ -20,33 +20,9 @@ object IngestDaemon {
 
   final case class TickResult(scraped: Int, downloaded: Int, tablesWritten: Long)
 
-  /** Cooperative stop flag for [[run]] — the reference's SIGINT/SIGTERM
-    * handler (utils.rs:5-31) sets an atomic the loop checks between
-    * cycles; here `stop()` also wakes the inter-tick sleep immediately so
-    * shutdown never waits out the cadence, and `awaitExit` lets the
-    * shutdown hook hold the JVM open until the in-flight tick drains
-    * (a half-written parquet job is what "graceful" must prevent). */
-  final class DaemonControl {
-    private val lock = new Object
-    private val exited = new java.util.concurrent.CountDownLatch(1)
-    @volatile private var stopRequested = false
-    def stop(): Unit = lock.synchronized { stopRequested = true; lock.notifyAll() }
-    def isStopped: Boolean = stopRequested
-    /** Block until the run loop has exited (true) or timeout (false). */
-    def awaitExit(timeoutMillis: Long): Boolean =
-      exited.await(timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
-    private[streaming] def markExited(): Unit = exited.countDown()
-    /** Sleep up to `ms` or until stopped; returns the stop flag. */
-    private[streaming] def awaitOrStop(ms: Long): Boolean = lock.synchronized {
-      val deadline = System.nanoTime() + ms * 1000000L
-      var left = ms
-      while (!stopRequested && left > 0) {
-        lock.wait(left)
-        left = (deadline - System.nanoTime()) / 1000000L
-      }
-      stopRequested
-    }
-  }
+  /** Shared engine-wide control (see [[graft.DaemonControl]]); aliased
+    * here so existing callers keep `new IngestDaemon.DaemonControl`. */
+  type DaemonControl = graft.DaemonControl
 
   /** Continuous daemon: cycle `feeds` round-robin every `intervalMillis`
     * (the reference's 60 s loop, urls.rs:176-209), run a full ingest tick

@@ -82,6 +82,36 @@ class CompactorSpec extends SparkSpec {
     assert(Compactor.runOnce(spark, lake, hist).isEmpty) // idempotent after fan-out
   }
 
+  test("runLoop: sweeps on cadence, folds files arriving between sweeps, vacuums history") {
+    import spark.implicits._
+    val lake = tmpDir("lakeloop")
+    val histDir = tmpDir("histloop")
+    val hist = HistoryTable.compacted(spark, histDir)
+    val part = s"$lake/T---L---1/date=2025-06-07"
+    Seq((1.0, "a")).toDF("v", "id").coalesce(1).write.mode("append").parquet(part)
+    // publish a second file while the loop sleeps between sweeps
+    // 3 sweeps: compact, fold the file published after sweep 1 (from the
+    // loop thread via onSweep — deterministic under load), then an empty
+    // sweep whose iteration vacuums the 2 history files first (the 1ms
+    // vacuum cadence is due on every wake)
+    var sweepN = 0
+    val stats = Compactor.runLoop(spark, lake, hist,
+      intervalMillis = 100L, vacuumIntervalMillis = 1L,
+      maxSweeps = 3, installShutdownHook = false,
+      onSweep = _ => {
+        sweepN += 1
+        if (sweepN == 1)
+          Seq((2.0, "b")).toDF("v", "id").coalesce(1).write.mode("append").parquet(part)
+      })
+    assert(stats.map(_.rows) === Seq(1L, 2L)) // sweep 3 had nothing to do
+    assert(spark.read.parquet(s"$lake/T---L---1").count() === 2)
+    val histFiles = Files.list(Paths.get(s"$histDir/compacted"))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(histFiles.length === 1, s"expected vacuumed history, found ${histFiles.length} files")
+    assert(histFiles.head.split('/').last.startsWith("consolidated-"))
+    assert(hist.keys().get.count() === 2) // keys survived consolidation
+  }
+
   test("runOnce: anti-join bookkeeping makes the sweep idempotent; recompaction folds in new files") {
     import spark.implicits._
     val lake = tmpDir("lake2")
