@@ -83,9 +83,19 @@ object IngestDaemon {
       .as[String].collect().toSet
     val fresh = links.filter(l => freshNames.contains(l._2))
 
-    val downloaded = fresh.map { case (url, name) =>
-      val (path, size) = Fetch.download(url, downloadDir)
-      (name, url, size, path.toString)
+    // 4 concurrent downloaders, like the reference's worker pool
+    // (main.rs:110-132); a failed download is logged and skipped — its
+    // name stays out of the history so the next tick retries it
+    val downloaded = graft.Par.mapBounded(fresh.toIndexedSeq, parallelism = 4) {
+      case (url, name) =>
+        try {
+          val (path, size) = Fetch.download(url, downloadDir)
+          Some((name, url, size, path.toString))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[daemon] download failed for $url: ${e.getMessage}")
+            None
+        }
     }
     if (downloaded.nonEmpty) {
       val now = new java.sql.Timestamp(System.currentTimeMillis())
