@@ -154,30 +154,36 @@ object Compactor {
       control: graft.DaemonControl = new graft.DaemonControl,
       installShutdownHook: Boolean = true,
       onSweep: Seq[Stat] => Unit = _ => ()): Seq[Stat] = {
-    val hook = new Thread(() => { control.stop(); control.awaitExit(60000L); () })
-    if (installShutdownHook) Runtime.getRuntime.addShutdownHook(hook)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Stat]
-    try {
+    control.runGuarded(installShutdownHook) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Stat]
       var sweeps = 0L
       var nextCompact = System.currentTimeMillis()
       var nextVacuum = System.currentTimeMillis() + vacuumIntervalMillis
       var stopped = control.isStopped
       while (sweeps < maxSweeps && !stopped) {
         val t = System.currentTimeMillis()
-        try {
-          if (t >= nextVacuum) { history.vacuum(); nextVacuum = t + vacuumIntervalMillis }
-          if (t >= nextCompact) {
+        // each activity fails independently and always advances its own
+        // deadline — a persistently failing vacuum must back off on its
+        // cadence, not hot-spin, and must not consume compaction sweeps
+        if (t >= nextVacuum) {
+          nextVacuum = t + vacuumIntervalMillis
+          try history.vacuum()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[compactor] vacuum failed: ${e.getMessage}") }
+        }
+        if (t >= nextCompact) {
+          nextCompact = t + intervalMillis
+          sweeps += 1
+          try {
             val stats = runOnce(spark, lakeRoot, history)
             out ++= stats
-            sweeps += 1
-            nextCompact = t + intervalMillis
-            onSweep(stats)
+            try onSweep(stats)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[compactor] onSweep callback failed: ${e.getMessage}") }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[compactor] sweep failed: ${e.getMessage}")
           }
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[compactor] sweep failed: ${e.getMessage}")
-            sweeps += 1 // a failing sweep still counts toward maxSweeps
-            nextCompact = System.currentTimeMillis() + intervalMillis
         }
         val wait = math.min(nextCompact, nextVacuum) - System.currentTimeMillis()
         stopped =
@@ -186,11 +192,6 @@ object Compactor {
           else control.isStopped
       }
       out.toSeq
-    } finally {
-      control.markExited()
-      if (installShutdownHook)
-        try Runtime.getRuntime.removeShutdownHook(hook)
-        catch { case _: IllegalStateException => () }
     }
   }
 }

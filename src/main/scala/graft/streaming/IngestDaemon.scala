@@ -37,14 +37,12 @@ object IngestDaemon {
       control: DaemonControl = new DaemonControl,
       installShutdownHook: Boolean = true,
       onTick: (String, TickResult) => Unit = (_, _) => ()): Seq[TickResult] = {
-    // the hook requests stop, then HOLDS the JVM open until the loop has
-    // drained its in-flight tick (bounded wait) — a hook that only flips
-    // the flag would let the JVM kill a parquet write mid-commit
-    val hook = new Thread(() => { control.stop(); control.awaitExit(60000L); () })
-    if (installShutdownHook) Runtime.getRuntime.addShutdownHook(hook)
-    val rr = new Fetch.RoundRobin(feeds)
-    val results = scala.collection.mutable.ArrayBuffer.empty[TickResult]
-    try {
+    // runGuarded: the shutdown hook requests stop, then HOLDS the JVM
+    // open until in-flight work drains — a hook that only flips the flag
+    // would let the JVM kill a parquet write mid-commit
+    control.runGuarded(installShutdownHook) {
+      val rr = new Fetch.RoundRobin(feeds)
+      val results = scala.collection.mutable.ArrayBuffer.empty[TickResult]
       var tick = 0L
       var stopped = control.isStopped
       while (tick < maxTicks && !stopped) {
@@ -61,11 +59,6 @@ object IngestDaemon {
         stopped = if (tick < maxTicks) control.awaitOrStop(intervalMillis) else control.isStopped
       }
       results.toSeq
-    } finally {
-      control.markExited()
-      if (installShutdownHook)
-        try Runtime.getRuntime.removeShutdownHook(hook) // don't pile up hooks
-        catch { case _: IllegalStateException => () }   // already shutting down
     }
   }
 
@@ -81,7 +74,11 @@ object IngestDaemon {
     val freshNames = downloadedHist
       .filterNew(links.map(_._2).toDF("candidate"), "candidate")
       .as[String].collect().toSet
+    // one URL per filename: two links resolving to the same basename
+    // (mirror paths, relative vs absolute) would otherwise race on the
+    // same .tmp file in the concurrent download pool
     val fresh = links.filter(l => freshNames.contains(l._2))
+      .groupBy(_._2).map(_._2.head).toSeq.sortBy(_._2)
 
     // 4 concurrent downloaders, like the reference's worker pool
     // (main.rs:110-132); a failed download is logged and skipped — its
