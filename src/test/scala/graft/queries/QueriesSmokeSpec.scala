@@ -34,6 +34,26 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("plan quality lock-in: filters push to the scan, projections prune columns") {
+    // representative scans — a regression that stops pushdown/pruning
+    // (e.g. a stray non-deterministic expression before the filter) is a
+    // silent 100 TB scan-cost multiplier, so lock the plan shape in
+    val p04 = Registry.queries("p04_filter_eq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p04.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,"),
+      s"p04 filter did not reach the parquet scan:\n$p04")
+    val p01 = Registry.queries("p01_select_alias")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // narrow projection must not read the table's full schema
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p01).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.count(_ == ',') <= 3,
+      s"p01 scan reads more than the projected columns: $read\n$p01")
+    // broadcast, not shuffle, for the small dim side of j01
+    val j01 = Registry.queries("j01_left_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(j01.contains("BroadcastHashJoin"), s"j01 small-dim join is not broadcast:\n$j01")
+  }
+
   test("driver contract: entry returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
