@@ -205,6 +205,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * verified pairs into duplicate GROUPS (keep one doc per component).
+    * Deterministic min-label propagation: every node starts as its own
+    * component and repeatedly takes the min label in its neighborhood;
+    * converges in O(graph diameter) rounds. Each round is one equi-join +
+    * map-side-combined min aggregation — the standard formulation that
+    * scales to billions of edges (dup components are short chains, so
+    * diameter, and thus round count, stays small).
+    * Returns (id, component) for every id appearing in `pairs`, where
+    * component = min id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous generation
+      converged = labels
+        .join(next.select(col("id"), col("comp").as("comp2")), "id")
+        .filter(col("comp") =!= col("comp2"))
+        .limit(1).count() == 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** `bits`-wide SimHash of word tokens: per bit, sum +1/-1 weighted by
     * token hash bit, sign → bit. Computed with built-in bit ops over an
     * exploded token stream (one shuffle on doc id). `tokenHash` defaults

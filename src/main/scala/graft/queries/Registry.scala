@@ -1126,6 +1126,48 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // pairs → duplicate GROUPS: min-label connected components over the
+    // verified ngram-jaccard pairs; the oracle computes the same
+    // components via recursive-CTE reachability on the replicated pairs
+    Q("dd_dup_groups",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+            shingleLen = 3, minJaccard = 0.5))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
+                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
+                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                            GROUP BY 1, 2 HAVING count(*) >= 3),
+                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                             FROM cand c
+                             JOIN posts a ON a.doc_id = c.id_a
+                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
+                             GROUP BY 1, 2),
+                   pairsq AS (SELECT i.id_a, i.id_b
+                              FROM inter i
+                              JOIN sizes sa ON sa.doc_id = i.id_a
+                              JOIN sizes sb ON sb.doc_id = i.id_b
+                              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE),
+                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+                             UNION SELECT id_b, id_a FROM pairsq),
+                   reach(src, dst) AS (
+                     SELECT src, dst FROM edges
+                     UNION
+                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+              SELECT src AS doc_id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src ORDER BY doc_id""")),
+
     Q("dd_embed_neardup",
       // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
       // the candidate-verify path non-trivially exercised

@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
   }
 
+  test("connectedComponents: chains collapse to min label; disjoint groups stay apart") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash candidates join is bucketed, not cartesian") {
     val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
       .queryExecution.executedPlan.toString
