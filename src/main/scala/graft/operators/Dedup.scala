@@ -205,6 +205,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic hash split — assign every row to one of `buckets`
+    * pseudo-random buckets from its id alone (no RNG, no global sort):
+    * the train/val/test sharding every corpus pipeline needs. Stable
+    * across runs, engines (portable hash) and cluster sizes; a pure
+    * per-row expression, so it runs at scan speed on 100 TB. */
+  def hashBucket(idCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(portableHash60(idCol.cast("string")), lit(buckets))
+
+  /** Decontamination: drop/flag training docs that share ≥ `minShared`
+    * rare shingles with ANY document of a (small) benchmark/eval set —
+    * the n-gram-overlap contamination check LLM corpus pipelines run
+    * before training. Same inverted-index shape as the dedup family:
+    * candidates come from an equi-join on shingles (the eval side is
+    * tiny → broadcast), never a cross join. Returns (id, n_shared,
+    * contaminated) for every training doc. */
+  def contaminationFlags(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, maxDocFreq: Int = 50, minShared: Int = 3): DataFrame = {
+    val trainPosts = shinglePosts(train, idCol, textCol, shingleLen)
+    val rare = trainPosts.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") <= maxDocFreq).select("s")
+    val evalShingles = shinglePosts(eval_, idCol, textCol, shingleLen)
+      .select(col("s")).distinct()
+    val shared = trainPosts
+      .join(rare, Seq("s"))
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * verified pairs into duplicate GROUPS (keep one doc per component).
     * Deterministic min-label propagation: every node starts as its own

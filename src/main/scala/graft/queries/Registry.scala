@@ -1126,6 +1126,50 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // deterministic hash split: stable train/val/test sharding from the
+    // id alone (portable hash → replicated in the oracle)
+    Q("ta_split",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), Dedup.hashBucket(col("doc_id"), 10).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, b AS bucket,
+                     CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // benchmark decontamination: flag training docs sharing >= 3 rare
+    // shingles with any doc of the (stand-in) eval set doc_id < 5
+    Q("dd_decontaminate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.contaminationFlags(docs, docs.filter(col("doc_id") < 5), "doc_id", "text",
+            shingleLen = 3, maxDocFreq = 50, minShared = 3)
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
+                   evs AS (SELECT DISTINCT sg FROM posts WHERE doc_id < 5),
+                   shared AS (SELECT p.doc_id AS id, count(*) AS n_shared
+                              FROM posts p
+                              JOIN rare ON p.sg = rare.sg
+                              JOIN evs ON p.sg = evs.sg
+                              GROUP BY 1)
+              SELECT d.doc_id AS id, coalesce(s.n_shared, 0) AS n_shared,
+                     coalesce(s.n_shared, 0) >= 3 AS contaminated
+              FROM d LEFT JOIN shared s ON s.id = d.doc_id
+              ORDER BY id""")),
+
     // pairs → duplicate GROUPS: min-label connected components over the
     // verified ngram-jaccard pairs; the oracle computes the same
     // components via recursive-CTE reachability on the replicated pairs

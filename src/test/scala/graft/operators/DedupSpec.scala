@@ -64,6 +64,36 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("contaminationFlags: eval-overlapping docs flagged, clean docs pass, no cartesian") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words about gardening and flowers blooming"),
+      (3L, "the quick brown fox jumps over something else entirely today")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog again")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(train, eval_, "doc_id", "text", minShared = 3)
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val byId = flags.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(byId(1L) === true)  // shares the fox sentence shingles
+    assert(byId(2L) === false) // disjoint vocabulary
+    assert(byId(3L) === true)  // shares "the quick brown", "quick brown fox", ...
+  }
+
+  test("hashBucket: deterministic, stable, covers all buckets") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    val b1 = ids.select(col("id"), Dedup.hashBucket(col("id"), 10).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = ids.select(col("id"), Dedup.hashBucket(col("id"), 10).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2) // run-to-run stable
+    assert(b1.values.toSet === (0L to 9L).toSet) // all buckets hit
+    val counts = b1.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.values.forall(n => n > 50 && n < 200), s"skewed buckets: $counts")
+  }
+
   test("minhash candidates join is bucketed, not cartesian") {
     val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
       .queryExecution.executedPlan.toString
