@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Sequence packing assignments: place every doc at a deterministic
+    * token offset inside a (shard, pack) so a training job can
+    * concatenate-and-chunk without a global sort. Shard and order come
+    * from the portable id hash (stable across runs/engines/cluster
+    * sizes); offset is an exclusive running token sum per shard, pack_id
+    * = offset / tokenBudget. One window per shard — shards bound the
+    * partition size, so this scales by raising `shards`. */
+  def packAssignments(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      tokenBudget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("h", Dedup.portableHash60(col(idCol).cast("string")))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("offset_tokens") / tokenBudget).cast("long"))
+      .drop("h")
+  }
+
   /** Whitespace token count (0 for blank text). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -1126,6 +1126,25 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // sequence packing: deterministic (shard, pack, offset) per doc from
+    // exact integer token sums — concatenate-and-chunk without global sort
+    Q("ta_pack",
+      (s, d) => graft.operators.TextAnalysis.packAssignments(
+          T(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS h
+                   FROM documents)
+              SELECT doc_id, n_tokens, shard, offset_tokens,
+                     CAST(offset_tokens // 512 AS BIGINT) AS pack_id
+              FROM (SELECT doc_id, n_tokens, h % 4 AS shard,
+                      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+                    FROM t)
+              ORDER BY doc_id""")),
+
     // deterministic hash split: stable train/val/test sharding from the
     // id alone (portable hash → replicated in the oracle)
     Q("ta_split",

@@ -94,6 +94,28 @@ class DedupSpec extends SparkSpec {
     assert(counts.values.forall(n => n > 50 && n < 200), s"skewed buckets: $counts")
   }
 
+  test("packAssignments: offsets are contiguous exclusive sums; packs respect the budget grid") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, ("tok " * (i % 30 + 1).toInt).trim)).toDF("doc_id", "text")
+    val packs = TextAnalysis.packAssignments(docs, "doc_id", "text", tokenBudget = 50, shards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packs.length === 200)
+    // per shard: ordering by (hash, id) gives offsets that telescope exactly
+    packs.groupBy(_._3).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      assert(inOrder.head._4 === 0L) // first doc starts at offset 0
+      inOrder.sliding(2).foreach {
+        case Array((_, n1, _, o1, _), (_, _, _, o2, _)) => assert(o2 === o1 + n1)
+        case _ => ()
+      }
+      inOrder.foreach { case (_, _, _, off, pack) => assert(pack === off / 50) }
+    }
+    // deterministic across runs
+    val again = TextAnalysis.packAssignments(docs, "doc_id", "text", 50, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(packs.map(p => p._1 -> p._5).toMap === again)
+  }
+
   test("minhash candidates join is bucketed, not cartesian") {
     val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
       .queryExecution.executedPlan.toString
