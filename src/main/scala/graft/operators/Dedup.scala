@@ -253,26 +253,36 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each generation is eagerly localCheckpoint-ed: the pointer-jump
+    // SELF-join would otherwise double the logical plan per iteration
+    // (exponential lineage → driver OOM during analysis) — persist alone
+    // reuses data but does NOT truncate the plan
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // neighbor-min step, carrying the previous label for change detection
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous generation
-      converged = labels
-        .join(next.select(col("id"), col("comp").as("comp2")), "id")
-        .filter(col("comp") =!= col("comp2"))
-        .limit(1).count() == 0
-      labels.unpersist()
-      labels = next
+      stepped.count() // materialize: it feeds both sides of the self-join
+      // pointer jump (path halving): comp := comp(comp) — long duplicate
+      // chains collapse in O(log diameter) rounds instead of O(diameter)
+      val next = stepped
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("comp") === col("jid"), "left")
+        .select(col("id"), (col("comp") =!= col("prev")).as("changed"),
+          coalesce(col("jcomp"), col("comp")).as("comp"))
+        .localCheckpoint(true) // eager: materializes AND truncates lineage
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      stepped.unpersist()
+      labels = next.select("id", "comp")
       i += 1
     }
     labels
