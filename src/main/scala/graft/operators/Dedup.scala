@@ -148,6 +148,14 @@ object Dedup {
     verifyJaccard(cands, posts, minJaccard)
   }
 
+  /** Shingles whose posting list is ≤ `maxDocFreq` docs — the
+    * stop-shingle / prefix-filter prune shared by the ngram dedup family
+    * and the decontamination check. */
+  private def rareShingles(posts: DataFrame, maxDocFreq: Int): DataFrame =
+    posts.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") <= maxDocFreq)
+      .select("s")
+
   /** N-gram Jaccard ≥ threshold via an inverted shingle index.
     *
     * Candidate generation prunes posting lists longer than `maxDocFreq`
@@ -161,10 +169,7 @@ object Dedup {
       shingleLen: Int = 3, minJaccard: Double = 0.5,
       maxDocFreq: Int = 50, minShared: Int = 3): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val rare = posts.groupBy("s").agg(count(lit(1)).as("df_s"))
-      .filter(col("df_s") <= maxDocFreq)
-      .select("s")
-    val pruned = posts.join(rare, Seq("s"))
+    val pruned = posts.join(rareShingles(posts, maxDocFreq), Seq("s"))
     val cands = pruned.withColumnRenamed("id", "id_a")
       .join(pruned.withColumnRenamed("id", "id_b"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -224,12 +229,10 @@ object Dedup {
       idCol: String, textCol: String,
       shingleLen: Int = 3, maxDocFreq: Int = 50, minShared: Int = 3): DataFrame = {
     val trainPosts = shinglePosts(train, idCol, textCol, shingleLen)
-    val rare = trainPosts.groupBy("s").agg(count(lit(1)).as("df_s"))
-      .filter(col("df_s") <= maxDocFreq).select("s")
     val evalShingles = shinglePosts(eval_, idCol, textCol, shingleLen)
       .select(col("s")).distinct()
     val shared = trainPosts
-      .join(rare, Seq("s"))
+      .join(rareShingles(trainPosts, maxDocFreq), Seq("s"))
       .join(broadcast(evalShingles), Seq("s"))
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
     train.select(col(idCol).as("id"))
@@ -285,6 +288,10 @@ object Dedup {
       labels = next.select("id", "comp")
       i += 1
     }
+    // the result is checkpoint-materialized and no longer references the
+    // edge cache, so this function CAN release it (unlike the lazy
+    // operators above, where callers own cleanup)
+    edges.unpersist()
     labels
   }
 

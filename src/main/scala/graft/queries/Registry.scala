@@ -1150,11 +1150,16 @@ object Registry {
     Q("ta_split",
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), Dedup.hashBucket(col("doc_id"), 10).as("bucket"))
+        // null ids hash to a null bucket → explicit null split (a silent
+        // route into 'test' would leak unidentified rows next to eval)
         .withColumn("split",
-          when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+          when(col("bucket").isNull, lit(null))
+            .when(col("bucket") < 8, "train").when(col("bucket") === 8, "val")
+            .otherwise("test"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, b AS bucket,
-                     CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+                     CASE WHEN b IS NULL THEN NULL
+                          WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
               FROM (SELECT doc_id,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
                     FROM documents)

@@ -25,7 +25,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // returned plan is a LocalTableScan, so the assert would be vacuous
     // while re-paying the side effects.
     val allowed = Set("j04_cross_join", "w06_spine_densify",
-      "nem_split_roundtrip", "nem_compact_roundtrip", "nem_compression_study")
+      "nem_split_roundtrip", "nem_compact_roundtrip", "nem_compression_study",
+      // iterative CC runs eagerly and returns a checkpoint scan — the
+      // plan assert would be vacuous while re-paying the whole loop
+      "dd_dup_groups")
     Registry.all.foreach { q =>
       if (!allowed(q.name)) {
         val plan = q.fn(spark, sf).queryExecution.executedPlan.toString

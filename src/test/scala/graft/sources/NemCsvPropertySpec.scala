@@ -43,11 +43,14 @@ class NemCsvPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("cleanStr is idempotent and never lengthens") {
+  test("cleanStr contracts, and is idempotent once no outer quote pair remains") {
     forAll(fieldGen) { s =>
       val once = NemCsv.cleanStr(s)
-      assert(NemCsv.cleanStr(once) === once || once.startsWith("\"")) // re-clean of a quote-stripped inner quote may strip again
       assert(once.length <= s.length)
+      // the contract is ONE outer quote pair stripped per call (after
+      // trim); only a result still wrapped in quotes may strip further
+      val stillQuoted = once.length >= 2 && once.startsWith("\"") && once.endsWith("\"")
+      if (!stillQuoted) assert(NemCsv.cleanStr(once) === once)
     }
   }
 
