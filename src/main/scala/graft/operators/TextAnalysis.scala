@@ -30,6 +30,32 @@ object TextAnalysis {
       .drop("h")
   }
 
+  /** Repetition profile per document — the Gopher-style "fraction of the
+    * text covered by the most frequent n-gram" quality filter: boilerplate
+    * and spam score high, prose scores low. Returns
+    * (id, n_grams, top_gram_count, top_gram_frac) computed from exact
+    * integer counts over a postings stream (posexplode + lead — same
+    * codegen-friendly shape as the dedup shingling; no interpreted
+    * lambdas). Docs shorter than `n` words count their single whole-text
+    * shingle (frac 1.0). */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
+      posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
+    val grams = words
+      .withColumn("last_w", lead(col("w"), n - 1).over(w))
+      .withColumn("g", concat_ws(" ", parts: _*))
+      .filter(col("last_w").isNotNull || col("pos") === 0)
+      .select(col("id"), col("g"))
+    grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_count"))
+      .select(col("id"), col("n_grams"), col("top_gram_count"),
+        (col("top_gram_count").cast("double") / col("n_grams").cast("double")).as("top_gram_frac"))
+  }
+
   /** Whitespace token count (0 for blank text). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -1126,6 +1126,28 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // Gopher-style repetition filter: fraction of the text covered by the
+    // most frequent 2-gram — exact integer counts, bitwise-identical
+    // per-row division on both engines
+    Q("ta_repetition",
+      (s, d) => graft.operators.TextAnalysis.repetitionProfile(
+          T(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   g AS (SELECT doc_id,
+                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
+                         FROM w),
+                   cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+                   agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                             CAST(max(c) AS BIGINT) AS top_gram_count
+                           FROM cnt GROUP BY 1)
+              SELECT doc_id AS id, n_grams, top_gram_count,
+                     CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac
+              FROM agg ORDER BY id""")),
+
     // sequence packing: deterministic (shard, pack, offset) per doc from
     // exact integer token sums — concatenate-and-chunk without global sort
     Q("ta_pack",

@@ -116,6 +116,22 @@ class DedupSpec extends SparkSpec {
     assert(packs.map(p => p._1 -> p._5).toMap === again)
   }
 
+  test("repetitionProfile: boilerplate scores high, prose low, short doc is frac 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),     // one dominant 2-gram
+      (2L, "the quick brown fox jumps over a lazy sleeping dog"), // all distinct
+      (3L, "hi")                                            // < n words
+    ).toDF("doc_id", "text")
+    val prof = TextAnalysis.repetitionProfile(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(prof(1L)._1 === 9L)            // 10 words → 9 bigrams
+    assert(prof(1L)._2 === 5L)            // "buy now" ×5
+    assert(prof(1L)._3 > 0.5)
+    assert(prof(2L)._2 === 1L && prof(2L)._3 < 0.2) // no repetition
+    assert(prof(3L) === ((1L, 1L, 1.0)))  // whole-text gram
+  }
+
   test("minhash candidates join is bucketed, not cartesian") {
     val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
       .queryExecution.executedPlan.toString
