@@ -56,6 +56,19 @@ object TextAnalysis {
         (col("top_gram_count").cast("double") / col("n_grams").cast("double")).as("top_gram_frac"))
   }
 
+  /** PII scrubbing — redact emails and URLs with typed placeholders and
+    * report match counts (the audit column a redaction pipeline keeps).
+    * Patterns avoid lookarounds/backrefs so the same regex runs on
+    * RE2-based engines (the oracle) and Java's engine identically. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"), UrlPattern, "[URL]")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
+
   /** Whitespace token count (0 for blank text). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

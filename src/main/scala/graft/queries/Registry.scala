@@ -1126,6 +1126,23 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // PII scrubbing: email/URL redaction with audit counts (RE2-safe
+    // patterns — identical semantics on both engines)
+    Q("ta_scrub_pii",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.emailCount(col("text")).as("n_emails"),
+          graft.operators.TextAnalysis.urlCount(col("text")).as("n_urls"),
+          md5(graft.operators.TextAnalysis.scrubPii(col("text")).cast("binary")).as("scrubbed_digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
+                     md5(regexp_replace(
+                           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                           'https?://[^ \t\n\r]+', '[URL]', 'g')) AS scrubbed_digest
+              FROM documents ORDER BY doc_id""")),
+
     // Gopher-style repetition filter: fraction of the text covered by the
     // most frequent 2-gram — exact integer counts, bitwise-identical
     // per-row division on both engines

@@ -132,6 +132,22 @@ class DedupSpec extends SparkSpec {
     assert(prof(3L) === ((1L, 1L, 1.0)))  // whole-text gram
   }
 
+  test("scrubPii: planted emails/urls redacted and counted; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or visit https://ex.com/a?b=1 today"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("e"),
+        TextAnalysis.urlCount(col("text")).as("u"),
+        TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 1 && out(1L)._2 === 1)
+    assert(out(1L)._3 === "contact [EMAIL] or visit [URL] today")
+    assert(out(2L) === ((0, 0, "no pii here at all")))
+  }
+
   test("minhash candidates join is bucketed, not cartesian") {
     val plan = Dedup.minhashCandidates(docs(), "doc_id", "text")
       .queryExecution.executedPlan.toString
