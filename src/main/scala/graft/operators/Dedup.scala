@@ -253,8 +253,16 @@ object Dedup {
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = min id in the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (often expensive) verified-pair pipeline ONCE.
+    // r3 persisted the edge UNION instead, so populating the cache ran the
+    // entire upstream candidate join once per union branch — 2× the cost
+    // of the whole ngram pipeline (BENCH_r03: dd_dup_groups 42.7 s)
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    // undirected edge list: two narrow projections over the cached pairs
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // each generation is eagerly localCheckpoint-ed: the pointer-jump
     // SELF-join would otherwise double the logical plan per iteration
@@ -269,14 +277,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("src_comp")).as("nbr_comp"))
-      // neighbor-min step, carrying the previous label for change detection
+      // neighbor-min step; the checkpoint IS the materialization (it feeds
+      // both sides of the pointer-jump self-join) — no separate
+      // persist+count job as in r3
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      stepped.count() // materialize: it feeds both sides of the self-join
+        .localCheckpoint(true)
       // pointer jump (path halving): comp := comp(comp) — long duplicate
-      // chains collapse in O(log diameter) rounds instead of O(diameter)
+      // chains collapse in O(log diameter) rounds instead of O(diameter);
+      // `changed` rides along so convergence detection below is a plain
+      // scan of the checkpointed blocks, not a recompute
       val next = stepped
         .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"), "left")
@@ -284,14 +295,14 @@ object Dedup {
           coalesce(col("jcomp"), col("comp")).as("comp"))
         .localCheckpoint(true) // eager: materializes AND truncates lineage
       converged = next.filter(col("changed")).limit(1).count() == 0
-      stepped.unpersist()
       labels = next.select("id", "comp")
       i += 1
     }
     // the result is checkpoint-materialized and no longer references the
-    // edge cache, so this function CAN release it (unlike the lazy
+    // pair/edge caches, so this function CAN release them (unlike the lazy
     // operators above, where callers own cleanup)
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

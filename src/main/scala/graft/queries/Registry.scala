@@ -950,25 +950,30 @@ object Registry {
       (s, d) => {
         import s.implicits._
         // bounded deterministic sample: the codec RATIO is the result,
-        // writing the full table per codec is just benchmark tax. Levels
-        // mirror the reference's study (zstd 1/10/15 vs its brotli-5
-        // production pick, README.md:18-27; the brotli codec jar is not
-        // bundled with Spark — see BASELINE.md).
-        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(60000)
+        // writing the full table per codec is just benchmark tax (r3 paid
+        // 26 s for five serial 60 k-row writes). 10 k rows preserve the
+        // ratio; the sample is persisted so each write scans the cache,
+        // and the five writes run CONCURRENTLY — the zstd level rides the
+        // per-write options (newHadoopConfWithOptions copies them into
+        // that job's Hadoop conf), so there is no shared-conf race.
+        // Levels mirror the reference's study (zstd 1/10/15 vs its
+        // brotli-5 production pick, README.md:18-27; the brotli codec jar
+        // is not bundled with Spark — see BASELINE.md).
+        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(10000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        li.count()
         val out = java.nio.file.Files.createTempDirectory("graft_codec")
-        val hc = s.sparkContext.hadoopConfiguration
-        val LevelKey = "parquet.compression.codec.zstd.level"
-        val sizes = Seq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
-          .map { case (codec, lvl) =>
-            val label = if (lvl > 0) s"${codec}_l$lvl" else codec
-            val prev = hc.get(LevelKey)
-            if (lvl > 0) hc.set(LevelKey, lvl.toString)
-            try li.coalesce(1).write.option("compression", codec).parquet(s"$out/$label")
-            finally if (lvl > 0) { if (prev == null) hc.unset(LevelKey) else hc.set(LevelKey, prev) }
-            val bytes = new java.io.File(s"$out/$label").listFiles()
-              .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-            (label, bytes)
-          }
+        val variants = IndexedSeq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
+        val sizes = graft.Par.mapBounded(variants, 5) { case (codec, lvl) =>
+          val label = if (lvl > 0) s"${codec}_l$lvl" else codec
+          val w = li.coalesce(1).write.option("compression", codec)
+          (if (lvl > 0) w.option("parquet.compression.codec.zstd.level", lvl.toString) else w)
+            .parquet(s"$out/$label")
+          val bytes = new java.io.File(s"$out/$label").listFiles()
+            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+          Some((label, bytes))
+        }
+        li.unpersist()
         sizes.toDF("codec", "bytes").orderBy("codec")
       },
       None),
@@ -1040,8 +1045,12 @@ object Registry {
         val traj = graft.pipeline.Crunch.hypotheticalTrajectory(s, preds, "2025-06-07")
         val dev = graft.pipeline.Crunch.hypotheticalDeviations(traj, scada)
         graft.pipeline.Crunch.performance(dev, fm)
-          .select(col("ts"), col("duid"), round(col("deviation"), 6).as("deviation"),
-            round(col("p_lower"), 6).as("p_lower"), round(col("p_raise"), 6).as("p_raise"))
+          // raw doubles, NOT round(,6): per-row arithmetic is bitwise
+          // identical across engines, while DuckDB's round() on doubles is
+          // approximate near half-ulp (the Registry header rule) — r3's
+          // rounds were the one red oracle row in CORRECTNESS_r03
+          .select(col("ts"), col("duid"), col("deviation"),
+            col("p_lower"), col("p_raise"))
           .orderBy("ts", "duid")
       },
       // same fixture as VALUES literals; EWMA recurrence (state 0.0,
@@ -1087,9 +1096,9 @@ object Registry {
                            FROM traj),
                    perf AS (SELECT d.ts, d.duid, d.deviation, r.fm
                             FROM dev d LEFT JOIN r ON r.ts = d.ts AND r.region = 'NSW1')
-              SELECT ts, duid, round(deviation, 6) AS deviation,
-                     round((CASE WHEN fm < 0 THEN fm ELSE 0.0::DOUBLE END) * deviation, 6) AS p_lower,
-                     round((CASE WHEN fm > 0 THEN fm ELSE 0.0::DOUBLE END) * deviation, 6) AS p_raise
+              SELECT ts, duid, deviation,
+                     (CASE WHEN fm < 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_lower,
+                     (CASE WHEN fm > 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_raise
               FROM perf ORDER BY ts, duid""")),
 
     Q("dd_ngram_jaccard",
