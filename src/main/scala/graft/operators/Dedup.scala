@@ -91,28 +91,47 @@ object Dedup {
     signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes, xxhashFamily)
       .withColumnRenamed("id", idCol)
 
-  private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Bucket-size cap for LSH self-joins: buckets holding more than this
+    * many docs switch from all-pairs to a star on the bucket's min id.
+    * Connectivity is preserved — every member still pairs with (and is
+    * verified against) the representative, so near-dup flagging and
+    * connected-component grouping see the same clusters — but a
+    * degenerate band key (thousands of identical docs at corpus scale)
+    * produces O(n) candidates instead of a single-bucket O(n²) join. */
+  val DefaultMaxBucket: Int = 256
+
+  private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bkey"))
     }
+    // bucket size + representative ride the banding shuffle as window
+    // aggregates (WindowExec spills, so even a degenerate key is linear)
+    val w = Window.partitionBy("band", "bkey")
     val banded = sig
       .withColumn("b", explode(array(bandStructs: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
-    banded.withColumnRenamed("id", "id_a")
-      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bkey"))
+    val small = banded.filter(col("n") <= maxBucket)
+    val allPairs = small.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(small.select(col("band"), col("bkey"), col("id").as("id_b")), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val starPairs = banded.filter(col("n") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b")) // rep = min → id_a < id_b
+    allPairs.union(starPairs).distinct()
   }
 
   /** MinHash-LSH candidate pairs: docs sharing any signature band. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands)
+    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands, maxBucket)
   }
 
   /** Exact Jaccard for given candidate pairs, from the postings stream:
@@ -142,9 +161,10 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.7,
-      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame = {
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands)
+    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands, maxBucket)
     verifyJaccard(cands, posts, minJaccard)
   }
 
@@ -184,10 +204,12 @@ object Dedup {
     * for verified candidates), exact cosine ≥ `minCosine`. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double = 0.95,
-      numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val planes = Similarity.lshSignature(col(vecCol),
       Similarity.hyperplanes(numPlanes, dim, seed))
     val nBands = numPlanes / bandBits
+    val w = Window.partitionBy("band", "bkey")
     // signature evaluation is interpreted lambda work — spread it
     val banded = df.repartition(col(idCol)).select(col(idCol).as("id"), planes.as("sig"))
       .withColumn("b", explode(array((0 until nBands).map { b =>
@@ -195,11 +217,16 @@ object Dedup {
           concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
       }: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
       .persist(StorageLevel.MEMORY_AND_DISK) // signature is interpreted work; compute once
-    val cands = banded.withColumnRenamed("id", "id_a")
-      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "bkey"))
+    val small = banded.filter(col("n") <= maxBucket)
+    val cands = small.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(small.select(col("band"), col("bkey"), col("id").as("id_b")), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .union(banded.filter(col("n") > maxBucket && col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))) // rep = min → id_a < id_b
       .distinct()
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cands
@@ -333,7 +360,7 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
-      bits: Int = 64): DataFrame = {
+      bits: Int = 64, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = simhash(df, idCol, textCol, tokenHash, bits)
     val chunkBits = bits / 4
     val chunkMask = (1L << chunkBits) - 1
@@ -341,16 +368,26 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("ckey"))
     }
+    // bucket size + representative (with ITS signature, via min-struct)
+    // ride the chunking shuffle — see [[DefaultMaxBucket]]
+    val w = Window.partitionBy("chunk", "ckey")
     val banded = sig.withColumn("c", explode(array(chunks: _*)))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rep", min(struct(col("id"), col("simhash"))).over(w))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join:
       // without this the 64-column bit-sum aggregation executes once per branch
-    val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))
-    val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("ckey"))
-    a.join(b, Seq("chunk", "ckey"))
+    val small = banded.filter(col("n") <= maxBucket)
+    val a = small.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))
+    val b = small.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("ckey"))
+    val allPairs = a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val starPairs = banded.filter(col("n") > maxBucket && col("id") =!= col("rep.id"))
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"), // rep = min → id_a < id_b
+        bit_count(col("rep.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    allPairs.union(starPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

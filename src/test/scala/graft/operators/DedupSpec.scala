@@ -154,4 +154,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucket cap: 1k identical docs yield O(n) star pairs, grouping intact") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val big = (1L to 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    // every LSH bucket holds all 1000 docs (> DefaultMaxBucket = 256), so
+    // candidates collapse to a star on the representative: 999 pairs, not
+    // the 499,500 a degenerate-key all-pairs join would make
+    val mh = Dedup.minhashNearDupPairs(big, "doc_id", "text",
+      shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+    val mhPairs = mh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mhPairs.length === 999)
+    assert(mhPairs.forall(_._1 == 1L)) // all anchored on the min-id rep
+    // connectivity survives the cap: one component holding all 1000 docs
+    val comps = Dedup.connectedComponents(mh.select("id_a", "id_b"))
+      .select("comp").distinct().collect()
+    assert(comps.length === 1)
+    val sh = Dedup.simhashNearDupPairs(big, "doc_id", "text")
+    assert(sh.count() === 999L)
+    // sub-cap data is untouched: the 5-doc fixture still verifies all-pairs
+    val small = Dedup.minhashNearDupPairs(docs(), "doc_id", "text",
+      shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small.contains((1L, 2L)))
+  }
 }
