@@ -64,11 +64,24 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("cand_id"),
       transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = ivfTrain(c, "cand_id", "cand_vec", nlist, iters)
+    ivfSearch(c, probes, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** Lloyd-iteration k-means coarse quantizer training (the offline half
+    * of an IVF index). Deterministic: centroids initialize from the first
+    * `nlist` vectors by id, no RNG. The per-iteration collect is bounded
+    * (nlist × dim doubles), never the corpus. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Seq[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c =
+      if (corpus.columns.sameElements(Array(idCol, vecCol))) corpus
+      else corpus.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as(vecCol))
 
     // centroids live in a small broadcast table, NOT in the expression
     // tree: a least()-over-nlist-structs expression stops codegen'ing
@@ -78,30 +91,50 @@ object Similarity {
     def centDF(cents: Seq[Array[Double]]): DataFrame =
       cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toDF("cell", "centroid")
 
-    // nearest cell per row of `df` (deterministic tie-break on cell id)
-    def assign(df: DataFrame, id: String, vec: String, cents: Seq[Array[Double]]): DataFrame =
-      df.crossJoin(broadcast(centDF(cents)))
-        .withColumn("d", -cosine(col(vec), col("centroid")))
-        .groupBy(col(id))
-        .agg(first(col(vec)).as(vec),
-          min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
-
     // init: first nlist vectors by id (deterministic, no RNG)
-    var centroids: Seq[Array[Double]] = c.orderBy("cand_id").limit(nlist)
-      .select("cand_vec").collect().map(_.getSeq[Double](0).toArray).toSeq
-    // Lloyd iterations: assign, then element-wise mean per cell
+    var centroids: Seq[Array[Double]] = c.orderBy(idCol).limit(nlist)
+      .select(vecCol).collect().map(_.getSeq[Double](0).toArray).toSeq
+    // Lloyd iterations: assign (deterministic cell tie-break), then
+    // element-wise mean per cell
     for (_ <- 0 until iters) {
-      val assigned = assign(c, "cand_id", "cand_vec", centroids)
+      val assigned = c.crossJoin(broadcast(centDF(centroids)))
+        .withColumn("d", -cosine(col(vecCol), col("centroid")))
+        .groupBy(col(idCol))
+        .agg(first(col(vecCol)).as(vecCol),
+          min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
       val means = assigned
-        .select(col("cell"), posexplode(col("cand_vec")).as(Seq("pos", "x")))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
 
-    val cells = assign(c, "cand_id", "cand_vec", centroids)
+  /** IVF search with a GIVEN (pre-trained) coarse quantizer — the shape a
+    * production index runs: the quantizer is trained once offline and
+    * shipped as constants, queries only assign + probe + re-rank. Kept
+    * separate from [[ivfTopK]] (which trains in-session) so the trained
+    * path is oracle-checkable with centroid literals on both engines. */
+  def ivfSearch(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c =
+      if (corpus.columns.sameElements(Array("cand_id", "cand_vec"))) corpus
+      else corpus.select(col(idCol).as("cand_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
+    def centDF(cents: Seq[Array[Double]]): DataFrame =
+      cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toDF("cell", "centroid")
+    val cells = c.crossJoin(broadcast(centDF(centroids)))
+      .withColumn("d", -cosine(col("cand_vec"), col("centroid")))
+      .groupBy(col("cand_id"))
+      .agg(first(col("cand_vec")).as("cand_vec"),
+        min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
     // probes explode to their nprobe nearest cells (small side: a window
     // top-nprobe over the same broadcast fan-out)
     import org.apache.spark.sql.expressions.Window

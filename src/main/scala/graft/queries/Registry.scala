@@ -666,6 +666,13 @@ object Registry {
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
       .mkString(", ")
 
+  /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
+    * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */
+  private lazy val centroidLiterals: String =
+    graft.operators.IvfQuantizer.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .mkString(", ")
+
   val llm: Seq[Q] = Seq(
 
     Q("dd_exact_groups",
@@ -720,16 +727,34 @@ object Registry {
               FROM documents ORDER BY doc_id""")),
 
     Q("ta_rolling_fingerprint",
-      // native codegen'd Catalyst expression (RollingHash with doGenCode);
-      // no DuckDB equivalent for wrapping 64-bit arithmetic → rows-only,
-      // correctness asserted against a Scala reference in
-      // GraftFunctionsSpec
+      // native codegen'd Catalyst expression (RollingHash with doGenCode).
+      // Oracle: DuckDB HUGEINT (128-bit) emulates the wrapping mod-2^64
+      // recurrence exactly — accumulator stays in [0, 2^64) so the
+      // h*1000003+b intermediate (< 2^84) never overflows 128 bits; the
+      // final value converts to Java's signed long by subtracting 2^64
+      // above 2^63. Bytes come from hex(encode(text)) two chars at a
+      // time (UTF-8, same bytes the expression hashes). NULL text guards
+      // to NULL (list_prepend would otherwise turn it into [0] → 0).
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         T(s, d, "documents").createOrReplaceTempView("fp_docs_v")
         s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM fp_docs_v ORDER BY doc_id")
       },
-      None),
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+                   h AS (SELECT doc_id,
+                           CASE WHEN hx IS NULL THEN NULL ELSE
+                             list_reduce(
+                               list_prepend(0::HUGEINT,
+                                 [('0x' || substr(hx, 2*i-1, 2))::BIGINT::HUGEINT
+                                  for i in range(1, length(hx)//2 + 1)]),
+                               (acc, x) -> (acc * 1000003::HUGEINT + x)
+                                             % 18446744073709551616::HUGEINT)
+                           END AS hv
+                         FROM b)
+              SELECT doc_id,
+                     CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                               THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS fp
+              FROM h ORDER BY doc_id""")),
 
     Q("ta_langid",
       (s, d) => T(s, d, "documents")
@@ -822,11 +847,52 @@ object Registry {
       },
       None),
 
+    // IVF search with the PRE-TRAINED quantizer (the production shape:
+    // train offline once, ship centroids as constants, queries only
+    // assign + probe + re-rank). Both engines see the identical centroid
+    // literals, so the Lloyd-trained search path is fully oracle-checked;
+    // only in-session training (ann_topk_ivf above) stays rows-only.
+    Q("ann_topk_ivf_trained",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, centroids = graft.operators.IvfQuantizer.centroids, nprobe = 4)
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH cents(cell, cv) AS (VALUES $centroidLiterals),
+                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id AS cand_id, embedding AS cand_vec, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1),
+                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
+                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                    FROM scored WHERE vec_id < 10)
+                              WHERE rn <= 4),
+                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, c.cand_vec
+                            FROM pcells p JOIN cells c ON c.cell = p.cell
+                            WHERE c.cand_id <> p.probe_id),
+                   sims AS (SELECT probe_id, cand_id,
+                              list_sum(list_transform(list_zip(probe_vec, cand_vec),
+                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                            FROM cand),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM sims)
+              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     // IVF search path with iters=0: centroids are then exactly the first
     // nlist vectors by id, which DuckDB can derive too — oracle-checks
     // cell assignment (argmin cosine, cell tie-break), nprobe expansion
-    // and the exact-cosine re-rank. The Lloyd-trained variant above stays
-    // rows-only (runtime k-means state is not SQL-expressible).
+    // and the exact-cosine re-rank.
     Q("ann_topk_ivf0",
       (s, d) => {
         val emb = T(s, d, "embeddings")
