@@ -92,13 +92,49 @@ object Dedup {
       .withColumnRenamed("id", idCol)
 
   /** Bucket-size cap for LSH self-joins: buckets holding more than this
-    * many docs switch from all-pairs to a star on the bucket's min id.
-    * Connectivity is preserved — every member still pairs with (and is
-    * verified against) the representative, so near-dup flagging and
-    * connected-component grouping see the same clusters — but a
-    * degenerate band key (thousands of identical docs at corpus scale)
-    * produces O(n) candidates instead of a single-bucket O(n²) join. */
+    * many docs switch from all-pairs to a star on the bucket's min id, so
+    * a degenerate band key (thousands of identical docs at corpus scale)
+    * produces O(n) candidates instead of a single-bucket O(n²) join.
+    *
+    * This is an APPROXIMATION above the cap: member↔member pairs inside
+    * an oversized bucket are only recovered through the representative,
+    * which is exact when the bucket is dominated by one duplicate cluster
+    * (the overwhelmingly common degenerate case — identical boilerplate)
+    * but can miss pairs whose members are near-dups of each other without
+    * being near-dups of the min-id doc. If oversized buckets are NORMAL
+    * for a workload (small band keyspace, e.g. few-bit embedding bands on
+    * a huge corpus), the right fix is more band bits / planes, not a
+    * bigger cap. Pass `maxBucket = Int.MaxValue` for exact all-pairs
+    * semantics (what the oracle-checked Registry queries pin). */
   val DefaultMaxBucket: Int = 256
+
+  /** All-pairs within ≤`maxBucket` buckets of `keys`, rep-star within
+    * oversized ones (see [[DefaultMaxBucket]]). `banded0` must have one
+    * row per (`id`, keys…, payload…); returns (id_a, id_b) plus
+    * `<payload>_a`/`<payload>_b` for each payload column, deduplicated
+    * across buckets. Bucket size and representative ride the banding
+    * shuffle as window aggregates (WindowExec spills, so even a
+    * degenerate key is linear); the input is persisted here because it
+    * feeds both sides of the self-join. */
+  private def cappedBucketPairs(banded0: DataFrame, keys: Seq[String],
+      payload: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val idPay = "id" +: payload
+    val banded = banded0
+      .withColumn("n", count(lit(1)).over(w))
+      // min-struct: the representative's id AND payload in one aggregate
+      .withColumn("rep", min(struct(idPay.map(col): _*)).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def side(sfx: String) = banded.filter(col("n") <= maxBucket)
+      .select(keys.map(col) ++ idPay.map(c => col(c).as(s"${c}_$sfx")): _*)
+    val allPairs = side("a").join(side("b"), keys)
+      .filter(col("id_a") < col("id_b"))
+    val starPairs = banded.filter(col("n") > maxBucket && col("id") =!= col("rep.id"))
+      .select(col("rep.id").as("id_a") +: col("id").as("id_b") +:
+        payload.flatMap(p => Seq(col(s"rep.$p").as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
+    val outCols = ("id_a" +: "id_b" +: payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))).map(col)
+    allPairs.select(outCols: _*).union(starPairs.select(outCols: _*)).distinct()
+  }
 
   private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -107,23 +143,10 @@ object Dedup {
       struct(lit(b).as("band"),
         hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*).as("bkey"))
     }
-    // bucket size + representative ride the banding shuffle as window
-    // aggregates (WindowExec spills, so even a degenerate key is linear)
-    val w = Window.partitionBy("band", "bkey")
     val banded = sig
       .withColumn("b", explode(array(bandStructs: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rep", min(col("id")).over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
-    val small = banded.filter(col("n") <= maxBucket)
-    val allPairs = small.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(small.select(col("band"), col("bkey"), col("id").as("id_b")), Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val starPairs = banded.filter(col("n") > maxBucket && col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b")) // rep = min → id_a < id_b
-    allPairs.union(starPairs).distinct()
+    cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket)
   }
 
   /** MinHash-LSH candidate pairs: docs sharing any signature band. */
@@ -209,25 +232,18 @@ object Dedup {
     val planes = Similarity.lshSignature(col(vecCol),
       Similarity.hyperplanes(numPlanes, dim, seed))
     val nBands = numPlanes / bandBits
-    val w = Window.partitionBy("band", "bkey")
-    // signature evaluation is interpreted lambda work — spread it
+    // signature evaluation is interpreted lambda work — spread it; the
+    // banding input persists inside cappedBucketPairs (compute sig once).
+    // NOTE: bkey here has only 2^bandBits possible values per band, so at
+    // corpus scale oversized buckets are NORMAL, not skew — raise
+    // numPlanes/bandBits with corpus size (see DefaultMaxBucket).
     val banded = df.repartition(col(idCol)).select(col(idCol).as("id"), planes.as("sig"))
       .withColumn("b", explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
       }: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rep", min(col("id")).over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK) // signature is interpreted work; compute once
-    val small = banded.filter(col("n") <= maxBucket)
-    val cands = small.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(small.select(col("band"), col("bkey"), col("id").as("id_b")), Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .union(banded.filter(col("n") > maxBucket && col("id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("id").as("id_b"))) // rep = min → id_a < id_b
-      .distinct()
+    val cands = cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
@@ -368,27 +384,13 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("ckey"))
     }
-    // bucket size + representative (with ITS signature, via min-struct)
-    // ride the chunking shuffle — see [[DefaultMaxBucket]]
-    val w = Window.partitionBy("chunk", "ckey")
+    // the banding input persists inside cappedBucketPairs — without that
+    // the 64-column bit-sum aggregation would execute once per join branch
     val banded = sig.withColumn("c", explode(array(chunks: _*)))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rep", min(struct(col("id"), col("simhash"))).over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join:
-      // without this the 64-column bit-sum aggregation executes once per branch
-    val small = banded.filter(col("n") <= maxBucket)
-    val a = small.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("ckey"))
-    val b = small.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("ckey"))
-    val allPairs = a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
+    cappedBucketPairs(banded, Seq("chunk", "ckey"), Seq("simhash"), maxBucket)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-    val starPairs = banded.filter(col("n") > maxBucket && col("id") =!= col("rep.id"))
-      .select(col("rep.id").as("id_a"), col("id").as("id_b"), // rep = min → id_a < id_b
-        bit_count(col("rep.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
-    allPairs.union(starPairs)
-      .distinct()
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
