@@ -17,12 +17,17 @@ import org.apache.spark.storage.StorageLevel
   *  - the postings stream is persisted once and every downstream branch
   *    (signature, inverted index, verification) reuses it.
   *
-  * Cache lifecycle: the persisted intermediates (postings, bands,
-  * candidates) back the RETURNED lazy DataFrame, so these operators cannot
-  * unpersist them eagerly. Callers own cleanup — materialize the result,
-  * then `spark.catalog.clearCache()` (what Verify/Bench do) or
-  * `df.unpersist()` the handles. In a long-lived session the blocks are
-  * MEMORY_AND_DISK and evict under LRU pressure, so leakage is bounded.
+  * Cache lifecycle: candidate-pair intermediates (bands, candidates) are
+  * small, so they are eagerly `localCheckpoint(true)`-ed — the blocks are
+  * lineage-truncated, their upstream caches are released immediately, and
+  * the checkpoint blocks themselves are freed by the ContextCleaner once
+  * the DataFrame is garbage-collected (no session-lifetime leak). The one
+  * exception is the shingle POSTINGS stream, which is corpus-sized: it
+  * stays lazily persisted because it backs the returned DataFrame, and
+  * materializing it eagerly just to unpersist would double the work.
+  * Callers own that cleanup — materialize the result, then
+  * `spark.catalog.clearCache()` (what Verify/Bench do); in a long-lived
+  * session the blocks are MEMORY_AND_DISK and evict under LRU pressure.
   */
 object Dedup {
 
@@ -104,8 +109,10 @@ object Dedup {
     * being near-dups of the min-id doc. If oversized buckets are NORMAL
     * for a workload (small band keyspace, e.g. few-bit embedding bands on
     * a huge corpus), the right fix is more band bits / planes, not a
-    * bigger cap. Pass `maxBucket = Int.MaxValue` for exact all-pairs
-    * semantics (what the oracle-checked Registry queries pin). */
+    * bigger cap. The oracle-checked Registry queries pass
+    * `maxBucket = Int.MaxValue` EXPLICITLY so their exact all-pairs
+    * semantics never silently depend on fixture bucket sizes staying
+    * under this default. */
   val DefaultMaxBucket: Int = 256
 
   /** All-pairs within ≤`maxBucket` buckets of `keys`, rep-star within
@@ -115,7 +122,9 @@ object Dedup {
     * across buckets. Bucket size and representative ride the banding
     * shuffle as window aggregates (WindowExec spills, so even a
     * degenerate key is linear); the input is persisted here because it
-    * feeds both sides of the self-join. */
+    * feeds both sides of the self-join plus the star branch, and released
+    * again before returning: the pair list (small — bounded by banding) is
+    * eagerly checkpointed so nothing downstream references the cache. */
   private def cappedBucketPairs(banded0: DataFrame, keys: Seq[String],
       payload: Seq[String], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
@@ -133,7 +142,13 @@ object Dedup {
       .select(col("rep.id").as("id_a") +: col("id").as("id_b") +:
         payload.flatMap(p => Seq(col(s"rep.$p").as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
     val outCols = ("id_a" +: "id_b" +: payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))).map(col)
-    allPairs.select(outCols: _*).union(starPairs.select(outCols: _*)).distinct()
+    // eager: materializes the pairs (lineage-truncated, ContextCleaner-
+    // managed blocks) so the banding cache can be released right here
+    // instead of leaking for the session lifetime
+    val pairs = allPairs.select(outCols: _*).union(starPairs.select(outCols: _*))
+      .distinct().localCheckpoint(true)
+    banded.unpersist()
+    pairs
   }
 
   private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int,
@@ -162,8 +177,11 @@ object Dedup {
   private def verifyJaccard(candsIn: DataFrame, posts: DataFrame,
       minJaccard: Double): DataFrame = {
     // candidate generation feeds two branches (id set + final join);
-    // without persist the whole candidate join would run per branch
-    val cands = candsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    // without materialization the whole candidate join would run per
+    // branch. Eager checkpoint (not persist) so no cache handle leaks —
+    // a no-op-cost copy when the input is already checkpointed pairs
+    // (the LSH paths) and a small pair list otherwise
+    val cands = candsIn.localCheckpoint(true)
     val ids = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b"))).distinct()
     val sets = posts.join(ids, Seq("id"))
@@ -175,7 +193,11 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // raw double, NOT round(,6): intersection/union counts are exact
+      // integers, so the division is bitwise-identical across engines,
+      // while DuckDB's round() on doubles is approximate near half-ulp
+      // boundaries (the Registry header rule)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact n-gram Jaccard.
@@ -250,7 +272,9 @@ object Dedup {
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      // raw double (see verifyJaccard): VectorCosine's left-to-right
+      // accumulation mirrors the oracle's list_sum fold bit-for-bit
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Deterministic hash split — assign every row to one of `buckets`

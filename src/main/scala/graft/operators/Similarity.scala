@@ -26,6 +26,22 @@ object Similarity {
       PlanApi.expression(a), PlanApi.expression(b)))
   }
 
+  /** `(idCol, vecCol)` projected to `(outId, outVec)` with the vector
+    * normalized to array<double>. The cast is skipped on the element
+    * TYPE, never on column names: an array<double> input passes through
+    * untouched (the interpreted `transform` lambda is not free), while
+    * any other element type — including a float column that happens to
+    * already be named `cand_vec` — gets the widening cast. */
+  private def normVec(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vec = df.schema(df.schema.fieldIndex(vecCol)).dataType match {
+      case ArrayType(DoubleType, _) => col(vecCol)
+      case _ => transform(col(vecCol), x => x.cast("double"))
+    }
+    df.select(col(idCol).as(outId), vec.as(outVec))
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * `probes` must be small (it is broadcast). Self-matches (same id) are
     * excluded. Deterministic tie-break on candidate id.
@@ -64,8 +80,7 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"),
-      transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
+    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = ivfTrain(c, "cand_id", "cand_vec", nlist, iters)
     ivfSearch(c, probes, idCol, vecCol, k, centroids, nprobe)
@@ -79,9 +94,10 @@ object Similarity {
       nlist: Int, iters: Int): Seq[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c =
-      if (corpus.columns.sameElements(Array(idCol, vecCol))) corpus
-      else corpus.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as(vecCol))
+    // normalization gates on the element TYPE (normVec), never on column
+    // names: a float column already named (idCol, vecCol) still widens,
+    // so the collect below can't ClassCastException on getSeq[Double]
+    val c = normVec(corpus, idCol, vecCol, idCol, vecCol)
 
     // centroids live in a small broadcast table, NOT in the expression
     // tree: a least()-over-nlist-structs expression stops codegen'ing
@@ -124,10 +140,13 @@ object Similarity {
       centroids: Seq[Array[Double]], nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // type-gated normalization (see normVec): already-double vectors pass
+    // through (ivfTopK hands its cached normalized frame straight in),
+    // float vectors widen regardless of what the columns are named
     val c =
-      if (corpus.columns.sameElements(Array("cand_id", "cand_vec"))) corpus
-      else corpus.select(col(idCol).as("cand_id"),
-        transform(col(vecCol), x => x.cast("double")).as("cand_vec"))
+      if (corpus.columns.sameElements(Array("cand_id", "cand_vec")))
+        normVec(corpus, "cand_id", "cand_vec", "cand_id", "cand_vec")
+      else normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
     def centDF(cents: Seq[Array[Double]]): DataFrame =
       cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toDF("cell", "centroid")
     val cells = c.crossJoin(broadcast(centDF(centroids)))
@@ -138,8 +157,7 @@ object Similarity {
     // probes explode to their nprobe nearest cells (small side: a window
     // top-nprobe over the same broadcast fan-out)
     import org.apache.spark.sql.expressions.Window
-    val probeCells = probes.select(col(idCol).as("probe_id"),
-        transform(col(vecCol), x => x.cast("double")).as("probe_vec"))
+    val probeCells = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
       .crossJoin(broadcast(centDF(centroids)))
       .withColumn("d", -cosine(col("probe_vec"), col("centroid")))
       .withColumn("pr", row_number().over(
@@ -152,7 +170,10 @@ object Similarity {
       .withColumn("sim", cosine(col("probe_vec"), col("cand_vec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      // raw double sim, NOT round(,6): DuckDB's round() on doubles is
+      // approximate near half-ulp boundaries (Registry header rule);
+      // the cosine itself is bitwise-identical across engines
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
   /** Deterministic random hyperplanes: `tables` of `dim` doubles drawn from

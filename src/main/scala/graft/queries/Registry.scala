@@ -783,8 +783,12 @@ object Registry {
     Q("ann_topk_brute",
       (s, d) => {
         val emb = T(s, d, "embeddings")
+        // raw double sim across the whole ANN family: cosine is per-row
+        // arithmetic (sequential fold within one row's arrays), bitwise
+        // identical across engines — round(,6) both sides was the exact
+        // half-ulp-fragile pattern that produced r3's one red oracle row
         Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-          .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+          .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
           .orderBy("probe_id", "rn")
       },
       Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
@@ -799,7 +803,7 @@ object Registry {
                      SELECT probe_id, cand_id, sim,
                             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
                      FROM scored)
-              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
     Q("ann_topk_lsh",
@@ -807,7 +811,7 @@ object Registry {
         val emb = T(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
             k = 5, dim = 64)
-          .select(col("probe_id"), col("cand_id"), round(col("sim"), 6).as("sim"), col("rn"))
+          .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
           .orderBy("probe_id", "rn")
       },
       // same fixed-seed hyperplanes as dd_embed_neardup: sign-bit bands,
@@ -835,7 +839,7 @@ object Registry {
                    ranked AS (SELECT probe_id, cand_id, sim,
                                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
                               FROM cos)
-              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
     Q("ann_topk_ivf",
@@ -886,7 +890,7 @@ object Registry {
                    ranked AS (SELECT probe_id, cand_id, sim,
                                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
                               FROM sims)
-              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
     // IVF search path with iters=0: centroids are then exactly the first
@@ -929,7 +933,7 @@ object Registry {
                    ranked AS (SELECT probe_id, cand_id, sim,
                                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
                               FROM sims)
-              SELECT probe_id, cand_id, round(sim, 6) AS sim, rn
+              SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
     // Oracle-gated with the portable (md5-derived 60-bit) hash family so
@@ -942,7 +946,11 @@ object Registry {
     Q("dd_minhash_neardup",
       (s, d) => Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
           shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
-          hashFamily = Dedup.portableFamily)
+          hashFamily = Dedup.portableFamily,
+          // explicit: the DuckDB oracle is exact all-pairs, so the query
+          // must never silently switch to rep-star just because a fixture
+          // bucket outgrows DefaultMaxBucket
+          maxBucket = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
                          FROM documents),
@@ -967,7 +975,7 @@ object Registry {
                              JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
                              GROUP BY 1, 2)
               SELECT i.id_a, i.id_b,
-                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+                     CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
               FROM inter i
               JOIN sizes sa ON sa.doc_id = i.id_a
               JOIN sizes sb ON sb.doc_id = i.id_b
@@ -976,7 +984,8 @@ object Registry {
 
     Q("dd_simhash_neardup",
       (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60)
+          maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60,
+          maxBucket = Int.MaxValue) // exact all-pairs, matching the oracle
         .orderBy("id_a", "id_b"),
       // full simhash pipeline: token hash → per-bit ±1 sums → sign bits →
       // 4×15-bit chunk bucketing (pigeonhole) → hamming ≤ 6
@@ -1194,7 +1203,7 @@ object Registry {
                              JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
                              GROUP BY 1, 2)
               SELECT i.id_a, i.id_b,
-                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+                     CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
               FROM inter i
               JOIN sizes sa ON sa.doc_id = i.id_a
               JOIN sizes sb ON sb.doc_id = i.id_b
@@ -1354,7 +1363,11 @@ object Registry {
       // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
       // the candidate-verify path non-trivially exercised
       (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
-          dim = 64, minCosine = 0.4)
+          dim = 64, minCosine = 0.4,
+          // explicit: bkey has only 2^bandBits values per band here, so at
+          // any real scale buckets WOULD exceed DefaultMaxBucket — the
+          // oracle is exact all-pairs and must stay pinned to it
+          maxBucket = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       // the fixed-seed hyperplanes are driver-side literals, so the oracle
       // embeds the same 16×64 constants and replicates sign-bit banding +
@@ -1378,7 +1391,7 @@ object Registry {
                            FROM cand c
                            JOIN embeddings va ON va.vec_id = c.id_a
                            JOIN embeddings vb ON vb.vec_id = c.id_b)
-              SELECT id_a, id_b, round(cosine, 6) AS cosine
+              SELECT id_a, id_b, cosine
               FROM cos WHERE cosine >= 0.4::DOUBLE
               ORDER BY id_a, id_b""")),
 
