@@ -177,11 +177,11 @@ object Dedup {
   private def verifyJaccard(candsIn: DataFrame, posts: DataFrame,
       minJaccard: Double): DataFrame = {
     // candidate generation feeds two branches (id set + final join);
-    // without materialization the whole candidate join would run per
-    // branch. Eager checkpoint (not persist) so no cache handle leaks —
-    // a no-op-cost copy when the input is already checkpointed pairs
-    // (the LSH paths) and a small pair list otherwise
-    val cands = candsIn.localCheckpoint(true)
+    // callers hand in an already-materialized pair list (checkpointed by
+    // cappedBucketPairs on the LSH path, by ngramJaccardPairs on the
+    // inverted-index path) so neither branch recomputes it and no cache
+    // handle leaks — re-checkpointing here would copy the blocks twice
+    val cands = candsIn
     val ids = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b"))).distinct()
     val sets = posts.join(ids, Seq("id"))
@@ -241,6 +241,10 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select("id_a", "id_b")
+      // eager: verifyJaccard consumes the pair list from two branches and
+      // expects it materialized (see there); checkpoint, don't persist,
+      // so no cache handle outlives the call
+      .localCheckpoint(true)
     verifyJaccard(cands, posts, minJaccard)
   }
 
