@@ -142,4 +142,61 @@ object TextAnalysis {
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", (1 to n).map(k => element_at(words, (i + k).cast("int"))): _*)))
   }
+
+  /** Granularity of the [[sampleKeep]] rate threshold: rates are honored
+    * to 1 part per million. */
+  val SampleResolution: Int = 1000000
+
+  /** Deterministic stratified-sampling predicate — the corpus-mixing
+    * primitive (sample each language/source at its own rate to hit a
+    * target mixture). Keep a row iff its salted portable id hash lands
+    * under `rate × `[[SampleResolution]]; `rate` is itself a Column so
+    * the per-stratum rate can come from a CASE over the stratum column
+    * or from a joined rates table. Pure per-row expression (no RNG, no
+    * shuffle, runs at scan speed on 100 TB), stable across runs, engines
+    * and cluster sizes, and independent of [[graft.operators.Dedup.hashBucket]]
+    * splits thanks to the salt — a doc's train/val/test assignment never
+    * correlates with whether it is sampled. Null ids never pass (an
+    * unidentified row must not slip into a sampled corpus). */
+  def sampleKeep(idCol: Column, rate: Column, salt: String = "#sample"): Column = {
+    val h = pmod(Dedup.portableHash60(concat(idCol.cast("string"), lit(salt))),
+      lit(SampleResolution))
+    // double compare, no cast: Spark's double→long cast truncates while
+    // DuckDB's rounds, so a threshold cast would diverge between engines;
+    // the product itself is the same double everywhere
+    h < rate * SampleResolution
+  }
+
+  /** Deterministic global shuffle positions — the training-order
+    * randomization every corpus pipeline needs before packing. Every row
+    * gets a unique `shuffle_pos` in [0, n) ordered by (shard, salted id
+    * hash, id), a stable pseudo-random permutation with no RNG state.
+    *
+    * Scale shape: a bare `row_number() OVER (ORDER BY hash)` would drag
+    * the whole corpus through ONE partition. Instead positions compose
+    * from `shards` independent per-shard windows (each bounded, spills
+    * never concentrate) plus an exclusive prefix-sum of the tiny
+    * per-shard counts (`shards` rows, broadcast back) — the same
+    * two-level shape as [[packAssignments]]. Raising `shards` bounds the
+    * per-window size at any corpus scale. */
+  def shufflePositions(df: org.apache.spark.sql.DataFrame, idCol: String,
+      shards: Int, salt: String = "#shuffle"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("h", Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+    val perShard = row_number()
+      .over(Window.partitionBy("shard").orderBy(col("h"), col(idCol)))
+    // per-shard counts are `shards` rows — the single-partition window
+    // here is metadata-sized, never the corpus
+    val offsets = base.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "off")
+    base.withColumn("rn", perShard)
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("shuffle_pos", col("off") + col("rn") - 1)
+      .drop("h", "rn", "off")
+  }
 }

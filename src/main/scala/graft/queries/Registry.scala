@@ -1288,6 +1288,48 @@ object Registry {
                     FROM documents)
               ORDER BY doc_id""")),
 
+    // Corpus mixing: sample each language at its own deterministic rate
+    // to hit a target mixture (upsample-by-keeping-more of en/zh here).
+    // Pure per-row hash-threshold predicate — no RNG, no shuffle, scan
+    // speed at 100 TB — and salted so it never correlates with ta_split.
+    Q("ta_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", lit(0.5))
+          .when(col("lang") === "zh", lit(0.35))
+          .otherwise(lit(0.2))
+        T(s, d, "documents")
+          .filter(graft.operators.TextAnalysis.sampleKeep(col("doc_id"), rate))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang
+              FROM (SELECT doc_id, lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
+                        % 1000000 AS h,
+                      CASE WHEN lang = 'en' THEN 0.5::DOUBLE
+                           WHEN lang = 'zh' THEN 0.35::DOUBLE
+                           ELSE 0.2::DOUBLE END AS rate
+                    FROM documents)
+              WHERE h < rate * 1000000
+              ORDER BY doc_id""")),
+
+    // Deterministic global shuffle: every doc gets a unique position in a
+    // stable pseudo-random training order. The Spark side composes
+    // per-shard windows + a broadcast prefix-sum of shard counts (no
+    // single-partition global sort); the oracle states the equivalent
+    // global ordering directly.
+    Q("ta_corpus_shuffle",
+      (s, d) => graft.operators.TextAnalysis.shufflePositions(
+          T(s, d, "documents").select("doc_id"), "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS h
+                    FROM documents)
+              SELECT doc_id, h % 8 AS shard,
+                     row_number() OVER (ORDER BY h % 8, h, doc_id) - 1 AS shuffle_pos
+              FROM b ORDER BY doc_id""")),
+
     // benchmark decontamination: flag training docs sharing >= 3 rare
     // shingles with any doc of the (stand-in) eval set doc_id < 5
     Q("dd_decontaminate",

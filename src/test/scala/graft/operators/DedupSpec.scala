@@ -179,4 +179,52 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(small.contains((1L, 2L)))
   }
+
+  test("sampleKeep: deterministic, rate-proportional, salt-independent of split buckets") {
+    import spark.implicits._
+    val ids = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val rate = when(col("lang") === "en", lit(0.5)).otherwise(lit(0.1))
+    val kept = ids.filter(TextAnalysis.sampleKeep(col("doc_id"), rate))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // rates hold to within a few % at n=1000 per stratum
+    val en = kept.count(_._2 == "en").toDouble / 1000
+    val de = kept.count(_._2 == "de").toDouble / 1000
+    assert(en > 0.42 && en < 0.58, s"en rate $en")
+    assert(de > 0.05 && de < 0.16, s"de rate $de")
+    // deterministic: same predicate, same rows
+    val again = ids.filter(TextAnalysis.sampleKeep(col("doc_id"), rate))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet === again.toSet)
+    // a null id never passes
+    val withNull = Seq((Option.empty[Long], "en")).toDF("doc_id", "lang")
+    assert(withNull.filter(TextAnalysis.sampleKeep(col("doc_id"), lit(1.0))).count() === 0L)
+    // the sample is salted: being sampled must not correlate with the
+    // hashBucket split (different salt → different hash stream)
+    val sampleBits = ids.select(col("doc_id"),
+        TextAnalysis.sampleKeep(col("doc_id"), lit(0.5)).as("s"),
+        (Dedup.hashBucket(col("doc_id"), 2) === 0).as("b"))
+      .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
+    val agree = sampleBits.count(p => p._1 == p._2).toDouble / sampleBits.length
+    assert(agree > 0.4 && agree < 0.6, s"sample/split agreement $agree (should be ~0.5)")
+  }
+
+  test("shufflePositions: a permutation of [0,n), deterministic, shard-count invariant size") {
+    import spark.implicits._
+    val ids = (1L to 500L).map(Tuple1(_)).toDF("doc_id")
+    val out = TextAnalysis.shufflePositions(ids, "doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos")))
+    assert(out.length === 500)
+    // positions are exactly 0..n-1, each once
+    assert(out.map(_._2).sorted === (0L until 500L).toArray)
+    // not the identity order (it actually shuffles)
+    assert(out.count { case (id, pos) => pos == id - 1 } < 50)
+    // deterministic across invocations
+    val again = TextAnalysis.shufflePositions(ids, "doc_id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos"))).toMap
+    assert(out.toMap === again)
+    // more shards still yields a complete permutation (scale knob is safe)
+    val wide = TextAnalysis.shufflePositions(ids, "doc_id", shards = 32)
+      .collect().map(_.getAs[Long]("shuffle_pos"))
+    assert(wide.sorted === (0L until 500L).toArray)
+  }
 }
