@@ -226,5 +226,12 @@ class DedupSpec extends SparkSpec {
     val wide = TextAnalysis.shufflePositions(ids, "doc_id", shards = 32)
       .collect().map(_.getAs[Long]("shuffle_pos"))
     assert(wide.sorted === (0L until 500L).toArray)
+    // scale shape: shard offsets arrive by broadcast, and the corpus-side
+    // window is partitioned by shard (never one global-sort partition)
+    val plan = TextAnalysis.shufflePositions(ids, "doc_id", shards = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[shard".r.findFirstIn(plan).isDefined,
+      s"corpus window not partitioned by shard:\n$plan")
   }
 }
