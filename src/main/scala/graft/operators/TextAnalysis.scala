@@ -167,6 +167,31 @@ object TextAnalysis {
     h < rate * SampleResolution
   }
 
+  /** Token-budget corpus selection — fill a per-stratum token budget in
+    * priority order (quality score, recency, …) and stop: the data-
+    * selection step between filtering and packing. A doc is kept iff the
+    * running token total of all strictly-higher-priority docs in its
+    * stratum is still under `tokenBudget` — so the first doc that
+    * CROSSES the budget is still taken (the budget is a target, not a
+    * hard cap) and selection is deterministic given the priority.
+    * Returns the input plus (n_tokens, cum_tokens, selected).
+    *
+    * One window per stratum, exclusive running sum — the same bounded
+    * shape as [[packAssignments]]: per-stratum data volume bounds the
+    * window, and a corpus with one giant stratum should pre-shard it
+    * (compose with [[graft.operators.Dedup.hashBucket]]) exactly as a
+    * packing job would. */
+  def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stratumCol: String, tokenBudget: Long,
+      priority: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy(priority, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("selected", col("cum_tokens") < tokenBudget)
+  }
+
   /** Deterministic global shuffle positions — the training-order
     * randomization every corpus pipeline needs before packing. Every row
     * gets a unique `shuffle_pos` in [0, n) ordered by (shard, salted id

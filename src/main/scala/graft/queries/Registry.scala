@@ -1313,6 +1313,30 @@ object Registry {
               WHERE h < rate * 1000000
               ORDER BY doc_id""")),
 
+    // Data selection under a token budget: per source, take docs in
+    // priority order (longest first here) until the budget fills — the
+    // corpus-selection step between filtering and packing. Exact integer
+    // running sums, so fully oracle-checkable.
+    Q("ta_token_budget",
+      (s, d) => graft.operators.TextAnalysis.tokenBudgetSelect(
+          T(s, d, "documents"), "doc_id", "text", "source",
+          tokenBudget = 2000L, priority = -col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("selected"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                    FROM documents),
+                   c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                        PARTITION BY source ORDER BY -n_chars, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+                    FROM t)
+              SELECT doc_id, source, n_tokens, cum_tokens,
+                     cum_tokens < 2000 AS selected
+              FROM c ORDER BY doc_id""")),
+
     // Deterministic global shuffle: every doc gets a unique position in a
     // stable pseudo-random training order. The Spark side composes
     // per-shard windows + a broadcast prefix-sum of shard counts (no

@@ -208,6 +208,24 @@ class DedupSpec extends SparkSpec {
     assert(agree > 0.4 && agree < 0.6, s"sample/split agreement $agree (should be ~0.5)")
   }
 
+  test("tokenBudgetSelect: budget fills in priority order, crossing doc still taken") {
+    import spark.implicits._
+    // one stratum, priority = ascending id; docs of 4 tokens each
+    val docs = (1L to 10L).map(i => (i, "a b c d", "s0")).toDF("doc_id", "text", "src")
+    val out = TextAnalysis.tokenBudgetSelect(docs, "doc_id", "text", "src",
+        tokenBudget = 10L, priority = col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("selected")))
+      .sortBy(_._1)
+    // cum: 0,4,8,12,... → docs 1,2 under budget; doc 3 CROSSES it (cum 8 < 10) and is taken
+    assert(out.map(_._2).take(4) === Seq(0L, 4L, 8L, 12L))
+    assert(out.filter(_._3).map(_._1) === Seq(1L, 2L, 3L))
+    // strata are independent: a second stratum gets its own budget
+    val two = docs.union(Seq((11L, "a b c d", "s1")).toDF("doc_id", "text", "src"))
+    val sel = TextAnalysis.tokenBudgetSelect(two, "doc_id", "text", "src", 10L, col("doc_id"))
+      .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(sel === Array(1L, 2L, 3L, 11L))
+  }
+
   test("shufflePositions: a permutation of [0,n), deterministic, shard-count invariant size") {
     import spark.implicits._
     val ids = (1L to 500L).map(Tuple1(_)).toDF("doc_id")
