@@ -126,8 +126,14 @@ object Dedup {
     * shuffle as window aggregates (WindowExec spills, so even a
     * degenerate key is linear); the input is persisted here because it
     * feeds both sides of the self-join plus the star branch, and released
-    * again before returning: the pair list (small — bounded by banding) is
-    * eagerly checkpointed so nothing downstream references the cache. */
+    * again before returning: the pair list (small — bounded by banding)
+    * is persisted and eagerly counted, so the happy path never reads the
+    * banding cache again. NOTE this is persist, not checkpoint — if the
+    * pair blocks are later evicted/lost, recompute walks the full
+    * lineage back through the (now-unpersisted) banding plan; correct,
+    * just cold. This also makes the public near-dup operators execute
+    * their candidate pipeline EAGERLY at call time — the deliberate
+    * price of not leaking the corpus-sized banding cache. */
   private def cappedBucketPairs(banded0: DataFrame, keys: Seq[String],
       payload: Seq[String], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

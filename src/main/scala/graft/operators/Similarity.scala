@@ -35,7 +35,10 @@ object Similarity {
   private def normVec(df: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val vec = df.schema(df.schema.fieldIndex(vecCol)).dataType match {
+    // resolve through the analyzer (case-insensitive, like every other
+    // column reference) rather than schema.fieldIndex (case-sensitive)
+    val resolved = df.select(col(vecCol)).schema.head.dataType
+    val vec = resolved match {
       case ArrayType(DoubleType, _) => col(vecCol)
       case _ => transform(col(vecCol), x => x.cast("double"))
     }

@@ -193,9 +193,14 @@ object TextAnalysis {
   }
 
   /** Deterministic global shuffle positions — the training-order
-    * randomization every corpus pipeline needs before packing. Every row
-    * gets a unique `shuffle_pos` in [0, n) ordered by (shard, salted id
-    * hash, id), a stable pseudo-random permutation with no RNG state.
+    * randomization every corpus pipeline needs before packing. Every
+    * non-null-id row gets a unique `shuffle_pos` in [0, n) ordered by
+    * (shard, salted id hash, id), a stable pseudo-random permutation
+    * with no RNG state. Null-id rows are EXCLUDED (a row with no
+    * identity has no stable tie-break, so any position assigned to it
+    * would be nondeterministic — the same reason [[sampleKeep]] never
+    * samples them); output columns `shard` and `shuffle_pos` replace
+    * any input columns of those names.
     *
     * Scale shape: a bare `row_number() OVER (ORDER BY hash)` would drag
     * the whole corpus through ONE partition. Instead positions compose
@@ -203,25 +208,30 @@ object TextAnalysis {
     * never concentrate) plus an exclusive prefix-sum of the tiny
     * per-shard counts (`shards` rows, broadcast back) — the same
     * two-level shape as [[packAssignments]]. Raising `shards` bounds the
-    * per-window size at any corpus scale. */
+    * per-window size at any corpus scale. The narrow hashed projection
+    * is persisted because it feeds both the counts and the windowed
+    * branch (plan-branch recompute would scan the corpus twice);
+    * callers release it with `clearCache()` as with the dedup postings. */
   def shufflePositions(df: org.apache.spark.sql.DataFrame, idCol: String,
       shards: Int, salt: String = "#shuffle"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df
-      .withColumn("h", Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt))))
-      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .filter(col(idCol).isNotNull)
+      .withColumn("_g_h", Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("shard", pmod(col("_g_h"), lit(shards)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perShard = row_number()
-      .over(Window.partitionBy("shard").orderBy(col("h"), col(idCol)))
+      .over(Window.partitionBy("shard").orderBy(col("_g_h"), col(idCol)))
     // per-shard counts are `shards` rows — the single-partition window
     // here is metadata-sized, never the corpus
-    val offsets = base.groupBy("shard").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(
-        sum(col("cnt")).over(Window.orderBy("shard")
+    val offsets = base.groupBy("shard").agg(count(lit(1)).as("_g_cnt"))
+      .withColumn("_g_off", coalesce(
+        sum(col("_g_cnt")).over(Window.orderBy("shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("shard", "off")
-    base.withColumn("rn", perShard)
+      .select(col("shard"), col("_g_off"))
+    base.withColumn("_g_rn", perShard)
       .join(broadcast(offsets), Seq("shard"))
-      .withColumn("shuffle_pos", col("off") + col("rn") - 1)
-      .drop("h", "rn", "off")
+      .withColumn("shuffle_pos", col("_g_off") + col("_g_rn") - 1)
+      .drop("_g_h", "_g_rn", "_g_off")
   }
 }

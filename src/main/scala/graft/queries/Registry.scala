@@ -1330,7 +1330,8 @@ object Registry {
                     FROM documents),
                    c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
                       CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
-                        PARTITION BY source ORDER BY -n_chars, doc_id
+                        PARTITION BY source
+                        ORDER BY -n_chars ASC NULLS FIRST, doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
                     FROM t)
               SELECT doc_id, source, n_tokens, cum_tokens,

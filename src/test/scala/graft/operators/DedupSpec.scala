@@ -244,6 +244,14 @@ class DedupSpec extends SparkSpec {
     val wide = TextAnalysis.shufflePositions(ids, "doc_id", shards = 32)
       .collect().map(_.getAs[Long]("shuffle_pos"))
     assert(wide.sorted === (0L until 500L).toArray)
+    // null ids are excluded (no stable identity → no deterministic
+    // position) and the survivors still get a clean [0, n) permutation
+    val withNull = (1L to 9L).map(Option(_)).:+(Option.empty[Long])
+      .map(Tuple1(_)).toDF("doc_id")
+    val nn = TextAnalysis.shufflePositions(withNull, "doc_id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos")))
+    assert(nn.length === 9)
+    assert(nn.map(_._2).sorted === (0L until 9L).toArray)
     // scale shape: shard offsets arrive by broadcast, and the corpus-side
     // window is partitioned by shard (never one global-sort partition)
     val plan = TextAnalysis.shufflePositions(ids, "doc_id", shards = 8)
