@@ -364,18 +364,23 @@ object Dedup {
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      // pointer jump (path halving): comp := comp(comp) — long duplicate
-      // chains collapse in O(log diameter) rounds instead of O(diameter);
-      // `changed` rides along so convergence detection below is a plain
-      // scan of the checkpointed blocks, not a recompute
-      val next = stepped
-        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
-          col("comp") === col("jid"), "left")
-        .select(col("id"), (col("comp") =!= col("prev")).as("changed"),
-          coalesce(col("jcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true) // eager: materializes AND truncates lineage
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.select("id", "comp")
+      // convergence is decided by the MIN-step alone (the jump only
+      // accelerates label spreading, it never changes whether labels
+      // moved), so check it on the stepped blocks FIRST — the final
+      // iteration then skips the jump join + checkpoint entirely
+      converged = stepped.filter(col("comp") =!= col("prev")).limit(1).count() == 0
+      labels =
+        if (converged) stepped.select("id", "comp")
+        else {
+          // pointer jump (path halving): comp := comp(comp) — long
+          // duplicate chains collapse in O(log diameter) rounds instead
+          // of O(diameter)
+          stepped
+            .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
+              col("comp") === col("jid"), "left")
+            .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
+            .localCheckpoint(true) // eager: materializes AND truncates lineage
+        }
       i += 1
     }
     // the result is checkpoint-materialized and no longer references the
