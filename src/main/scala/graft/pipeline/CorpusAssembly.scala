@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end training-corpus assembly — the LLM-side flagship
+  * composition, sibling of the reference-side crunch pipeline
+  * ([[Crunch]]): every step is an already-proven operator, chained the
+  * way a production corpus job runs them.
+  *
+  *  1. length gate        — drop docs under `minTokens` whitespace tokens
+  *  2. exact dedup        — keep-first per content hash ([[Dedup.exactDedup]])
+  *  3. stratified sample  — per-language keep rates ([[TextAnalysis.sampleKeep]])
+  *  4. token budget       — per-source priority fill ([[TextAnalysis.tokenBudgetSelect]])
+  *  5. global shuffle     — deterministic training order ([[TextAnalysis.shufflePositions]])
+  *  6. sequence packing   — (shard, pack, offset) grid ([[TextAnalysis.packAssignments]])
+  *
+  * Everything is deterministic (salted portable hashes, no RNG), so the
+  * whole chain is reproducible across runs, engines and cluster sizes —
+  * and oracle-checkable end-to-end (query `ta_corpus_pipeline`).
+  *
+  * Scale posture: steps 1–4 are scan-speed predicates or per-stratum
+  * windows; steps 5–6 are the bounded two-level window shapes documented
+  * on their operators. No global sort, no cartesian, one broadcast of
+  * `shuffleShards` count rows.
+  */
+object CorpusAssembly {
+
+  /** Returns one row per surviving doc:
+    * (doc_id, lang, source, n_tokens, shuffle_pos, pack_shard,
+    * offset_tokens, pack_id). */
+  def assemble(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, langRate: Column, tokenBudget: Long,
+      shuffleShards: Int, packBudget: Int, packShards: Int): DataFrame = {
+    // 1. length gate (pure predicate — pushes below everything else)
+    val gated = docs
+      .filter(TextAnalysis.tokenCount(col(textCol)).cast("long") >= minTokens)
+    // 2. exact dedup, keep lowest id per content hash
+    val deduped = Dedup.exactDedup(gated, idCol, textCol)
+    // 3. per-language sampling
+    val sampled = deduped.filter(TextAnalysis.sampleKeep(col(idCol), langRate))
+    // 4. per-source token budget, longest-first priority
+    val selected = TextAnalysis.tokenBudgetSelect(sampled, idCol, textCol,
+        "source", tokenBudget, priority = -col("n_chars"))
+      .filter(col("selected"))
+      .select(col(idCol), col(textCol), col("lang"), col("source"))
+    // 5. deterministic shuffle (its internal persist makes `selected`
+    // compute once even though packing reads it again below)
+    val shuffled = TextAnalysis.shufflePositions(selected, idCol, shuffleShards)
+    // 6. pack the shuffled survivors
+    val packed = TextAnalysis.packAssignments(shuffled, idCol, textCol,
+      packBudget, packShards)
+    shuffled.select(col(idCol), col("lang"), col("source"), col("shuffle_pos"))
+      .join(packed.select(col(idCol), col("n_tokens"),
+        col("shard").as("pack_shard"), col("offset_tokens"), col("pack_id")), Seq(idCol))
+  }
+}

@@ -1313,6 +1313,57 @@ object Registry {
               WHERE h < rate * 1000000
               ORDER BY doc_id""")),
 
+    // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
+    // length gate → exact dedup → stratified sample → token budget →
+    // deterministic shuffle → sequence packing, all one oracle-checked
+    // chain. Every CTE below replicates the SQL already proven for the
+    // individual operators (dd_exact_groups, ta_stratified_sample,
+    // ta_token_budget, ta_corpus_shuffle, ta_pack).
+    Q("ta_corpus_pipeline",
+      (s, d) => graft.pipeline.CorpusAssembly.assemble(
+          T(s, d, "documents"), "doc_id", "text",
+          minTokens = 5,
+          langRate = when(col("lang") === "en", lit(0.8))
+            .when(col("lang") === "zh", lit(0.6)).otherwise(lit(0.5)),
+          tokenBudget = 3000L, shuffleShards = 8,
+          packBudget = 512, packShards = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t0 AS (SELECT doc_id, text, lang, source, n_chars,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                    FROM documents),
+                   t1 AS (SELECT * FROM t0 WHERE n_tokens >= 5),
+                   t2 AS (SELECT * FROM (
+                      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                      FROM t1) WHERE rn = 1),
+                   t3 AS (SELECT * FROM t2
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
+                            % 1000000
+                          < (CASE WHEN lang = 'en' THEN 0.8::DOUBLE
+                                  WHEN lang = 'zh' THEN 0.6::DOUBLE
+                                  ELSE 0.5::DOUBLE END) * 1000000),
+                   t4 AS (SELECT * FROM (
+                      SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY source
+                          ORDER BY -n_chars ASC NULLS FIRST, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+                      FROM t3) WHERE cum_tokens < 3000),
+                   sh AS (SELECT doc_id, lang, source, n_tokens,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS sh_h,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS pk_h
+                    FROM t4),
+                   t5 AS (SELECT *, row_number() OVER (ORDER BY sh_h % 8, sh_h, doc_id) - 1 AS shuffle_pos
+                    FROM sh),
+                   t6 AS (SELECT doc_id, lang, source, n_tokens, shuffle_pos,
+                      pk_h % 4 AS pack_shard,
+                      CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY pk_h % 4 ORDER BY pk_h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+                    FROM t5)
+              SELECT doc_id, lang, source, n_tokens, shuffle_pos, pack_shard,
+                     offset_tokens, CAST(offset_tokens // 512 AS BIGINT) AS pack_id
+              FROM t6 ORDER BY doc_id""")),
+
     // Data selection under a token budget: per source, take docs in
     // priority order (longest first here) until the budget fills — the
     // corpus-selection step between filtering and packing. Exact integer
