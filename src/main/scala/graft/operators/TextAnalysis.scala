@@ -18,11 +18,20 @@ object TextAnalysis {
     * = offset / tokenBudget. One window per shard — shards bound the
     * partition size, so this scales by raising `shards`. */
   def packAssignments(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      tokenBudget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+      tokenBudget: Int, shards: Int): org.apache.spark.sql.DataFrame =
+    packAssignmentsFromCounts(
+      df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", tokenBudget, shards)
+
+  /** [[packAssignments]] over an already-computed token-count column — so
+    * a pipeline that counted tokens upstream (the budget-select step
+    * does) packs without re-tokenizing the corpus. */
+  def packAssignmentsFromCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+      nTokensCol: String, tokenBudget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    df.select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("h", Dedup.portableHash60(col(idCol).cast("string")))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .withColumn("offset_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -183,24 +192,31 @@ object TextAnalysis {
     * packing job would. */
   def tokenBudgetSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, stratumCol: String, tokenBudget: Long,
-      priority: Column): org.apache.spark.sql.DataFrame = {
+      priority: Column,
+      precomputedTokens: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratumCol).orderBy(priority, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+    // pipelines that already tokenized (a length gate upstream) pass the
+    // column name instead of paying a second full-text regex split
+    val counted = precomputedTokens match {
+      case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
+      case None => df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+    }
+    counted
       .withColumn("cum_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("selected", col("cum_tokens") < tokenBudget)
   }
 
   /** Deterministic global shuffle positions — the training-order
-    * randomization every corpus pipeline needs before packing. Every
-    * non-null-id row gets a unique `shuffle_pos` in [0, n) ordered by
-    * (shard, salted id hash, id), a stable pseudo-random permutation
-    * with no RNG state. Null-id rows are EXCLUDED (a row with no
-    * identity has no stable tie-break, so any position assigned to it
-    * would be nondeterministic — the same reason [[sampleKeep]] never
-    * samples them); output columns `shard` and `shuffle_pos` replace
-    * any input columns of those names.
+    * randomization every corpus pipeline needs before packing. Returns a
+    * NARROW MAPPING (`idCol`, `shard`, `shuffle_pos`): every non-null id
+    * gets a unique position in [0, n) ordered by (shard, salted id hash,
+    * id) — a stable pseudo-random permutation with no RNG state — and
+    * callers join it back to their wide frame by id. Null-id rows are
+    * EXCLUDED (a row with no identity has no stable tie-break, so any
+    * position assigned to it would be nondeterministic — the same reason
+    * [[sampleKeep]] never samples them).
     *
     * Scale shape: a bare `row_number() OVER (ORDER BY hash)` would drag
     * the whole corpus through ONE partition. Instead positions compose
@@ -208,14 +224,17 @@ object TextAnalysis {
     * never concentrate) plus an exclusive prefix-sum of the tiny
     * per-shard counts (`shards` rows, broadcast back) — the same
     * two-level shape as [[packAssignments]]. Raising `shards` bounds the
-    * per-window size at any corpus scale. The narrow hashed projection
-    * is persisted because it feeds both the counts and the windowed
-    * branch (plan-branch recompute would scan the corpus twice);
-    * callers release it with `clearCache()` as with the dedup postings. */
+    * per-window size at any corpus scale. Only the narrow (id, hash,
+    * shard) projection is persisted — it feeds both the counts and the
+    * windowed branch (plan-branch recompute would run the upstream
+    * pipeline twice), and keeping it id-only means the cache never holds
+    * corpus text; callers release it with `clearCache()` as with the
+    * dedup postings. */
   def shufflePositions(df: org.apache.spark.sql.DataFrame, idCol: String,
       shards: Int, salt: String = "#shuffle"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df
+      .select(col(idCol))
       .filter(col(idCol).isNotNull)
       .withColumn("_g_h", Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt))))
       .withColumn("shard", pmod(col("_g_h"), lit(shards)))
@@ -232,6 +251,6 @@ object TextAnalysis {
     base.withColumn("_g_rn", perShard)
       .join(broadcast(offsets), Seq("shard"))
       .withColumn("shuffle_pos", col("_g_off") + col("_g_rn") - 1)
-      .drop("_g_h", "_g_rn", "_g_off")
+      .select(col(idCol), col("shard"), col("shuffle_pos"))
   }
 }

@@ -34,25 +34,34 @@ object CorpusAssembly {
   def assemble(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, langRate: Column, tokenBudget: Long,
       shuffleShards: Int, packBudget: Int, packShards: Int): DataFrame = {
+    // tokenize ONCE — the gate, the budget and the packing all reuse the
+    // same count instead of re-splitting the full text three times
+    val counted = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
     // 1. length gate (pure predicate — pushes below everything else)
-    val gated = docs
-      .filter(TextAnalysis.tokenCount(col(textCol)).cast("long") >= minTokens)
+    val gated = counted.filter(col("n_tokens") >= minTokens)
     // 2. exact dedup, keep lowest id per content hash
     val deduped = Dedup.exactDedup(gated, idCol, textCol)
     // 3. per-language sampling
     val sampled = deduped.filter(TextAnalysis.sampleKeep(col(idCol), langRate))
-    // 4. per-source token budget, longest-first priority
+    // 4. per-source token budget, longest-first priority. The surviving
+    // frame drops the text and persists: it is the narrow hub feeding
+    // shuffle, packing and the final projection (three branches — without
+    // the cache the whole upstream chain would run three times), and at
+    // corpus scale it is id+metadata only, never document bodies.
     val selected = TextAnalysis.tokenBudgetSelect(sampled, idCol, textCol,
-        "source", tokenBudget, priority = -col("n_chars"))
+        "source", tokenBudget, priority = -col("n_chars"),
+        precomputedTokens = Some("n_tokens"))
       .filter(col("selected"))
-      .select(col(idCol), col(textCol), col("lang"), col("source"))
-    // 5. deterministic shuffle (its internal persist makes `selected`
-    // compute once even though packing reads it again below)
-    val shuffled = TextAnalysis.shufflePositions(selected, idCol, shuffleShards)
-    // 6. pack the shuffled survivors
-    val packed = TextAnalysis.packAssignments(shuffled, idCol, textCol,
-      packBudget, packShards)
-    shuffled.select(col(idCol), col("lang"), col("source"), col("shuffle_pos"))
+      .select(col(idCol), col("lang"), col("source"), col("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 5. deterministic shuffle — a narrow (id, shard, pos) mapping
+    val positions = TextAnalysis.shufflePositions(selected, idCol, shuffleShards)
+    // 6. pack the survivors from the already-computed counts
+    val packed = TextAnalysis.packAssignmentsFromCounts(selected, idCol,
+      "n_tokens", packBudget, packShards)
+    selected.select(col(idCol), col("lang"), col("source"))
+      .join(positions.select(col(idCol), col("shuffle_pos")), Seq(idCol))
       .join(packed.select(col(idCol), col("n_tokens"),
         col("shard").as("pack_shard"), col("offset_tokens"), col("pack_id")), Seq(idCol))
   }

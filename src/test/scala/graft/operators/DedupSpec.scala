@@ -236,7 +236,9 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._2).sorted === (0L until 500L).toArray)
     // not the identity order (it actually shuffles)
     assert(out.count { case (id, pos) => pos == id - 1 } < 50)
-    // deterministic across invocations
+    // deterministic across invocations — drop the plan-keyed cache first
+    // so the second run actually recomputes instead of replaying blocks
+    spark.catalog.clearCache()
     val again = TextAnalysis.shufflePositions(ids, "doc_id", shards = 8)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("shuffle_pos"))).toMap
     assert(out.toMap === again)

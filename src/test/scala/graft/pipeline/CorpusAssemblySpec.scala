@@ -58,7 +58,9 @@ class CorpusAssemblySpec extends SparkSpec {
         assert(r.getAs[Long]("pack_id") === r.getAs[Long]("offset_tokens") / 64)
       }
     }
-    // deterministic end to end
+    // deterministic end to end — clear the plan-keyed caches so run 2
+    // recomputes every stage instead of replaying run 1's blocks
+    spark.catalog.clearCache()
     val again = CorpusAssembly.assemble(corpus(), "doc_id", "text",
       minTokens = 3,
       langRate = when(col("lang") === "en", lit(0.9)).otherwise(lit(0.5)),
