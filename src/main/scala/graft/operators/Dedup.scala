@@ -290,6 +290,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup — the shape a continuously
+    * ingesting training pipeline runs: drop new-batch docs whose content
+    * fingerprint already exists in the accumulated corpus. The corpus is
+    * the 100 TB side, so the plan never shuffles it: the batch's distinct
+    * fingerprints broadcast INTO the corpus scan (semi-join → at most
+    * |batch| colliding fingerprints survive), and that small hit-set
+    * broadcasts back against the batch as an anti-join. Two broadcasts of
+    * batch-bounded sets, zero corpus shuffles — versus a naive
+    * `batch ANTI JOIN corpus` which would shuffle the full corpus
+    * fingerprint set every ingest cycle.
+    *
+    * Null-text rows have a null fingerprint, which never equi-matches:
+    * they always survive (same no-identity rule as [[TextAnalysis.sampleKeep]];
+    * dedup them by id upstream if needed). Within-batch duplicates are NOT
+    * collapsed here — compose with [[exactDedup]] for that. Returns the
+    * batch columns plus the `fp` audit column. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val batchFps = batch.select(fp.as("fp")).filter(col("fp").isNotNull).distinct()
+    val hits = corpus.select(fp.as("fp"))
+      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+      .distinct()
+    batch.withColumn("fp", fp)
+      .join(broadcast(hits), Seq("fp"), "left_anti")
+  }
+
   /** Deterministic hash split — assign every row to one of `buckets`
     * pseudo-random buckets from its id alone (no RNG, no global sort):
     * the train/val/test sharding every corpus pipeline needs. Stable

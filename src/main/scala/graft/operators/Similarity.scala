@@ -179,6 +179,31 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
+  /** Corpus diversity audit against a pre-trained quantizer: assign every
+    * vector to its nearest centroid (same deterministic argmin-cosine +
+    * cell tie-break as [[ivfSearch]]) and report per-cluster membership —
+    * count plus id range. A heavily skewed profile means the embedding
+    * space (or the quantizer) has collapsed; a training-data pipeline
+    * checks this before trusting cluster-balanced sampling. Scale shape:
+    * centroids broadcast, assignment collapses map-side (partial min), the
+    * final aggregate is `nlist` rows — one corpus scan, no corpus shuffle
+    * beyond the per-id partial-agg. Empty cells simply don't appear
+    * (count 0). */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normVec(corpus, idCol, vecCol, "id", "vec")
+    val centDF = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    c.crossJoin(broadcast(centDF))
+      .withColumn("d", -cosine(col("vec"), col("centroid")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
   /** Deterministic random hyperplanes: `tables` of `dim` doubles drawn from
     * a fixed-seed RNG (no runtime entropy — plans must be reproducible). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -208,6 +208,58 @@ object TextAnalysis {
       .withColumn("selected", col("cum_tokens") < tokenBudget)
   }
 
+  /** Per-stratum corpus length profile: document count and exact DISCRETE
+    * token-length quantiles (p50/p90/p99) — the distribution audit a
+    * corpus pipeline runs before choosing packing budgets and length
+    * gates. Discrete quantiles (the value AT rank ceil(p·n), computed
+    * with pure integer arithmetic) rather than interpolated ones: the
+    * result is an actual observed length, and exact integers hash-match
+    * any engine — no float position arithmetic anywhere. One bounded
+    * window per stratum (the [[tokenBudgetSelect]] scale shape). Null
+    * text counts as a null token length, pinned to sort FIRST so rank
+    * positions agree across engines. */
+  def lengthProfile(df: org.apache.spark.sql.DataFrame, textCol: String,
+      stratumCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.select(col(stratumCol).as("stratum"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val ranked = counted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("n_tokens").asc_nulls_first)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
+    // rank of the p-quantile = ceil(p·n) = (num·n + den − 1) div den —
+    // integer arithmetic only, so both engines pick the identical row
+    def at(num: Int, den: Int) =
+      min(when(col("rn") === ((col("n") * num + den - 1) / den).cast("long"), col("n_tokens")))
+    ranked.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      at(1, 2).as("p50_tokens"),
+      at(9, 10).as("p90_tokens"),
+      at(99, 100).as("p99_tokens"))
+  }
+
+  /** Per-document n-gram novelty: how common this document's shingles are
+    * across the corpus. `df_sum` = Σ corpus document-frequency of each
+    * distinct shingle, `mean_df` = df_sum / n_shingles — boilerplate and
+    * template text score high (its shingles appear everywhere), novel
+    * prose scores near 1. The complement of [[repetitionProfile]] (which
+    * is within-doc): together they separate "repeats itself" from
+    * "repeats the corpus". Exact integer counts; the one division is
+    * bitwise-identical across engines. Same inverted-index shape as the
+    * dedup family — the postings stream feeds both the document-frequency
+    * aggregate and the per-doc rollup. */
+  def noveltyProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val posts = Dedup.shinglePosts(df, idCol, textCol, n)
+    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df_s"))
+    posts.join(dfreq, Seq("s"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df_s")).as("df_sum"))
+      .select(col("id"), col("n_shingles"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_shingles").cast("double")).as("mean_df"))
+  }
+
   /** Deterministic global shuffle positions — the training-order
     * randomization every corpus pipeline needs before packing. Returns a
     * NARROW MAPPING (`idCol`, `shard`, `shuffle_pos`): every non-null id

@@ -1513,6 +1513,94 @@ object Registry {
               FROM cos WHERE cosine >= 0.4::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // Incremental ingest-cycle dedup: new batch (doc_id % 10 = 0) vs the
+    // accumulated corpus (the rest). The plan never shuffles the corpus —
+    // batch fingerprints broadcast into the corpus scan, the hit-set
+    // broadcasts back as an anti-join (see Dedup.incrementalDedup).
+    Q("dd_incremental",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.incrementalDedup(
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "text")
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      // NOT EXISTS, not NOT IN: a null corpus fingerprint must not wipe
+      // the result, and null-fp batch rows survive in both engines
+      Some("""WITH fps AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                           FROM documents),
+                   batch AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+                   corpus AS (SELECT fp FROM fps WHERE doc_id % 10 <> 0)
+              SELECT b.doc_id, b.fp FROM batch b
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+              ORDER BY doc_id""")),
+
+    // Corpus length-distribution audit: per-language doc counts and exact
+    // DISCRETE token-length quantiles — rank arithmetic is pure integer
+    // (ceil(p·n) = (num·n+den−1) div den), so the picked values hash-match
+    Q("ta_length_profile",
+      (s, d) => graft.operators.TextAnalysis.lengthProfile(
+          T(s, d, "documents"), "text", "lang")
+        .orderBy(col("stratum").asc_nulls_first),
+      Some("""WITH t AS (SELECT lang AS stratum,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                    FROM documents),
+                   r AS (SELECT stratum, n_tokens,
+                      row_number() OVER (PARTITION BY stratum ORDER BY n_tokens ASC NULLS FIRST) AS rn,
+                      count(*) OVER (PARTITION BY stratum) AS n
+                    FROM t)
+              SELECT stratum, count(*) AS n_docs,
+                     min(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+                     min(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
+                     min(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tokens END) AS p99_tokens
+              FROM r GROUP BY stratum ORDER BY stratum NULLS FIRST""")),
+
+    // Per-doc n-gram novelty: sum/mean of corpus-wide shingle document
+    // frequency — "repeats the corpus" (boilerplate), the complement of
+    // ta_repetition's "repeats itself". Exact integer counts; the mean is
+    // one int/int division (bitwise-identical, Registry header rule).
+    Q("ta_novelty",
+      (s, d) => graft.operators.TextAnalysis.noveltyProfile(
+          T(s, d, "documents"), "doc_id", "text", n = 3)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   dfreq AS (SELECT sg, count(*) AS df_s FROM posts GROUP BY sg)
+              SELECT p.doc_id AS id, count(*) AS n_shingles,
+                     CAST(sum(f.df_s) AS BIGINT) AS df_sum,
+                     CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
+              FROM posts p JOIN dfreq f ON p.sg = f.sg
+              GROUP BY 1 ORDER BY id""")),
+
+    // Corpus diversity audit: per-cluster membership under the pre-trained
+    // IVF quantizer (same argmin-cosine assignment the oracle replicates
+    // for ann_topk_ivf_trained, aggregated instead of searched)
+    Q("ann_cluster_profile",
+      (s, d) => Similarity.clusterProfile(T(s, d, "embeddings"), "vec_id", "embedding",
+          graft.operators.IvfQuantizer.centroids)
+        .orderBy("cell"),
+      Some(s"""WITH cents(cell, cv) AS (VALUES $centroidLiterals),
+                   scored AS (SELECT v.vec_id, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1)
+              SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id, max(vec_id) AS max_id
+              FROM cells GROUP BY cell ORDER BY cell""")),
+
     // Multimodal: binary payload metadata via pure expressions. The
     // payload is text-bytes + a fake 16-byte header; n_bytes and digest
     // are oracle-checkable because both engines hash the same utf8 bytes.

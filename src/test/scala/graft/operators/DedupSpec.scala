@@ -64,6 +64,52 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalDedup: corpus collisions dropped, fresh and null-text rows survive, corpus never shuffles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "already ingested content one"),
+      (2L, "already ingested content two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested content one"),    // dup of corpus 1 → dropped
+      (11L, "Already  Ingested Content TWO "),  // normalized dup of 2 → dropped
+      (12L, "genuinely new document"),          // survives
+      (13L, null.asInstanceOf[String])          // null fp → survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted === Array(12L, 13L))
+    // both joins broadcast the batch-bounded side: no shuffle of corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
+  }
+
+  test("lengthProfile: exact discrete quantiles per stratum") {
+    import spark.implicits._
+    // stratum "a": lengths 1..10 → p50 = rank 5 → 5, p90 = rank 9 → 9,
+    // p99 = rank ceil(9.9) = 10 → 10
+    val docs = (1 to 10).map(i => ("a", Seq.fill(i)("w").mkString(" "))) :+
+      (("b", "one two three"))
+    val out = TextAnalysis.lengthProfile(docs.toDF("lang", "text"), "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((10L, 5L, 9L, 10L)))
+    assert(out("b") === ((1L, 3L, 3L, 3L)))
+  }
+
+  test("noveltyProfile: boilerplate scores high mean_df, unique prose near 1") {
+    import spark.implicits._
+    val tpl = "standard legal disclaimer applies to all content herein"
+    val docs = Seq(
+      (1L, tpl), (2L, tpl), (3L, tpl),                       // shared boilerplate
+      (4L, "utterly unique musings on obscure matters nobody else wrote")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_df")).toMap
+    assert(out(1L) === 3.0) // every shingle appears in 3 docs
+    assert(out(4L) === 1.0) // every shingle unique to doc 4
+  }
+
   test("contaminationFlags: eval-overlapping docs flagged, clean docs pass, no cartesian") {
     import spark.implicits._
     val train = Seq(

@@ -78,6 +78,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall vs brute at nlist=256")
   }
 
+  test("clusterProfile: every vector assigned once, counts partition the corpus") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val prof = Similarity.clusterProfile(emb, "vec_id", "embedding",
+      graft.operators.IvfQuantizer.centroids)
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
+    val rows = prof.collect()
+    assert(rows.map(_.getLong(1)).sum === n) // counts partition the corpus
+    assert(rows.map(_.getInt(0)).distinct.length === rows.length)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
