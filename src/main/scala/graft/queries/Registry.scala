@@ -618,7 +618,64 @@ object Registry {
               SELECT spine.t, types.et, coalesce(actual.cnt, 0) AS n
               FROM spine CROSS JOIN types
               LEFT JOIN actual ON spine.t = actual.h AND types.et = actual.event_type
-              ORDER BY t, et"""))
+              ORDER BY t, et""")),
+
+    // LOCF gap-fill: carry the last observation forward over planted
+    // holes ('view' rows masked to null on both sides — the sensor-dropout
+    // shape). Values pass through unchanged (no arithmetic), hash-exact.
+    Q("w07_locf_gapfill",
+      (s, d) => graft.operators.TimeSeries.locf(
+          T(s, d, "events").withColumn("value",
+            when(col("event_type") === "view", lit(null)).otherwise(col("value"))),
+          "user_id", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+                    FROM events)
+              SELECT event_id, user_id,
+                     last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              FROM e ORDER BY event_id""")),
+
+    // Gap-based sessionization: new session when >30 min from the
+    // previous event of the user — exact integer µs-gap compare + running
+    // sum of session starts (see TimeSeries.sessionize)
+    Q("w08_sessionize",
+      (s, d) => graft.operators.TimeSeries.sessionize(
+          T(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_n"))
+        .orderBy("user_id", "ts", "event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+                   g AS (SELECT *,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                                THEN 1 ELSE 0 END AS ns
+                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT event_id, user_id, ts,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+              FROM g ORDER BY user_id, ts, event_id""")),
+
+    // Multi-level aggregate (ROLLUP): per (status, priority), per status,
+    // and grand total in one pass — the OLAP subtotal shape; grouping_id
+    // disambiguates rolled-up nulls from genuine null keys
+    Q("a09_rollup",
+      (s, d) => T(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("sum_price_cents"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price_cents")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+              FROM orders
+              GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
   )
 
   /** Interactive SQL surface — the reference's dashboard corpus (§3.3)

@@ -30,6 +30,39 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      session_n: Long)
+  final case class SessState(lastTsMicros: Long, sessionN: Long)
+
+  /** Streaming gap-based sessionization — the stateful-streaming form of
+    * [[graft.operators.TimeSeries.sessionize]]: per-key state is just
+    * (last event time, session counter), so in-order arrivals get the
+    * identical numbering the batch operator assigns. Within a micro-batch
+    * rows fold in (ts, event_id) order; cross-batch out-of-order arrivals
+    * are the standard streaming trade (bound them with a watermark
+    * upstream). */
+  def streamingSessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          var (lastTs, n) = state.getOption
+            .map(s => (s.lastTsMicros, s.sessionN)).getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+            val tsMicros = r.ts.getTime * 1000L
+            if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
+              n += 1
+            lastTs = tsMicros
+            SessOut(uid, r.event_id, r.ts, n)
+          }
+          state.update(SessState(lastTs, n))
+          out.iterator
+      }
+  }
+
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
   final case class EwmaOut(key: String, ts: java.sql.Timestamp, ewma: Double)
   final case class EwmaState(ewma: Double)
