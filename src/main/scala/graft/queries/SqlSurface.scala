@@ -12,13 +12,16 @@ import graft.Tables
   */
 object SqlSurface {
 
-  /** Register every test table as a `<name>_v` temp view. */
-  def register(spark: SparkSession, dir: String): Unit =
-    Tables.all.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
+  /** Register test tables as `<name>_v` temp views. Panels pass only the
+    * tables they read — registering a view costs a parquet footer/schema
+    * read per table, which at 4 panels × 10 tables was pure overhead. */
+  def register(spark: SparkSession, dir: String,
+      tables: Seq[String] = Tables.all): Unit =
+    tables.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(s"${t}_v"))
 
   /** all.json panel 1: 5-min bucket average within a time range. */
   def timeseriesPanel(spark: SparkSession, dir: String): DataFrame = {
-    register(spark, dir)
+    register(spark, dir, Seq("events"))
     spark.sql("""
       SELECT timestamp_micros(CAST(unix_micros(ts) DIV 300000000 AS BIGINT) * 300000000) AS bucket,
              count(*) AS n,
@@ -30,7 +33,7 @@ object SqlSurface {
 
   /** files.json thread-pivot shape: `agg FILTER (WHERE ...)` per lane. */
   def pivotPanel(spark: SparkSession, dir: String): DataFrame = {
-    register(spark, dir)
+    register(spark, dir, Seq("events"))
     spark.sql("""
       SELECT date_trunc('day', ts) AS day,
              max(event_id) FILTER (WHERE user_id % 4 = 0) AS lane_0,
@@ -42,7 +45,7 @@ object SqlSurface {
 
   /** files.json "Percent Processed": ratio of two scalar subqueries. */
   def percentPanel(spark: SparkSession, dir: String): DataFrame = {
-    register(spark, dir)
+    register(spark, dir, Seq("events"))
     spark.sql("""
       SELECT (SELECT count(*) FROM events_v WHERE event_type = 'purchase') AS n_done,
              (SELECT count(*) FROM events_v) AS n_all,
@@ -52,7 +55,7 @@ object SqlSurface {
 
   /** files.json timeline guardrail: newest-N window (LIMIT 5000 shape). */
   def timelinePanel(spark: SparkSession, dir: String): DataFrame = {
-    register(spark, dir)
+    register(spark, dir, Seq("events"))
     spark.sql("""
       SELECT event_id, user_id, event_type
       FROM events_v
