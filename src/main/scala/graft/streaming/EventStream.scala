@@ -30,6 +30,21 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream interval join — the attribution shape: an
+    * effect event joins its cause iff it arrives within `maxDelay` of it.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can expire join state (without the
+    * bound, stream-stream inner join state grows forever). Expects
+    * `cause(cause_id, cause_ts, …)` and `effect(effect_cause_id,
+    * effect_ts, …)`; returns matched pairs with all columns. */
+  def attributionJoin(cause: DataFrame, effect: DataFrame,
+      maxDelay: String = "15 minutes"): DataFrame =
+    cause.withWatermark("cause_ts", maxDelay)
+      .join(effect.withWatermark("effect_ts", maxDelay),
+        expr(s"""cause_id = effect_cause_id
+                 AND effect_ts >= cause_ts
+                 AND effect_ts <= cause_ts + INTERVAL $maxDelay"""))
+
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       session_n: Long)

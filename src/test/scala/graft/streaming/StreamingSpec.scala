@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L)) // both in-batch and cross-batch dups dropped
   }
 
+  test("EventStream.attributionJoin: effects within the delay bound match, late ones don't") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val causes = MemoryStream[(Long, java.sql.Timestamp)]
+    val effects = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventStream.attributionJoin(
+      causes.toDF().toDF("cause_id", "cause_ts"),
+      effects.toDF().toDF("effect_cause_id", "effect_ts"))
+    val q = out.writeStream.format("memory").queryName("attr").outputMode("append").start()
+    causes.addData((1L, t("2024-01-01T00:00:00Z")), (2L, t("2024-01-01T00:00:00Z")))
+    effects.addData(
+      (1L, t("2024-01-01T00:05:00Z")),  // within 15 min → match
+      (2L, t("2024-01-01T01:00:00Z")),  // 60 min later → out of bound
+      (3L, t("2024-01-01T00:06:00Z")))  // no such cause
+    q.processAllAvailable()
+    val matched = spark.sql("SELECT cause_id FROM attr").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(matched === Array(1L))
+  }
+
   test("EventStream.streamingEwma: state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
