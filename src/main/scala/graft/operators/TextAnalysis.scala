@@ -228,9 +228,11 @@ object TextAnalysis {
         Window.partitionBy("stratum").orderBy(col("n_tokens").asc_nulls_first)))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("stratum")))
     // rank of the p-quantile = ceil(p·n) = (num·n + den − 1) div den —
-    // integer arithmetic only, so both engines pick the identical row
+    // true integer division (`div`, not Column./ which is a double Divide
+    // and loses exactness past 2^53 rows per stratum), so both engines
+    // pick the identical row
     def at(num: Int, den: Int) =
-      min(when(col("rn") === ((col("n") * num + den - 1) / den).cast("long"), col("n_tokens")))
+      min(when(col("rn") === expr(s"(n * $num + ${den - 1}) div $den"), col("n_tokens")))
     ranked.groupBy("stratum").agg(
       count(lit(1)).as("n_docs"),
       at(1, 2).as("p50_tokens"),

@@ -66,8 +66,13 @@ object EventStream {
         (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
           var (lastTs, n) = state.getOption
             .map(s => (s.lastTsMicros, s.sessionN)).getOrElse((Long.MinValue, 0L))
-          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
-            val tsMicros = r.ts.getTime * 1000L
+          // full µs precision (getTime alone truncates to ms, which would
+          // misnumber sub-ms gaps relative to the batch operator's
+          // unix_micros arithmetic)
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val out = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).map { r =>
+            val tsMicros = micros(r.ts)
             if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
               n += 1
             lastTs = tsMicros

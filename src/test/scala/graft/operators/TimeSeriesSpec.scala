@@ -42,9 +42,12 @@ class TimeSeriesSpec extends SparkSpec {
   test("streaming sessionize matches the batch operator on in-order input") {
     import spark.implicits._
     val rows = Seq(
+      // 999 µs past the 1800 s threshold: a new session at full µs
+      // precision, but ms truncation reads the gap as exactly 1800 s and
+      // would keep one session — pins the streaming micros() arithmetic
       graft.streaming.EventStream.Ev(7L, 1L, t("2024-01-01T00:00:00Z")),
-      graft.streaming.EventStream.Ev(7L, 2L, t("2024-01-01T00:10:00Z")),
-      graft.streaming.EventStream.Ev(7L, 3L, t("2024-01-01T01:00:00Z")),
+      graft.streaming.EventStream.Ev(7L, 2L, t("2024-01-01T00:30:00.000999Z")),
+      graft.streaming.EventStream.Ev(7L, 3L, t("2024-01-01T02:00:00Z")),
       graft.streaming.EventStream.Ev(8L, 4L, t("2024-01-01T02:00:00Z")))
     val batch = TimeSeries.sessionize(
         rows.toDF().select(col("user_id"), col("event_id"), col("ts")),
