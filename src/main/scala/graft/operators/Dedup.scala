@@ -317,6 +317,42 @@ object Dedup {
       .join(broadcast(hits), Seq("fp"), "left_anti")
   }
 
+  /** Sub-document span dedup — the C4/RefinedWeb-style pass that removes
+    * REPEATED SPANS (boilerplate paragraphs, templated footers) while
+    * keeping the documents: the normalized text splits into consecutive
+    * `blockWords`-word blocks, every duplicate block keeps only its first
+    * occurrence (ordered by doc id, then block index — within-doc repeats
+    * dedup too), and survivors reassemble in order. Returns
+    * (id, n_blocks, n_kept, clean_text).
+    *
+    * Scale shape: one shuffle on block content for the first-occurrence
+    * window (block texts are bounded at `blockWords` words, so the
+    * partition key is never a whole document), one shuffle back on id for
+    * reassembly. Exact string semantics end-to-end — no hashing, so no
+    * collision risk and full oracle-checkability; swap the partition key
+    * to a block hash if block texts ever dominate shuffle volume. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      blockWords: Int = 20): DataFrame = {
+    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
+      posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+    val blocks = words
+      .withColumn("blk", expr(s"pos div $blockWords"))
+      .groupBy("id", "blk")
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("pos"), col("w")))).getField("w")).as("btext"))
+    val firstOf = Window.partitionBy("btext")
+    blocks
+      .withColumn("first", min(struct(col("id"), col("blk"))).over(firstOf))
+      .withColumn("kept", col("first.id") === col("id") && col("first.blk") === col("blk"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", array_sort(
+          collect_list(when(col("kept"), struct(col("blk"), col("btext")))))
+          .getField("btext")).as("clean_text"))
+  }
+
   /** Deterministic hash split — assign every row to one of `buckets`
     * pseudo-random buckets from its id alone (no RNG, no global sort):
     * the train/val/test sharding every corpus pipeline needs. Stable

@@ -208,6 +208,24 @@ object TextAnalysis {
       .withColumn("selected", col("cum_tokens") < tokenBudget)
   }
 
+  /** Corpus vocabulary induction: the `k` tokens appearing in the most
+    * documents, with document frequency and rank — the seed list for
+    * tokenizer training, stopword induction and the `maxDocFreq` prunes
+    * the dedup family uses. Top-k is `orderBy().limit()` (Spark's
+    * distributed TakeOrdered — per-partition heaps, never a global sort
+    * of the vocabulary); the ranking window then runs over k rows only.
+    * Ties break on the token for determinism. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .distinct()
+    toks.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("tok")).limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("doc_freq").desc, col("tok"))))
+  }
+
   /** Per-stratum corpus length profile: document count and exact DISCRETE
     * token-length quantiles (p50/p90/p99) — the distribution audit a
     * corpus pipeline runs before choosing packing budgets and length

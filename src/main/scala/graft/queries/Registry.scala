@@ -1637,6 +1637,44 @@ object Registry {
               FROM posts p JOIN dfreq f ON p.sg = f.sg
               GROUP BY 1 ORDER BY id""")),
 
+    // Sub-document span dedup: repeated 20-word blocks keep only their
+    // first (doc, position) occurrence; docs reassemble from survivors —
+    // exact string semantics end-to-end, no hashing
+    Q("dd_span_dedup",
+      (s, d) => Dedup.spanDedup(T(s, d, "documents"), "doc_id", "text", blockWords = 20)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+                   b0 AS (SELECT doc_id,
+                            [{'blk': i - 1,
+                              'btext': array_to_string(ws[(i-1)*20+1 : (i-1)*20+20], ' ')}
+                             for i in range(1, (len(ws) + 19) // 20 + 1)] AS bs
+                          FROM w),
+                   bl AS (SELECT doc_id, unnest(bs, recursive := true) FROM b0),
+                   flag AS (SELECT doc_id, blk, btext,
+                              row_number() OVER (PARTITION BY btext ORDER BY doc_id, blk) AS rn
+                            FROM bl)
+              SELECT doc_id AS id, count(*) AS n_blocks,
+                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY blk), '') AS clean_text
+              FROM flag GROUP BY doc_id ORDER BY id""")),
+
+    // Vocabulary induction: top-50 tokens by document frequency — the
+    // seed list for tokenizer training / stopword + maxDocFreq pruning
+    Q("ta_vocab",
+      (s, d) => graft.operators.TextAnalysis.vocabulary(
+          T(s, d, "documents"), "doc_id", "text", k = 50)
+        .orderBy("rnk"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   tk AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+                   dfq AS (SELECT tok, count(*) AS doc_freq FROM tk GROUP BY tok),
+                   ranked AS (SELECT tok, doc_freq,
+                                row_number() OVER (ORDER BY doc_freq DESC, tok) AS rnk
+                              FROM dfq)
+              SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
+
     // Corpus diversity audit: per-cluster membership under the pre-trained
     // IVF quantizer (same argmin-cosine assignment the oracle replicates
     // for ann_topk_ivf_trained, aggregated instead of searched)

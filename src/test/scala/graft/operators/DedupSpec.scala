@@ -84,6 +84,35 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
   }
 
+  test("spanDedup: repeated blocks keep first occurrence; docs reassemble in order") {
+    import spark.implicits._
+    // blockWords=3 → doc 1 = [A B C][D E F]; doc 2 repeats block [a b c]
+    // then fresh words; doc 3 is entirely doc 1's first block
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "A B C x y z"),   // normalizes to doc 1's first block + new block
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", blockWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f")))   // first owner keeps all
+    assert(out(2L) === ((2L, 1L, "x y z")))          // duplicate block stripped
+    assert(out(3L) === ((1L, 0L, "")))               // nothing left
+  }
+
+  test("vocabulary: top-k by document frequency, deterministic tie order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("alpha", 3L, 1), ("beta", 2L, 2), ("delta", 1L, 3)))
+  }
+
   test("lengthProfile: exact discrete quantiles per stratum") {
     import spark.implicits._
     // stratum "a": lengths 1..10 → p50 = rank 5 → 5, p90 = rank 9 → 9,
