@@ -312,6 +312,18 @@ object Registry {
               WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
               ORDER BY p_partkey""")),
 
+    // Semi-structured payloads: JSON path extraction from the events
+    // `props` column (beyond the reference's flat model — the metadata
+    // sidecar every telemetry/training-data table carries). Both engines
+    // parse the same JSON text; the int round-trips exactly.
+    Q("p19_json_extract",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id""")),
+
     // ---------------------------------------------------------- J layer
     Q("j01_left_join",
       (s, d) => T(s, d, "orders")
@@ -1636,6 +1648,93 @@ object Registry {
                      CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
               FROM posts p JOIN dfreq f ON p.sg = f.sg
               GROUP BY 1 ORDER BY id""")),
+
+    // The per-doc QUALITY REPORT CARD — third flagship composition next
+    // to nem_crunch_pipeline and ta_corpus_pipeline: one wide feature
+    // table (tokens, quality, language, PII counts, within-doc repetition,
+    // cross-corpus novelty) plus the keep/drop decision a filtering
+    // pipeline materializes before corpus assembly. Every column reuses an
+    // individually-proven operator; null-text docs keep their row with
+    // null features (keep = null, three-valued AND on both engines).
+    Q("ta_quality_report",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val base = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langGuess(col("text")).as("lang_guess"),
+          TextAnalysis.emailCount(col("text")).as("n_emails"),
+          TextAnalysis.urlCount(col("text")).as("n_urls"))
+        val rep = TextAnalysis.repetitionProfile(docs, "doc_id", "text", n = 2)
+          .select(col("id").as("doc_id"), col("top_gram_frac"))
+        val nov = TextAnalysis.noveltyProfile(docs, "doc_id", "text", n = 3)
+          .select(col("id").as("doc_id"), col("mean_df"))
+        base.join(rep, Seq("doc_id"), "left").join(nov, Seq("doc_id"), "left")
+          .withColumn("keep",
+            col("n_tokens") >= 5 && col("quality") >= lit(0.5) &&
+            col("top_gram_frac") <= lit(0.5) && col("n_emails") === 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                      round((
+                        least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                        + (1.0::DOUBLE - least(
+                            (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                                  ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                       / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                        + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                             ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                                  / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                             BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                      ) / 3.0::DOUBLE, 6) AS quality,
+                      CASE
+                        WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'unk' END AS lang_guess,
+                      len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                      len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls
+                    FROM (SELECT doc_id, text,
+                            (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+                            (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+                            (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+                            (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
+                          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents) raw) scored),
+                   nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w2 AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+                   g2 AS (SELECT doc_id,
+                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
+                         FROM w2),
+                   cnt2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+                   rep AS (SELECT doc_id,
+                             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
+                           FROM cnt2 GROUP BY 1),
+                   sh3 AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w2),
+                   posts3 AS (SELECT doc_id, unnest(s) AS sg FROM sh3),
+                   dfq3 AS (SELECT sg, count(*) AS df_s FROM posts3 GROUP BY sg),
+                   nov AS (SELECT p.doc_id, CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
+                           FROM posts3 p JOIN dfq3 f ON p.sg = f.sg GROUP BY 1)
+              SELECT b.doc_id, b.n_tokens, b.quality, b.lang_guess, b.n_emails, b.n_urls,
+                     rep.top_gram_frac, nov.mean_df,
+                     (b.n_tokens >= 5 AND b.quality >= 0.5::DOUBLE
+                      AND rep.top_gram_frac <= 0.5::DOUBLE AND b.n_emails = 0) AS keep
+              FROM base b
+              LEFT JOIN rep ON rep.doc_id = b.doc_id
+              LEFT JOIN nov ON nov.doc_id = b.doc_id
+              ORDER BY b.doc_id""")),
 
     // Sub-document span dedup: repeated 20-word blocks keep only their
     // first (doc, position) occurrence; docs reassemble from survivors —
