@@ -45,6 +45,18 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** The `(id, pos, w)` word-postings stream every text operator builds
+    * on (shingling, repetition, span dedup, vocabulary) — ONE definition
+    * so normalization/split/partitioning semantics can't drift between
+    * them. Repartition by id up front: a small parquet file arrives as
+    * ONE split, serializing the normalize/explode work; hashing by id
+    * here also satisfies downstream per-id windows' required
+    * distribution (no 2nd shuffle). */
+  private[operators] def wordPosts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.repartition(col(idCol)).select(col(idCol).as("id"),
+      posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+
   /** Distinct word `n`-gram postings (id, shingle), persisted.
     * Codegen-friendly: normalize+split once per doc, posexplode, window
     * `lead` to assemble shingles. A doc shorter than `n` words yields its
@@ -53,11 +65,7 @@ object Dedup {
   private[operators] def shinglePosts(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
-    // repartition by id up front: a small parquet file arrives as ONE
-    // split, serializing the normalize/explode work; hashing by id here
-    // also satisfies the window's required distribution (no 2nd shuffle)
-    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
-        posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+    val words = wordPosts(df, idCol, textCol)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
     words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
@@ -333,9 +341,7 @@ object Dedup {
     * to a block hash if block texts ever dominate shuffle volume. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       blockWords: Int = 20): DataFrame = {
-    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
-      posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
-    val blocks = words
+    val blocks = wordPosts(df, idCol, textCol)
       .withColumn("blk", expr(s"pos div $blockWords"))
       .groupBy("id", "blk")
       .agg(concat_ws(" ",

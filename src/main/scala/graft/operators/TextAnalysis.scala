@@ -51,8 +51,7 @@ object TextAnalysis {
       n: Int = 2): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
-    val words = df.repartition(col(idCol)).select(col(idCol).as("id"),
-      posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+    val words = Dedup.wordPosts(df, idCol, textCol)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
     val grams = words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
@@ -208,6 +207,30 @@ object TextAnalysis {
       .withColumn("selected", col("cum_tokens") < tokenBudget)
   }
 
+  /** The per-document QUALITY REPORT CARD — one wide feature table
+    * (tokens, quality, language guess, PII counts, within-doc repetition,
+    * cross-corpus novelty) plus the keep/drop decision a filtering
+    * pipeline materializes before corpus assembly. Null-text docs keep
+    * their row with null features and a null `keep` (three-valued AND) —
+    * an unreadable doc is a review case, not a silent keep or drop. */
+  def qualityReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      qualityScore(col(textCol)).as("quality"),
+      langGuess(col(textCol)).as("lang_guess"),
+      emailCount(col(textCol)).as("n_emails"),
+      urlCount(col(textCol)).as("n_urls"))
+    val rep = repetitionProfile(df, idCol, textCol, n = 2)
+      .select(col("id").as(idCol), col("top_gram_frac"))
+    val nov = noveltyProfile(df, idCol, textCol, n = 3)
+      .select(col("id").as(idCol), col("mean_df"))
+    base.join(rep, Seq(idCol), "left").join(nov, Seq(idCol), "left")
+      .withColumn("keep",
+        col("n_tokens") >= 5 && col("quality") >= lit(0.5) &&
+        col("top_gram_frac") <= lit(0.5) && col("n_emails") === 0)
+  }
+
   /** Corpus vocabulary induction: the `k` tokens appearing in the most
     * documents, with document frequency and rank — the seed list for
     * tokenizer training, stopword induction and the `maxDocFreq` prunes
@@ -218,8 +241,8 @@ object TextAnalysis {
   def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), explode(split(normalize(col(textCol)), " ")).as("tok"))
+    val toks = Dedup.wordPosts(df, idCol, textCol)
+      .select(col("id"), col("w").as("tok"))
       .distinct()
     toks.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("tok")).limit(k)

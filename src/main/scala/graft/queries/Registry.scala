@@ -1657,24 +1657,8 @@ object Registry {
     // individually-proven operator; null-text docs keep their row with
     // null features (keep = null, three-valued AND on both engines).
     Q("ta_quality_report",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val base = docs.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.langGuess(col("text")).as("lang_guess"),
-          TextAnalysis.emailCount(col("text")).as("n_emails"),
-          TextAnalysis.urlCount(col("text")).as("n_urls"))
-        val rep = TextAnalysis.repetitionProfile(docs, "doc_id", "text", n = 2)
-          .select(col("id").as("doc_id"), col("top_gram_frac"))
-        val nov = TextAnalysis.noveltyProfile(docs, "doc_id", "text", n = 3)
-          .select(col("id").as("doc_id"), col("mean_df"))
-        base.join(rep, Seq("doc_id"), "left").join(nov, Seq("doc_id"), "left")
-          .withColumn("keep",
-            col("n_tokens") >= 5 && col("quality") >= lit(0.5) &&
-            col("top_gram_frac") <= lit(0.5) && col("n_emails") === 0)
-          .orderBy("doc_id")
-      },
+      (s, d) => TextAnalysis.qualityReport(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
       Some("""WITH base AS (SELECT doc_id,
                       CASE WHEN length(trim(text)) = 0 THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,

@@ -87,11 +87,13 @@ class DedupSpec extends SparkSpec {
   test("spanDedup: repeated blocks keep first occurrence; docs reassemble in order") {
     import spark.implicits._
     // blockWords=3 → doc 1 = [A B C][D E F]; doc 2 repeats block [a b c]
-    // then fresh words; doc 3 is entirely doc 1's first block
+    // then fresh words; doc 3 is entirely doc 1's first block; doc 4
+    // repeats its own first block (within-doc dedup)
     val docs = Seq(
       (1L, "a b c d e f"),
       (2L, "A B C x y z"),   // normalizes to doc 1's first block + new block
-      (3L, "a b c")
+      (3L, "a b c"),
+      (4L, "p q r p q r")
     ).toDF("doc_id", "text")
     val out = Dedup.spanDedup(docs, "doc_id", "text", blockWords = 3)
       .collect().map(r => r.getLong(0) ->
@@ -99,6 +101,26 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, "a b c d e f")))   // first owner keeps all
     assert(out(2L) === ((2L, 1L, "x y z")))          // duplicate block stripped
     assert(out(3L) === ((1L, 0L, "")))               // nothing left
+    assert(out(4L) === ((2L, 1L, "p q r")))          // internal repeat collapses
+  }
+
+  test("qualityReport: keep true/false branches and null-text three-valued logic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a perfectly reasonable sentence about engines with many varied clean words present")),
+      (2L, Some("buy now buy now buy now buy now buy now buy now")), // repetition → drop
+      (3L, Some("contact me at someone@example.com for all the details right away please")), // PII → drop
+      (4L, Some("too short")),                                       // length gate → drop
+      (5L, Option.empty[String])                                     // null text → keep null
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("keep"))).map(_.asInstanceOf[Boolean]))).toMap
+    assert(rows(1L) === Some(true))
+    assert(rows(2L) === Some(false)) // top_gram_frac ~0.5+ ("buy now" dominates)
+    assert(rows(3L) === Some(false)) // n_emails = 1
+    assert(rows(4L) === Some(false)) // n_tokens < 5
+    assert(rows(5L) === None)        // unreadable doc is a review case
   }
 
   test("vocabulary: top-k by document frequency, deterministic tie order") {
