@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.GraftFunctions
-import graft.plans.{AsOfJoin, AsOfPushdown}
+import graft.plans.{AsOfJoin, AsOfPushdown, NanosRangePushdown}
 
 /** spark-submit-time registration of the engine's Catalyst extensions:
   *
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
     e.injectOptimizerRule(_ => AsOfPushdown)
+    e.injectOptimizerRule(_ => NanosRangePushdown)
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
     GraftFunctions.registry.foreach { case (name, usage, builder) =>

@@ -19,9 +19,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name == "events" && df.schema("ts").dataType == LongType) {
+      // range predicates on the truncated column can't reach the scan on
+      // their own — the pushdown rule derives the raw-nanos bounds
+      graft.plans.NanosRangePushdown.register(spark)
       // integer div, not `/`: long→double division loses ulps at 1e18 ns
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    } else df
   }
 }
