@@ -52,8 +52,10 @@ object AsOfPushdown extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** Idempotent registration alongside [[AsOfJoin.register]]. */
-  def register(spark: SparkSession): Unit = {
+  /** Idempotent registration alongside [[AsOfJoin.register]]. Locks on
+    * `spark.experimental` (shared with [[NanosRangePushdown.register]])
+    * so concurrent registrations can't lose each other's rule. */
+  def register(spark: SparkSession): Unit = spark.experimental.synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[AsOfPushdown.type]))
       spark.experimental.extraOptimizations = cur :+ AsOfPushdown

@@ -51,30 +51,40 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
   /** Guard against v*1000 overflow (year ~294k in µs is far below it). */
   private val MaxV = Long.MaxValue / 1000 - 1
 
-  private def derived(cmp: Expression): Option[Expression] = cmp match {
+  /** Derived conjuncts for one predicate — returned FLAT (never wrapped
+    * in And): the optimizer re-splits conjunctions next iteration, so an
+    * And-wrapped pair would evade the semanticEquals idempotency check
+    * and the rule would never converge. */
+  private def derived(cmp: Expression): Seq[Expression] = cmp match {
     case GreaterThanOrEqual(MicrosOfNanos(a), Literal(v: Long, TimestampType))
         if v > 0 && v < MaxV =>
-      Some(GreaterThanOrEqual(a, Literal(v * 1000L)))
+      Seq(GreaterThanOrEqual(a, Literal(v * 1000L)))
     case GreaterThan(MicrosOfNanos(a), Literal(v: Long, TimestampType))
         if v >= 0 && v < MaxV =>
-      Some(GreaterThan(a, Literal(v * 1000L + 999L)))
+      Seq(GreaterThan(a, Literal(v * 1000L + 999L)))
     case LessThanOrEqual(MicrosOfNanos(a), Literal(v: Long, TimestampType))
         if v >= 0 && v < MaxV =>
-      Some(LessThanOrEqual(a, Literal(v * 1000L + 999L)))
+      Seq(LessThanOrEqual(a, Literal(v * 1000L + 999L)))
     case LessThan(MicrosOfNanos(a), Literal(v: Long, TimestampType))
         if v > 0 && v < MaxV =>
-      Some(LessThan(a, Literal(v * 1000L)))
+      Seq(LessThan(a, Literal(v * 1000L)))
     case EqualTo(MicrosOfNanos(a), Literal(v: Long, TimestampType))
         if v > 0 && v < MaxV =>
-      Some(And(GreaterThanOrEqual(a, Literal(v * 1000L)),
-        LessThanOrEqual(a, Literal(v * 1000L + 999L))))
-    // literal-on-left forms normalize to the matches above
-    case GreaterThanOrEqual(l: Literal, e) => derived(LessThanOrEqual(e, l))
-    case GreaterThan(l: Literal, e) => derived(LessThan(e, l))
-    case LessThanOrEqual(l: Literal, e) => derived(GreaterThanOrEqual(e, l))
-    case LessThan(l: Literal, e) => derived(GreaterThan(e, l))
-    case EqualTo(l: Literal, e) => derived(EqualTo(e, l))
-    case _ => None
+      Seq(GreaterThanOrEqual(a, Literal(v * 1000L)),
+        LessThanOrEqual(a, Literal(v * 1000L + 999L)))
+    // literal-on-left forms normalize to the matches above; the
+    // non-Literal guard prevents literal-vs-literal mutual recursion
+    case GreaterThanOrEqual(l: Literal, e) if !e.isInstanceOf[Literal] =>
+      derived(LessThanOrEqual(e, l))
+    case GreaterThan(l: Literal, e) if !e.isInstanceOf[Literal] =>
+      derived(LessThan(e, l))
+    case LessThanOrEqual(l: Literal, e) if !e.isInstanceOf[Literal] =>
+      derived(GreaterThanOrEqual(e, l))
+    case LessThan(l: Literal, e) if !e.isInstanceOf[Literal] =>
+      derived(GreaterThan(e, l))
+    case EqualTo(l: Literal, e) if !e.isInstanceOf[Literal] =>
+      derived(EqualTo(e, l))
+    case _ => Nil
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -88,8 +98,11 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
       else Filter((preds ++ extra).reduce(And), child)
   }
 
-  /** Idempotent session registration (same pattern as [[AsOfPushdown]]). */
-  def register(spark: SparkSession): Unit = {
+  /** Idempotent session registration (same pattern as [[AsOfPushdown]]).
+    * Locks on `spark.experimental`: the read-modify-write of
+    * `extraOptimizations` would otherwise race with concurrent
+    * registrations on a shared session and silently drop a rule. */
+  def register(spark: SparkSession): Unit = spark.experimental.synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[NanosRangePushdown.type]))
       spark.experimental.extraOptimizations = cur :+ NanosRangePushdown

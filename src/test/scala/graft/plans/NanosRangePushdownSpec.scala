@@ -48,10 +48,13 @@ class NanosRangePushdownSpec extends SparkSpec {
     val tEq = lit("2024-01-01 00:00:02").cast("timestamp")
     val eqPlan = nanosTable().filter(col("ts") === tEq)
       .queryExecution.executedPlan.toString
-    // plan rendering truncates long PushedFilters lists — assert on the
-    // derived bounds in the Filter condition (same raw-attribute compare)
-    assert(eqPlan.contains(">= 1704067202000000000"), eqPlan)
-    assert(eqPlan.contains("<= 1704067202000000999"), eqPlan)
+    assert(eqPlan.contains("GreaterThanOrEqual(ts,1704067202000000000)"), eqPlan)
+    assert(eqPlan.contains("LessThanOrEqual(ts,1704067202000000999)"), eqPlan)
+    // convergence: the bound appears once per plan section (Filter,
+    // DataFilters, PushedFilters), not once per optimizer iteration —
+    // an And-wrapped derivation used to re-add it 100 times
+    val occurrences = "1704067202000000000".r.findAllIn(eqPlan).length
+    assert(occurrences <= 3, s"derived bound duplicated $occurrences times:\n$eqPlan")
     val orPlan = nanosTable().filter(col("ts") === tEq || col("id") === 1L)
       .queryExecution.executedPlan.toString
     assert(!orPlan.contains("1704067202000000000"), s"derived bound leaked under OR:\n$orPlan")
