@@ -216,7 +216,7 @@ object Similarity {
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.graftops.PlanApi
     val bits = planes.map { h =>
-      val hCol = array(h.map(lit): _*)
+      val hCol = array(h.toIndexedSeq.map(lit): _*)
       val dot = PlanApi.column(graft.functions.VectorDot(
         PlanApi.expression(vec), PlanApi.expression(hCol)))
       when(dot >= 0, lit(1)).otherwise(lit(0))

@@ -51,7 +51,7 @@ object Registry {
     Q("p02_drop_positional",
       (s, d) => {
         val p = T(s, d, "part")
-        p.drop(p.columns.take(2): _*)  // positional: first 2 columns
+        p.drop(p.columns.take(2).toIndexedSeq: _*)  // positional: first 2 columns
           .orderBy("p_brand", "p_type", "p_size", "p_retailprice")
       },
       Some("""SELECT p_brand, p_type, p_size, p_retailprice
