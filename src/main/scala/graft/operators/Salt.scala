@@ -20,6 +20,24 @@ object Salt {
   private def saltCol(df: DataFrame, factor: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int")
 
+  /** Two-phase salted aggregation for skewed group keys: partial
+    * count/sum per `(keys, salt)` — `factor` reducers share each hot
+    * key's rows — then the tiny per-salt partials combine per key.
+    * Exact for decomposable aggregates (count/sum here): the result is
+    * identical to the direct groupBy, only the shuffle distribution
+    * changes. Returns (keys…, n, sum_cents); pass the value pre-scaled
+    * to an exact integer (the cent-sum convention) so the two-phase sum
+    * is bit-stable. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueInt: Column,
+      factor: Int): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(df, factor))
+      .withColumn("__v", valueInt)
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_cents"))
+  }
+
   /** Equi-join `big ⋈ small` on `keys`, salted `factor`-ways.
     * Only inner/left(-semi) preserve output equivalence: an outer join on
     * the exploded small side would emit `factor` null-padded copies of an

@@ -312,6 +312,19 @@ object Registry {
               WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
               ORDER BY p_partkey""")),
 
+    // Skew-safe aggregation: two-phase salted count/cent-sum over a
+    // 3-value group key (the shape where one hot key would otherwise pin
+    // a single reducer at corpus scale) — result identical to the direct
+    // GROUP BY, which is exactly what the oracle states
+    Q("a10_salted_agg",
+      (s, d) => graft.operators.Salt.saltedSumCount(
+          T(s, d, "lineitem"), Seq("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long"), factor = 16)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Semi-structured payloads: JSON path extraction from the events
     // `props` column (beyond the reference's flat model — the metadata
     // sidecar every telemetry/training-data table carries). Both engines

@@ -25,6 +25,17 @@ class BucketingSaltSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase aggregation equals the direct groupBy exactly") {
+    val l = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val direct = l.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = graft.operators.Salt.saltedSumCount(l, Seq("l_returnflag"), cents, 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
   test("salted join returns exactly the unsalted result") {
     val l = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val o = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
