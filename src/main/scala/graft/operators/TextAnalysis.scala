@@ -175,6 +175,25 @@ object TextAnalysis {
     h < rate * SampleResolution
   }
 
+  /** Exact-count stratified sampling: exactly `min(n, |stratum|)` rows
+    * per stratum, chosen by salted-hash order — the fixed-size eval-set
+    * builder next to the rate-based [[sampleKeep]]. Deterministic across
+    * runs/engines/cluster sizes (hash order + id tie-break, no RNG), and
+    * independent of [[sampleKeep]]/[[Dedup.hashBucket]] choices thanks
+    * to the salt. Null ids never qualify (no stable identity — same rule
+    * as [[sampleKeep]]). One bounded window per stratum. */
+  def sampleExact(df: org.apache.spark.sql.DataFrame, idCol: String,
+      stratumCol: String, n: Int,
+      salt: String = "#exact"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt)))
+    val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_x_rn", row_number().over(w))
+      .filter(col("_x_rn") <= n)
+      .drop("_x_rn")
+  }
+
   /** Token-budget corpus selection — fill a per-stratum token budget in
     * priority order (quality score, recency, …) and stop: the data-
     * selection step between filtering and packing. A doc is kept iff the

@@ -1395,6 +1395,22 @@ object Registry {
               WHERE h < rate * 1000000
               ORDER BY doc_id""")),
 
+    // Exact-count stratified sample: exactly 30 docs per language by
+    // salted-hash order — the fixed-size eval-set builder (vs the
+    // rate-based ta_stratified_sample)
+    Q("ta_exact_sample",
+      (s, d) => graft.operators.TextAnalysis.sampleExact(
+          T(s, d, "documents"), "doc_id", "lang", n = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#exact'), 18, 15))::BIGINT,
+                                  doc_id) AS rn
+                FROM documents WHERE doc_id IS NOT NULL)
+              WHERE rn <= 30 ORDER BY doc_id""")),
+
     // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
     // length gate → exact dedup → stratified sample → token budget →
     // deterministic shuffle → sequence packing, all one oracle-checked

@@ -135,6 +135,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(("alpha", 3L, 1), ("beta", 2L, 2), ("delta", 1L, 3)))
   }
 
+  test("sampleExact: exactly n per stratum, deterministic, small strata kept whole") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "a")) ++ Seq((200L, "b"), (201L, "b")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.sampleExact(docs, "doc_id", "lang", n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "a") === 10)
+    assert(out.count(_._2 == "b") === 2)   // stratum smaller than n kept whole
+    val again = TextAnalysis.sampleExact(docs, "doc_id", "lang", n = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted === again.sorted)     // deterministic
+    // a different salt draws a different sample (independence)
+    val other = TextAnalysis.sampleExact(docs, "doc_id", "lang", n = 10, salt = "#other")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(other.sorted !== out.sorted)
+  }
+
   test("lengthProfile: exact discrete quantiles per stratum") {
     import spark.implicits._
     // stratum "a": lengths 1..10 → p50 = rank 5 → 5, p90 = rank 9 → 9,
