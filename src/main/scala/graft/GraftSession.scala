@@ -26,6 +26,17 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     .config("spark.sql.files.maxPartitionBytes", "128m")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // Long-lived-session hygiene: the status-store listeners retain per-
+    // execution state (including FULL physical-plan descriptions — ours
+    // are wide: 32-hash signatures, 60-bit sums) even with the UI off,
+    // up to 1000 SQL executions / jobs by default. A session that runs
+    // hundreds of queries (a bench loop, a daemon, a 100 TB pipeline
+    // driver) accumulates hundreds of MB of dead plan strings in old-gen
+    // and degrades GC — cap the retention to what debugging needs.
+    .config("spark.sql.ui.retainedExecutions", "16")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "100")
+    .config("spark.ui.retainedTasks", "1000")
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4, tz: String = "UTC"): SparkSession = {

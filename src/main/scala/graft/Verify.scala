@@ -24,8 +24,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist shared subplans; queries are independent, so
-      // drop those blocks rather than accumulate them across ~60 queries
+      // drop those blocks rather than accumulate them across ~90 queries.
+      // Both layers: catalog caches (persist) AND rdd-level blocks
+      // (localCheckpoint generations — invisible to clearCache)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

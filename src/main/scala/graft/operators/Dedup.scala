@@ -17,20 +17,23 @@ import org.apache.spark.storage.StorageLevel
   *  - the postings stream is persisted once and every downstream branch
   *    (signature, inverted index, verification) reuses it.
   *
-  * Cache lifecycle: the BANDING intermediate — the big one — is released
-  * eagerly inside [[cappedBucketPairs]] (the pair list is materialized
-  * with an eager count, then the banding cache is unpersisted). What can
-  * stay cached across a call is small and plan-keyed: the candidate pair
-  * list (persisted, and it IS the returned frame on the LSH paths, so
-  * callers can `unpersist()` the handle directly) and the shingle
-  * postings stream (corpus-sized but lazily persisted because it backs
-  * the returned lazy DataFrame — materializing it just to release it
-  * would double the work). Persist, not localCheckpoint, deliberately:
-  * persist is plan-keyed in the CacheManager, so re-invoking the same
-  * query (warmup+measure harnesses, dashboards) reuses the blocks
-  * instead of recomputing the candidate join. Callers finish with
-  * `spark.catalog.clearCache()` (what Verify/Bench do); in a long-lived
-  * session the blocks are MEMORY_AND_DISK and evict under LRU pressure.
+  * Cache lifecycle: every public operator here is a LAZY plan-builder —
+  * no persist is populated and no job runs until the caller's first
+  * action. The banding self-join needs no cache at all: its three
+  * branches share one identical Exchange, which ReuseExchange dedups
+  * (see [[cappedBucketPairs]]). What IS persisted — lazily — is small
+  * and plan-keyed: the candidate pair list (inside [[verifyJaccard]],
+  * because it feeds the id-set and final-join branches) and the shingle
+  * postings stream (corpus-sized, but it backs several downstream
+  * branches of the returned frame). Persist, not localCheckpoint,
+  * deliberately: persist is plan-keyed in the CacheManager, so
+  * re-invoking the same query (warmup+measure harnesses, dashboards)
+  * reuses the blocks instead of recomputing the candidate join. Callers
+  * finish with `spark.catalog.clearCache()` (what Verify/Bench do); in a
+  * long-lived session the blocks are MEMORY_AND_DISK and evict under LRU
+  * pressure. The one eager operator is [[connectedComponents]] — it is
+  * inherently iterative, and it releases its own intermediates
+  * (superseded checkpoint generations included) before returning.
   */
 object Dedup {
 
@@ -126,32 +129,56 @@ object Dedup {
     * under this default. */
   val DefaultMaxBucket: Int = 256
 
+  /** Named bound for [[bucketGuard]] on the exact all-pairs
+    * (`maxBucket = Int.MaxValue`) oracle queries: a band bucket past this
+    * size means the fixture (or a production corpus run with the guard)
+    * grew a degenerate key, and the exact self-join would go quadratic —
+    * fail loudly instead of slowly. */
+  val ExactPairsBucketGuard: Int = 4096
+
   /** All-pairs within ≤`maxBucket` buckets of `keys`, rep-star within
     * oversized ones (see [[DefaultMaxBucket]]). `banded0` must have one
     * row per (`id`, keys…, payload…); returns (id_a, id_b) plus
     * `<payload>_a`/`<payload>_b` for each payload column, deduplicated
     * across buckets. Bucket size and representative ride the banding
     * shuffle as window aggregates (WindowExec spills, so even a
-    * degenerate key is linear); the input is persisted here because it
-    * feeds both sides of the self-join plus the star branch, and released
-    * again before returning: the pair list (small — bounded by banding)
-    * is persisted and eagerly counted, so the happy path never reads the
-    * banding cache again. NOTE this is persist, not checkpoint — if the
-    * pair blocks are later evicted/lost, recompute walks the full
-    * lineage back through the (now-unpersisted) banding plan; correct,
-    * just cold. This also makes the public near-dup operators execute
-    * their candidate pipeline EAGERLY at call time — the deliberate
-    * price of not leaking the corpus-sized banding cache. */
+    * degenerate key is linear).
+    *
+    * LAZY — no persist, no job at call time. The banding subplan appears
+    * on both sides of the self-join plus the star branch, but all three
+    * share one identical Exchange on `keys`, which ReuseExchange/AQE
+    * stage reuse dedups: the expensive pipeline BELOW the shuffle
+    * (shingling, the 32-hash signature aggregation, the 60-bit sums)
+    * executes once into the shuffle files; only the linear sort+window
+    * pass above it runs per branch. That keeps the operator a pure
+    * plan-builder — nothing executes before the caller's first action,
+    * and there is no banding cache to leak or to release eagerly (the
+    * r5 design ran a count() inside construction to do that release,
+    * which made every near-dup operator launch jobs at call time).
+    *
+    * `bucketGuard`: when set, any bucket larger than the guard raises a
+    * runtime error naming the size — the exact-all-pairs oracle queries
+    * pin `maxBucket = Int.MaxValue` and must fail loudly, not
+    * quadratically, if the fixture grows a degenerate band key. */
   private def cappedBucketPairs(banded0: DataFrame, keys: Seq[String],
-      payload: Seq[String], maxBucket: Int): DataFrame = {
+      payload: Seq[String], maxBucket: Int,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val idPay = "id" +: payload
     val banded = banded0
       .withColumn("n", count(lit(1)).over(w))
       // min-struct: the representative's id AND payload in one aggregate
       .withColumn("rep", min(struct(idPay.map(col): _*)).over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def side(sfx: String) = banded.filter(col("n") <= maxBucket)
+    // distributed, lazy guard: evaluated per row during the same window
+    // pass that computes n — no extra job, no driver-side count
+    val small = bucketGuard.fold(col("n") <= maxBucket) { g =>
+      when(col("n") > g, raise_error(format_string(
+        s"graft.Dedup bucket guard: band bucket of %s docs exceeds $g; " +
+          "exact all-pairs would go quadratic — raise band bits/planes " +
+          "or run with a finite maxBucket", col("n"))).cast("boolean"))
+        .otherwise(col("n") <= maxBucket)
+    }
+    def side(sfx: String) = banded.filter(small)
       .select(keys.map(col) ++ idPay.map(c => col(c).as(s"${c}_$sfx")): _*)
     val allPairs = side("a").join(side("b"), keys)
       .filter(col("id_a") < col("id_b"))
@@ -159,21 +186,12 @@ object Dedup {
       .select(col("rep.id").as("id_a") +: col("id").as("id_b") +:
         payload.flatMap(p => Seq(col(s"rep.$p").as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
     val outCols = ("id_a" +: "id_b" +: payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))).map(col)
-    // persist (plan-keyed, so an identical rebuild of this query reuses
-    // the blocks) + eager count so the banding cache — the big
-    // intermediate — can be released RIGHT HERE instead of leaking for
-    // the session lifetime. What remains cached is the small pair list,
-    // which IS the returned handle: callers can `unpersist()` it (or
-    // `clearCache()`, as Verify/Bench do) to release the last blocks.
-    val pairs = allPairs.select(outCols: _*).union(starPairs.select(outCols: _*))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    banded.unpersist()
-    pairs
+    allPairs.select(outCols: _*).union(starPairs.select(outCols: _*)).distinct()
   }
 
   private def bandPairs(sig: DataFrame, numHashes: Int, bands: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -182,15 +200,16 @@ object Dedup {
     val banded = sig
       .withColumn("b", explode(array(bandStructs: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket)
+    cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket, bucketGuard)
   }
 
   /** MinHash-LSH candidate pairs: docs sharing any signature band. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands, maxBucket)
+    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands, maxBucket, bucketGuard)
   }
 
   /** Exact Jaccard for given candidate pairs, from the postings stream:
@@ -198,10 +217,9 @@ object Dedup {
   private def verifyJaccard(candsIn: DataFrame, posts: DataFrame,
       minJaccard: Double): DataFrame = {
     // candidate generation feeds two branches (id set + final join);
-    // without caching the whole candidate join would run per branch. A
-    // plan-keyed no-op when the caller already persisted the pairs (the
-    // cappedBucketPairs paths — CacheManager skips re-caching a cached
-    // plan), a small pair-list cache otherwise
+    // without caching the whole candidate join would run per branch.
+    // Lazily persisted (populated on the query's first execution, never
+    // at plan-construction time) and small — bounded by the banding
     val cands = candsIn.persist(StorageLevel.MEMORY_AND_DISK)
     val ids = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b"))).distinct()
@@ -228,9 +246,11 @@ object Dedup {
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.7,
       hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands, maxBucket)
+    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands,
+      maxBucket, bucketGuard)
     verifyJaccard(cands, posts, minJaccard)
   }
 
@@ -271,7 +291,8 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, minCosine: Double = 0.95,
       numPlanes: Int = 16, bandBits: Int = 4, seed: Long = 42L,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val planes = Similarity.lshSignature(col(vecCol),
       Similarity.hyperplanes(numPlanes, dim, seed))
     val nBands = numPlanes / bandBits
@@ -286,7 +307,7 @@ object Dedup {
           concat_ws(",", (0 until bandBits).map(i => col("sig").getItem(b * bandBits + i)): _*).as("bkey"))
       }: _*)))
       .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    val cands = cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket)
+    val cands = cappedBucketPairs(banded, Seq("band", "bkey"), Nil, maxBucket, bucketGuard)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
@@ -422,6 +443,7 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var i = 0
+    import org.apache.spark.sql.graftops.PlanApi
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
@@ -433,6 +455,13 @@ object Dedup {
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
+      // `stepped` is materialized, so the previous generation's checkpoint
+      // blocks are dead — release them NOW. Checkpoint blocks are not
+      // CacheManager entries, so without this every generation of every
+      // invocation lingers until the ContextCleaner happens to GC it:
+      // exactly the storage accumulation that degrades a long-lived
+      // session (BENCH r5's session-wide slowdown lead).
+      PlanApi.releaseCheckpointBlocks(labels)
       // convergence is decided by the MIN-step alone (the jump only
       // accelerates label spreading, it never changes whether labels
       // moved), so check it on the stepped blocks FIRST — the final
@@ -444,11 +473,13 @@ object Dedup {
           // pointer jump (path halving): comp := comp(comp) — long
           // duplicate chains collapse in O(log diameter) rounds instead
           // of O(diameter)
-          stepped
+          val jumped = stepped
             .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")),
               col("comp") === col("jid"), "left")
             .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"))
             .localCheckpoint(true) // eager: materializes AND truncates lineage
+          PlanApi.releaseCheckpointBlocks(stepped) // superseded by the jump
+          jumped
         }
       i += 1
     }
@@ -481,25 +512,41 @@ object Dedup {
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * generated by matching any of 4 `bits/4`-bit chunks (pigeonhole:
-    * distance ≤ 3 guarantees one exact chunk match). */
+  /** Chunk layout for the SimHash pigeonhole banding: `maxHamming + 1`
+    * disjoint chunks covering all `bits`, the low `bits % n` chunks one
+    * bit wider. Exposed so the oracle SQL and specs can replicate the
+    * exact (offset, width) layout. */
+  private[operators] def simhashChunkLayout(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    require(bits >= n, s"bits=$bits must cover maxHamming+1=$n chunks")
+    val widths = (0 until n).map(c => bits / n + (if (c < bits % n) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths) // (offset, width) per chunk
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Candidates come from matching any of `maxHamming + 1` disjoint
+    * signature chunks — the pigeonhole count that makes recall EXACT:
+    * a pair differing in ≤ maxHamming bits cannot differ in every one of
+    * maxHamming+1 chunks, so it always shares at least one chunk key.
+    * (A fixed 4-chunk split, as r5 shipped, only guarantees distance ≤ 3;
+    * Hamming 4–6 pairs were found only if they happened to share a
+    * chunk.) */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
-      bits: Int = 64, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      bits: Int = 64, maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
     val sig = simhash(df, idCol, textCol, tokenHash, bits)
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
-    val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * chunkBits).bitwiseAND(chunkMask).as("ckey"))
+    val chunks = simhashChunkLayout(bits, maxHamming).zipWithIndex.map {
+      case ((off, width), c) =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), off).bitwiseAND((1L << width) - 1).as("ckey"))
     }
-    // the banding input persists inside cappedBucketPairs — without that
-    // the 64-column bit-sum aggregation would execute once per join branch
+    // the 60-column bit-sum aggregation sits BELOW the banding shuffle,
+    // so ReuseExchange computes it once for both self-join sides
     val banded = sig.withColumn("c", explode(array(chunks: _*)))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    cappedBucketPairs(banded, Seq("chunk", "ckey"), Seq("simhash"), maxBucket)
+    cappedBucketPairs(banded, Seq("chunk", "ckey"), Seq("simhash"), maxBucket, bucketGuard)
       .select(col("id_a"), col("id_b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -1031,8 +1031,10 @@ object Registry {
           hashFamily = Dedup.portableFamily,
           // explicit: the DuckDB oracle is exact all-pairs, so the query
           // must never silently switch to rep-star just because a fixture
-          // bucket outgrows DefaultMaxBucket
-          maxBucket = Int.MaxValue)
+          // bucket outgrows DefaultMaxBucket; the guard makes a fixture
+          // that grows a degenerate band bucket fail loudly, not go O(n²)
+          maxBucket = Int.MaxValue,
+          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
                          FROM documents),
@@ -1067,10 +1069,14 @@ object Registry {
     Q("dd_simhash_neardup",
       (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
           maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60,
-          maxBucket = Int.MaxValue) // exact all-pairs, matching the oracle
+          maxBucket = Int.MaxValue, // exact all-pairs, matching the oracle
+          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
         .orderBy("id_a", "id_b"),
       // full simhash pipeline: token hash → per-bit ±1 sums → sign bits →
-      // 4×15-bit chunk bucketing (pigeonhole) → hamming ≤ 6
+      // maxHamming+1 = 7 disjoint chunk keys (pigeonhole — recall is
+      // EXACT for hamming ≤ 6) → verify hamming ≤ 6. Chunk layout
+      // mirrors Dedup.simhashChunkLayout(60, 6): four 9-bit chunks at
+      // offsets 0/9/18/27, three 8-bit chunks at 36/44/52.
       Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
                          FROM documents),
                    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
@@ -1081,8 +1087,10 @@ object Registry {
                    sig AS (SELECT doc_id,
                              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS sh
                            FROM bits GROUP BY 1),
-                   banded AS (SELECT doc_id, sh, c.c AS c, (sh >> (CAST(c.c AS INTEGER) * 15)) & 32767 AS ckey
-                              FROM sig CROSS JOIN range(4) c(c)),
+                   chunks(c, off, mask) AS (VALUES (0, 0, 511), (1, 9, 511), (2, 18, 511), (3, 27, 511),
+                                                   (4, 36, 255), (5, 44, 255), (6, 52, 255)),
+                   banded AS (SELECT doc_id, sh, c.c AS c, (sh >> c.off) & c.mask AS ckey
+                              FROM sig CROSS JOIN chunks c),
                    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
                              FROM banded a JOIN banded b
@@ -1582,8 +1590,12 @@ object Registry {
           dim = 64, minCosine = 0.4,
           // explicit: bkey has only 2^bandBits values per band here, so at
           // any real scale buckets WOULD exceed DefaultMaxBucket — the
-          // oracle is exact all-pairs and must stay pinned to it
-          maxBucket = Int.MaxValue)
+          // oracle is exact all-pairs and must stay pinned to it. The
+          // guard trips when the fixture outgrows exact all-pairs
+          // (expected around sf≈1 at 4 band bits — the fix then is more
+          // planes/bits, not a bigger cap)
+          maxBucket = Int.MaxValue,
+          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
         .orderBy("id_a", "id_b"),
       // the fixed-seed hyperplanes are driver-side literals, so the oracle
       // embeds the same 16×64 constants and replicates sign-bit banding +

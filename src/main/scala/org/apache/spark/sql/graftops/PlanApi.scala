@@ -18,6 +18,23 @@ object PlanApi {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Release the storage blocks behind a `localCheckpoint`-ed frame.
+    * Checkpoint blocks are RDD-level, NOT CacheManager entries, so
+    * `spark.catalog.clearCache()` never drops them and they otherwise
+    * linger until the ContextCleaner happens to GC the RDD reference —
+    * which in a long-lived session (a bench loop, a daemon) is exactly
+    * the storage-accumulation failure mode. Iterative operators call
+    * this on each superseded generation. Safe on any frame: only
+    * LogicalRDD leaves are touched, and unpersisting a non-persisted
+    * RDD is a no-op. Non-blocking: the caller has already materialized
+    * the successor generation, so the blocks are dead weight. */
+  def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Test access to the private[sql] extension builders. */
   def plannerStrategiesOf(e: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[Any] =

@@ -294,6 +294,53 @@ class DedupSpec extends SparkSpec {
     assert(small.contains((1L, 2L)))
   }
 
+  test("near-dup operators are lazy: no job runs before the caller's first action") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val mh = Dedup.minhashNearDupPairs(docs(), "doc_id", "text", minJaccard = 0.5)
+      val sh = Dedup.simhashNearDupPairs(docs(), "doc_id", "text")
+      val em = Dedup.embeddingNearDupPairs(
+        docs().select(col("doc_id"), array(lit(1.0), lit(0.5)).as("v")),
+        "doc_id", "v", dim = 2)
+      // listener events are async — give any construction-time job time
+      // to surface before asserting none did
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        "plan construction launched Spark jobs — the operators are no longer lazy")
+      // and the frames still work when actually consumed
+      assert(mh.count() > 0)
+      assert(sh.count() > 0)
+      em.count() // may be empty; must execute
+      assert(jobs.get() > 0)
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("bucket guard: a degenerate band bucket fails loudly, not quadratically") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val big = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
+    def rootMessages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ rootMessages(t.getCause)
+    val ex = intercept[Exception] {
+      Dedup.minhashNearDupPairs(big, "doc_id", "text", minJaccard = 0.5,
+        maxBucket = Int.MaxValue, bucketGuard = Some(10)).count()
+    }
+    assert(rootMessages(ex).exists(_.contains("bucket guard")),
+      s"expected the bucket-guard error, got: ${rootMessages(ex).mkString(" | ")}")
+    // the same fixture under the guard bound passes untouched
+    val ok = Dedup.minhashNearDupPairs(big, "doc_id", "text", minJaccard = 0.5,
+      maxBucket = Int.MaxValue, bucketGuard = Some(Dedup.ExactPairsBucketGuard))
+    assert(ok.count() === 50L * 49 / 2) // exact all-pairs of 50 identical docs
+  }
+
   test("sampleKeep: deterministic, rate-proportional, salt-independent of split buckets") {
     import spark.implicits._
     val ids = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
