@@ -186,12 +186,25 @@ object TextAnalysis {
       stratumCol: String, n: Int,
       salt: String = "#exact"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreshColumns(df, "sampleExact", Seq("_x_rn")) // internal scratch
     val h = Dedup.portableHash60(concat(col(idCol).cast("string"), lit(salt)))
     val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
     df.filter(col(idCol).isNotNull)
       .withColumn("_x_rn", row_number().over(w))
       .filter(col("_x_rn") <= n)
       .drop("_x_rn")
+  }
+
+  /** Fail fast when an operator would overwrite caller columns: the
+    * `withColumn` family silently replaces same-named columns, which
+    * turns a schema coincidence into silent data loss. Case-insensitive,
+    * matching the analyzer's default resolution. */
+  private def requireFreshColumns(df: org.apache.spark.sql.DataFrame,
+      op: String, cols: Seq[String]): Unit = {
+    val clash = cols.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"TextAnalysis.$op writes column(s) ${clash.mkString(", ")} that already " +
+        "exist on the input frame — rename or drop them upstream")
   }
 
   /** Token-budget corpus selection — fill a per-stratum token budget in
@@ -213,6 +226,13 @@ object TextAnalysis {
       priority: Column,
       precomputedTokens: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reject silent clobbering: these are OUTPUT columns; an input frame
+    // already carrying one loses data without warning otherwise.
+    // `n_tokens` is exempt only when the caller explicitly declared it
+    // as the precomputed token count — that reuse is the contract.
+    requireFreshColumns(df, "tokenBudgetSelect",
+      Seq("cum_tokens", "selected") ++
+        (if (precomputedTokens.contains("n_tokens")) Nil else Seq("n_tokens")))
     val w = Window.partitionBy(stratumCol).orderBy(priority, col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     // pipelines that already tokenized (a length gate upstream) pass the

@@ -30,7 +30,18 @@ object CorpusAssembly {
 
   /** Returns one row per surviving doc:
     * (doc_id, lang, source, n_tokens, shuffle_pos, pack_shard,
-    * offset_tokens, pack_id). */
+    * offset_tokens, pack_id).
+    *
+    * Input contract: besides `idCol`/`textCol`, `docs` MUST carry the
+    * literal columns `lang` (read by `langRate` and the output), `source`
+    * (the token-budget stratum) and `n_chars` (the budget fill order —
+    * "longest-first" here means most CHARACTERS first, a deliberate
+    * proxy: it is already materialized on the documents table, while a
+    * token-count priority would force tokenization before the budget
+    * window). A frame without them fails analysis up front. The
+    * pipeline also writes `n_tokens` — any caller column of that name
+    * is rejected by [[TextAnalysis.tokenBudgetSelect]]'s output-clash
+    * check. */
   def assemble(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, langRate: Column, tokenBudget: Long,
       shuffleShards: Int, packBudget: Int, packShards: Int): DataFrame = {

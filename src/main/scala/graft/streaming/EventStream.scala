@@ -56,30 +56,55 @@ object EventStream {
     * identical numbering the batch operator assigns. Within a micro-batch
     * rows fold in (ts, event_id) order; cross-batch out-of-order arrivals
     * are the standard streaming trade (bound them with a watermark
-    * upstream). */
-  def streamingSessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[SessOut] = {
+    * upstream).
+    *
+    * State lifecycle: without `idleTimeout`, per-key state lives for the
+    * job lifetime — fine for tests and bounded key populations, unbounded
+    * growth over an unbounded user population. Set `idleTimeout` (a
+    * duration string, e.g. "30 minutes") to expire state for keys idle
+    * that long in PROCESSING time; choose it ≥ the session gap, so
+    * expiry only ever forgets the session COUNTER (an event after a
+    * ≥-gap silence starts a new session regardless) — a returning key
+    * then restarts numbering at 1 instead of continuing, the standard
+    * monitoring trade for a bounded state store.
+    *
+    * Memory note: each key's rows within one micro-batch are buffered and
+    * sorted in memory before folding (`rows.toSeq.sortBy`) — per-key
+    * batch volume must fit an executor, which gap sessionization data
+    * does by construction at sane trigger intervals. */
+  def streamingSessionize(events: Dataset[Ev], gapSeconds: Long,
+      idleTimeout: Option[String] = None): Dataset[SessOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
-          var (lastTs, n) = state.getOption
-            .map(s => (s.lastTsMicros, s.sessionN)).getOrElse((Long.MinValue, 0L))
-          // full µs precision (getTime alone truncates to ms, which would
-          // misnumber sub-ms gaps relative to the batch operator's
-          // unix_micros arithmetic)
-          def micros(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          val out = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).map { r =>
-            val tsMicros = micros(r.ts)
-            if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
-              n += 1
-            lastTs = tsMicros
-            SessOut(uid, r.event_id, r.ts, n)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastTs, n) = state.getOption
+              .map(s => (s.lastTsMicros, s.sessionN)).getOrElse((Long.MinValue, 0L))
+            // full µs precision (getTime alone truncates to ms, which would
+            // misnumber sub-ms gaps relative to the batch operator's
+            // unix_micros arithmetic)
+            def micros(t: java.sql.Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val out = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).map { r =>
+              val tsMicros = micros(r.ts)
+              if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
+                n += 1
+              lastTs = tsMicros
+              SessOut(uid, r.event_id, r.ts, n)
+            }
+            state.update(SessState(lastTs, n))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(SessState(lastTs, n))
-          out.iterator
       }
   }
 
@@ -89,7 +114,11 @@ object EventStream {
 
   /** Streaming EWMA per key via flatMapGroupsWithState — the micro-batch
     * form of [[graft.operators.Ewma]]: state is one double per key.
-    * Within a micro-batch, rows are folded in event-time order. */
+    * Within a micro-batch, rows are folded in event-time order. A fresh
+    * key seeds state at 0.0 — the batch operator's convention
+    * (`Ewma.withEwma` resets state to 0.0 on group change), so the first
+    * emitted value for any key is α·v in both modes (parity asserted in
+    * StreamingSpec). */
   def streamingEwma(points: Dataset[Point], alpha: Double): Dataset[EwmaOut] = {
     import points.sparkSession.implicits._
     points

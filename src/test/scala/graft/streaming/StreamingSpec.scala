@@ -107,6 +107,56 @@ class StreamingSpec extends SparkSpec {
     assert(out(1) === 0.5 * 5.0 + 0.5 * 20.0) // state survived the batch boundary
   }
 
+  test("EventStream.streamingEwma: cold-start value for a fresh key matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = 0.3
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val pts = Seq(EventStream.Point("fresh", t("2024-01-01T00:00:00Z"), 12.5),
+      EventStream.Point("fresh", t("2024-01-01T00:00:01Z"), 4.0))
+    // batch reference: same points through the batch operator
+    val batch = graft.operators.Ewma.withEwma(
+      pts.toDF(), "key", Seq("ts"), "value", a, "ewma")
+      .orderBy("ts").collect().map(_.getDouble(3))
+    val mem = MemoryStream[EventStream.Point]
+    val q = EventStream.streamingEwma(mem.toDS(), a).writeStream
+      .format("memory").queryName("sewma_cold").outputMode("append").start()
+    mem.addData(pts: _*)
+    q.processAllAvailable()
+    val stream = spark.sql("SELECT ewma FROM sewma_cold ORDER BY ts")
+      .collect().map(_.getDouble(0))
+    q.stop()
+    // exact equality: both fold (1-a)*state + a*v from state 0.0 in the
+    // same order, so the doubles must be bitwise identical
+    assert(stream.toSeq === batch.toSeq)
+    assert(stream(0) === a * 12.5)
+  }
+
+  test("EventStream.streamingSessionize: idleTimeout keeps numbering for active keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Ev]
+    // both events land in ONE micro-batch: the timeout code path
+    // (setTimeoutDuration after update, hasTimedOut branch compiled in)
+    // executes, and the gap numbering must be unchanged. Cross-batch
+    // waits are avoided deliberately — with a registered processing-time
+    // timeout the no-more-data query keeps scheduling timeout-check
+    // batches, which wedges processAllAvailable-style synchronization.
+    mem.addData(
+      EventStream.Ev(7L, 1L, t("2024-01-01T00:00:00Z")),
+      EventStream.Ev(7L, 2L, t("2024-01-01T00:10:00Z")))
+    val q = EventStream.streamingSessionize(mem.toDS(), gapSeconds = 60,
+        idleTimeout = Some("1 hour")).writeStream
+      .format("memory").queryName("sess_to").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val out = spark.sql("SELECT event_id, session_n FROM sess_to ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("ParquetMeta.columnStats: per-column min/max/nulls from the footer") {
     import spark.implicits._
     val dir = tmpDir("colstats") + "/data"
