@@ -412,6 +412,60 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** [[contaminationFlags]] re-shaped for the 100 TB corpus pass — SAME
+    * result (bit-identical: proved by sharing the oracle SQL shape), but
+    * the plan never shuffles the corpus:
+    *
+    *  1. a Bloom filter of the eval shingle set is built once (small by
+    *     contract — an eval/benchmark suite) and broadcast; a scan-side
+    *     probe prunes ~the `fpp` fraction of corpus postings BEFORE any
+    *     join machinery runs. No false negatives, so every true eval
+    *     posting survives;
+    *  2. survivors equi-join the exact eval shingle set (broadcast) —
+    *     this removes the Bloom's false positives, restoring exactness;
+    *  3. the `maxDocFreq` rare-shingle prune computes document frequency
+    *     over the CANDIDATE postings only — exact for every shingle that
+    *     matters, because step 1 never drops a posting of an eval shingle,
+    *     so a candidate shingle's posting list is complete.
+    *
+    * [[contaminationFlags]] instead joins the full postings stream with a
+    * corpus-wide document-frequency aggregate — two corpus-sized
+    * shuffles. Here the only full-corpus work is the scan itself; every
+    * shuffle is bounded by |eval shingles| × their posting lists.
+    *
+    * The Bloom probe is a Scala UDF — the one deliberate UDF in this
+    * package: Spark has no public bloom-probe expression (the internal
+    * one backs runtime filters only), the probe is O(1) per row on a
+    * broadcast bitset, and it eliminates the per-posting join-relation
+    * work a broadcast join alone would pay for 99%+ of the corpus.
+    *
+    * EAGER note (like [[connectedComponents]]): constructing the sketch
+    * is an aggregation action by nature — `eval` is scanned once at call
+    * time; everything downstream stays lazy. */
+  def bloomDecontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, maxDocFreq: Int = 50, minShared: Int = 3,
+      expectedEvalShingles: Long = 1L << 16, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val evalShingles = shinglePosts(eval_, idCol, textCol, shingleLen)
+      .select(col("s")).distinct()
+    val bloom = evalShingles.stat.bloomFilter("s", expectedEvalShingles, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val candPosts = shinglePosts(train, idCol, textCol, shingleLen)
+      .filter(probe(col("s")))
+      .join(broadcast(evalShingles), Seq("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shared = candPosts
+      .join(rareShingles(candPosts, maxDocFreq), Seq("s"))
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * verified pairs into duplicate GROUPS (keep one doc per component).
     * Deterministic min-label propagation: every node starts as its own

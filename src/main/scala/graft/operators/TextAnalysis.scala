@@ -387,4 +387,103 @@ object TextAnalysis {
       .withColumn("shuffle_pos", col("_g_off") + col("_g_rn") - 1)
       .select(col(idCol), col("shard"), col("shuffle_pos"))
   }
+
+  /** Per-document keyword extraction — the top-`k` terms of each doc by
+    * tf-idf ordering, from EXACT integer statistics: `tf` (term count in
+    * the doc) and `df` (number of docs containing the term) are integer
+    * aggregates, and the score is `tf · n_docs / df` — a "raw-ratio" idf
+    * rather than `log(n/df)`, chosen deliberately: IEEE multiply/divide
+    * are correctly rounded (bit-identical in every engine) while `ln` is
+    * libm-dependent, and for a FIXED tf the two orderings agree (log is
+    * monotone). Terms in more than `maxDfFrac` of the corpus are dropped
+    * (inline stopword prune — the [[vocabulary]] head, applied).
+    *
+    * Scale shape: both aggregates are map-side-combinable groupBys over
+    * the shared postings stream; `n_docs` rides in as a broadcast
+    * one-row aggregate (no driver action — the plan stays lazy); the
+    * ranking window partitions by doc id, bounded by per-doc vocabulary.
+    * Returns (id, term, tf, df, score, rn ≤ k). */
+  def tfidfKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3,
+      maxDfFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.wordPosts(df, idCol, textCol)
+      .filter(col("w") =!= "")
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, Seq("w"))
+      .join(broadcast(nDocs))
+      .filter(col("df").cast("double") <= col("n_docs") * maxDfFrac)
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("w").as("term"), col("tf"), col("df"),
+        col("score"), col("rn"))
+  }
+
+  /** Per-domain reference profile — extract every URL embedded in the
+    * corpus text, reduce to its (lowercased) host, and count documents
+    * and total references per domain: the aggregate behind domain-level
+    * blocklists and source-quality weighting in a crawl pipeline. Pure
+    * regexp expressions (codegen'd, scan-speed) feeding one
+    * map-side-combinable aggregate; `n_docs` is distinct-per-domain,
+    * bounded by the domain's posting list. Returns
+    * (domain, n_docs, n_refs). */
+  def domainProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val host = lower(regexp_extract(col("url"), "https?://([^/ \\t\\n\\r]+)", 1))
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
+      .select(col("id"), host.as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_refs"))
+  }
+
+  /** Temperature-flattened corpus mixing — the multilingual/multi-source
+    * sampling step (XLM-R style): stratum `s` with `n_s` docs gets a
+    * target of `budget · n_s^(1/T) / Σ n^(1/T)` docs, which up-weights
+    * small strata as `T` grows; the target is then filled
+    * deterministically by salted-hash order (no RNG — same machinery as
+    * [[sampleExact]]).
+    *
+    * Exact-arithmetic posture: at the default `T = 2` the weight is
+    * `sqrt(n_s)` — IEEE sqrt is correctly rounded, so it is
+    * bit-identical in every engine (other temperatures go through
+    * `pow`, which is libm-dependent — fine in production, not
+    * oracle-exact). Weights are then quantized to integer MICRO-weights
+    * (`floor(√n · 10⁶)`), so the cross-strata normalization is an
+    * order-independent INTEGER sum and each target is one integer
+    * division `(budget · w_micro) div Σw_micro` — no float summation
+    * anywhere. Bounds: `budget · w_micro` must fit int64, i.e.
+    * budget · √(max stratum) < 9.2e12 — ample for any real mix table.
+    *
+    * Scale shape: stratum sizes are one map-side-combinable count; the
+    * targets table is strata-sized (tiny, broadcast); selection is one
+    * bounded per-stratum window. Returns the selected rows as
+    * (id, stratum, n_docs, target). */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+      stratumCol: String, budget: Long, temperature: Double = 2.0,
+      salt: String = "#mix"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = col("n_docs").cast("double")
+    val wRaw = if (temperature == 2.0) sqrt(nd) else pow(nd, lit(1.0 / temperature))
+    val weights = df.filter(col(idCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", floor(wRaw * 1e6).cast("long"))
+    val total = weights.select(sum(col("w_micro")).as("w_total"))
+    val targets = weights.join(broadcast(total))
+      .withColumn("target", expr(s"($budget * w_micro) div w_total"))
+      .select(col("stratum"), col("n_docs"), col("target"))
+    val h = Dedup.portableHash60(concat(col("id").cast("string"), lit(salt)))
+    val w = Window.partitionBy("stratum").orderBy(h, col("id"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(stratumCol).as("stratum"))
+      .join(broadcast(targets), Seq("stratum"))
+      .withColumn("_t_rn", row_number().over(w))
+      .filter(col("_t_rn") <= col("target"))
+      .select(col("id"), col("stratum"), col("n_docs"), col("target"))
+  }
 }

@@ -1426,6 +1426,88 @@ object Registry {
                 FROM documents WHERE doc_id IS NOT NULL)
               WHERE rn <= 30 ORDER BY doc_id""")),
 
+    // Temperature-flattened corpus mix at T=2: weights are floor(√n·10⁶)
+    // integer micro-weights (IEEE sqrt is correctly rounded → engine-
+    // exact; the normalizing sum and the per-stratum target are pure
+    // integer arithmetic), selection by salted-hash order
+    Q("ta_temperature_mix",
+      (s, d) => TextAnalysis.temperatureMix(
+          T(s, d, "documents"), "doc_id", "source", budget = 120L)
+        .orderBy("id"),
+      Some("""WITH sizes AS (SELECT source AS stratum, count(*) AS n_docs
+                             FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+                   wq AS (SELECT stratum, n_docs,
+                            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS w_micro
+                          FROM sizes),
+                   tot AS (SELECT sum(w_micro) AS w_total FROM wq),
+                   tgt AS (SELECT stratum, n_docs,
+                            CAST((120 * w_micro) // w_total AS BIGINT) AS target
+                           FROM wq CROSS JOIN tot),
+                   ranked AS (SELECT d.doc_id AS id, d.source AS stratum, t.n_docs, t.target,
+                                row_number() OVER (PARTITION BY d.source
+                                  ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 18, 15))::BIGINT,
+                                           d.doc_id) AS rn
+                              FROM documents d JOIN tgt t ON t.stratum = d.source
+                              WHERE d.doc_id IS NOT NULL)
+              SELECT id, stratum, n_docs, target FROM ranked
+              WHERE rn <= target ORDER BY id""")),
+
+    // Per-doc keyword extraction: top-3 terms by exact-integer tf-idf
+    // ordering (raw-ratio idf — IEEE mul/div, no libm log; see
+    // TextAnalysis.tfidfKeywords). maxDfFrac 0.9: the synthetic corpus
+    // is template text over a ~30-word vocabulary with df ≈ 0.6–0.9·n,
+    // so the operator-default 0.5 stopword prune would blank most docs
+    Q("ta_tfidf_keywords",
+      (s, d) => TextAnalysis.tfidfKeywords(
+          T(s, d, "documents"), "doc_id", "text", k = 3, maxDfFrac = 0.9)
+        .orderBy("id", "rn"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+                   tf AS (SELECT doc_id, w, count(*) AS tf FROM wd WHERE w <> '' GROUP BY 1, 2),
+                   dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+                   nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+                   scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                                CAST(tf.tf AS DOUBLE) * nd.n_docs / dfq.df AS score
+                              FROM tf JOIN dfq USING (w) CROSS JOIN nd
+                              WHERE CAST(dfq.df AS DOUBLE) <= nd.n_docs * 0.9::DOUBLE),
+                   ranked AS (SELECT doc_id AS id, w AS term, tf, df, score,
+                                row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS rn
+                              FROM scored)
+              SELECT id, term, tf, df, score, rn FROM ranked
+              WHERE rn <= 3 ORDER BY id, rn""")),
+
+    // Domain-level reference profile. The corpus text carries no URLs, so
+    // the query plants deterministic ones derived from (source, doc_id) —
+    // replicated verbatim in the oracle — and profiles those: the regex
+    // extraction, host reduction and per-domain aggregate are what's
+    // under test
+    Q("ta_domain_profile",
+      (s, d) => {
+        val planted = T(s, d, "documents").withColumn("text_u",
+          concat_ws(" ", col("text"),
+            concat(lit("http://"), col("source"), lit(".example.org/p/"), col("doc_id")),
+            when(col("doc_id") % 10 === 0,
+              concat(lit("https://cdn.example.org/a/"), col("doc_id")))))
+        TextAnalysis.domainProfile(planted, "doc_id", "text_u")
+          .orderBy(col("n_refs").desc, col("domain"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                           concat_ws(' ', text,
+                             'http://' || source || '.example.org/p/' || doc_id,
+                             CASE WHEN doc_id % 10 = 0
+                                  THEN 'https://cdn.example.org/a/' || doc_id END) AS text_u
+                         FROM documents),
+                   u AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text_u, 'https?://[^ \t\n\r]+')) AS url
+                         FROM p),
+                   h AS (SELECT doc_id,
+                           lower(regexp_extract(url, 'https?://([^/ \t\n\r]+)', 1)) AS domain
+                         FROM u)
+              SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
+              FROM h GROUP BY 1 ORDER BY n_refs DESC, domain""")),
+
     // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
     // length gate → exact dedup → stratified sample → token budget →
     // deterministic shuffle → sequence packing, all one oracle-checked
@@ -1545,6 +1627,39 @@ object Registry {
                               GROUP BY 1)
               SELECT d.doc_id AS id, coalesce(s.n_shared, 0) AS n_shared,
                      coalesce(s.n_shared, 0) >= 3 AS contaminated
+              FROM d LEFT JOIN shared s ON s.id = d.doc_id
+              ORDER BY id""")),
+
+    // Same contamination semantics, 100 TB plan shape: Bloom-prefiltered
+    // scan + broadcast verify, document frequency computed over candidate
+    // postings only (exact — the Bloom never drops an eval-shingle
+    // posting, see Dedup.bloomDecontaminate). The oracle computes df the
+    // straightforward corpus-wide way; equality of the two formulations
+    // is the point of the check.
+    Q("dd_bloom_decontaminate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") < 8), "doc_id", "text",
+            shingleLen = 3, maxDocFreq = 50, minShared = 2)
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
+                   evs AS (SELECT DISTINCT sg FROM posts WHERE doc_id < 8),
+                   shared AS (SELECT p.doc_id AS id, count(*) AS n_shared
+                              FROM posts p
+                              JOIN rare ON p.sg = rare.sg
+                              JOIN evs ON p.sg = evs.sg
+                              GROUP BY 1)
+              SELECT d.doc_id AS id, coalesce(s.n_shared, 0) AS n_shared,
+                     coalesce(s.n_shared, 0) >= 2 AS contaminated
               FROM d LEFT JOIN shared s ON s.id = d.doc_id
               ORDER BY id""")),
 

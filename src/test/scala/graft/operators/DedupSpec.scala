@@ -195,6 +195,28 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) === true)  // shares "the quick brown", "quick brown fox", ...
   }
 
+  test("bloomDecontaminate: bit-identical to contaminationFlags, including df-edge shingles") {
+    import spark.implicits._
+    // 60 docs: 3 fox variants (overlap the eval set) + 57 sharing a
+    // boilerplate phrase, so its shingles cross any small maxDocFreq —
+    // exercising the rare-shingle prune path on BOTH formulations
+    val train = ((1L to 3L).map { i =>
+      (i, s"the quick brown fox jumps over the lazy dog variant $i")
+    } ++ (4L to 60L).map { i =>
+      (i, s"standard boilerplate header shared by every page plus row $i")
+    }).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog again"),
+      (101L, "standard boilerplate header shared by every page plus footer")).toDF("doc_id", "text")
+    for (maxDf <- Seq(10, 50)) {
+      val exact = Dedup.contaminationFlags(train, eval_, "doc_id", "text",
+        maxDocFreq = maxDf, minShared = 2).orderBy("id").collect()
+      val bloom = Dedup.bloomDecontaminate(train, eval_, "doc_id", "text",
+        maxDocFreq = maxDf, minShared = 2).orderBy("id").collect()
+      assert(bloom.toSeq === exact.toSeq, s"maxDocFreq=$maxDf")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("hashBucket: deterministic, stable, covers all buckets") {
     import spark.implicits._
     val ids = (1L to 1000L).toDF("id")

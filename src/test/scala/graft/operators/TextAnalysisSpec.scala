@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("tfidfKeywords: exact tf/df stats, stopword prune, top-k per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark parquet common common"),
+      (2L, "duck arrow common common"),
+      (3L, "spark arrow common")
+    ).toDF("doc_id", "text")
+    // df: spark=2, parquet=1, duck=1, arrow=2, common=3 (all 3 docs)
+    val out = TextAnalysis.tfidfKeywords(df, "doc_id", "text", k = 2, maxDfFrac = 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // "common" appears in all 3 docs > 0.9*3 = 2.7 → pruned everywhere
+    assert(!out.exists(_._2 == "common"))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // doc 1: spark tf=2 df=2 score=2*3/2=3.0 beats parquet tf=1 df=1 score=3.0
+    // — equal scores tie-break on the term: "parquet" < "spark"
+    assert(d1.map(_._2).toSeq === Seq("parquet", "spark"))
+    assert(d1.forall(_._5 === 3.0))
+    // k caps per-doc output
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("temperatureMix: sqrt-weighted integer targets, deterministic fill, small-stratum cap") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, "big")) ++ (101L to 125L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    // w_micro: floor(sqrt(100)*1e6)=10_000_000, floor(sqrt(25)*1e6)=5_000_000
+    // targets at budget 30: (30*10e6) div 15e6 = 20; (30*5e6) div 15e6 = 10
+    val out = TextAnalysis.temperatureMix(docs, "doc_id", "source", budget = 30L)
+    val bySrc = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("big" -> 20L, "small" -> 10L))
+    // deterministic: a second invocation selects the identical ids
+    val ids1 = out.select("id").collect().map(_.getLong(0)).sorted
+    val ids2 = TextAnalysis.temperatureMix(docs, "doc_id", "source", budget = 30L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids1 === ids2)
+    // a target above the stratum size degrades to "take the whole stratum"
+    val tiny = ((1L to 4L).map(i => (i, "a")) ++ (5L to 8L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val all = TextAnalysis.temperatureMix(tiny, "doc_id", "source", budget = 100L)
+    assert(all.count() === 8L)
+  }
+
+  test("domainProfile: host extraction, per-domain doc vs ref counts, lowercasing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://EN.Wikipedia.org/wiki/Spark and https://en.wikipedia.org/wiki/Flink"),
+      (2L, "also http://en.wikipedia.org/x plus https://duckdb.org/docs"),
+      (3L, "no links here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainProfile(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // mixed-case hosts fold together; doc 1 references it twice, doc 2 once
+    assert(out("en.wikipedia.org") === (2L, 3L))
+    assert(out("duckdb.org") === (1L, 1L))
+    assert(out.size === 2)
+  }
+}
