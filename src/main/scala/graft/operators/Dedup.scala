@@ -104,11 +104,78 @@ object Dedup {
     posts.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash signatures (public surface; one row per doc, mh_0..mh_n-1). */
+  /** MinHash signatures (public surface; one row per doc, mh_0..mh_n-1).
+    * `hashFamily` defaults to xxhash64 (fastest); [[portableFamily]]
+    * makes the signature engine-reproducible. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int, numHashes: Int): DataFrame =
-    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes, xxhashFamily)
+      shingleLen: Int, numHashes: Int,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame =
+    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes, hashFamily)
       .withColumnRenamed("id", idCol)
+
+  /** LSH band index over a signature table — the materialized "dedup
+    * index" an incremental pipeline maintains alongside the corpus: one
+    * row per (id, band, bkey). The band key is the band's raw minhash
+    * tuple rendered as a delimited string — collision-FREE (unlike a
+    * 32-bit murmur of the tuple) and engine-portable; hash it to fixed
+    * width at the storage layer if key size matters. Store this
+    * partitioned/bucketed by (band, bkey) and batch probes co-locate. */
+  def bandIndex(sig: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("#", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i")): _*).as("bkey"))
+    }
+    sig.withColumn("_b", explode(array(bandStructs: _*)))
+      .select(col(idCol).as("id"), col("_b.band").as("band"), col("_b.bkey").as("bkey"))
+  }
+
+  /** Incremental NEAR-dup: flag which docs of a (small) batch collide
+    * with an already-indexed corpus — the per-arrival step of a streaming
+    * dedup pipeline, the approximate sibling of [[incrementalDedup]]
+    * (which is exact-hash only). `corpusSig` is the corpus SIGNATURE
+    * table ([[minhashSignature]] output, maintained incrementally);
+    * candidates come from band-key collisions against [[bandIndex]] of
+    * it, and verification is SIGNATURE AGREEMENT (fraction of matching
+    * minhashes — the standard estimator of Jaccard similarity, within
+    * ±1/√numHashes) rather than exact shingle Jaccard: the index alone
+    * suffices, the corpus TEXT is never touched.
+    *
+    * Scale shape (mirrors [[incrementalDedup]]): the batch side rides
+    * two explicit broadcasts (its band keys into the index probe, its
+    * signatures + the candidate list into the verify pass), so the
+    * corpus-sized tables are scanned ONCE each and never shuffled — at
+    * 100 TB the alternative (re-banding or re-shuffling the corpus per
+    * arriving batch) is the difference between a streaming pipeline and
+    * a nightly job. Returns (batch_id, corpus_id, n_agree,
+    * est_jaccard ≥ `minAgree`). */
+  def incrementalNearDup(batch: DataFrame, corpusSig: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minAgree: Double = 0.5,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame = {
+    val bSig = minhashSignature(batch, idCol, textCol, shingleLen, numHashes, hashFamily)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds band probe AND verify; batch-bounded
+    val bBands = bandIndex(bSig, idCol, numHashes, bands)
+      .withColumnRenamed("id", "batch_id")
+    val cands = bandIndex(corpusSig, idCol, numHashes, bands)
+      .join(broadcast(bBands), Seq("band", "bkey"))
+      .select(col("batch_id"), col("id").as("corpus_id"))
+      .distinct()
+    val bSigR = bSig.select(col(idCol).as("batch_id") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"mh_$i") === col(s"b_mh_$i"), 1).otherwise(0)).reduce(_ + _)
+    corpusSig.withColumnRenamed(idCol, "corpus_id")
+      .join(broadcast(cands), Seq("corpus_id"))
+      .join(broadcast(bSigR), Seq("batch_id"))
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minAgree)
+      .select(col("batch_id"), col("corpus_id"), col("n_agree"), col("est_jaccard"))
+  }
 
   /** Bucket-size cap for LSH self-joins: buckets holding more than this
     * many docs switch from all-pairs to a star on the bucket's min id, so
@@ -476,14 +543,55 @@ object Dedup {
     * diameter, and thus round count, stays small).
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = min id in the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // materialize the (often expensive) verified-pair pipeline ONCE.
     // r3 persisted the edge UNION instead, so populating the cache ran the
     // entire upstream candidate join once per union branch — 2× the cost
     // of the whole ngram pipeline (BENCH_r03: dd_dup_groups 42.7 s)
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    val nEdges = p.count()
+    // Small-graph fast path: VERIFIED dup pairs are a thin residue of the
+    // corpus (dup rate × candidate precision), so the common regime even
+    // at 100 TB is a graph of bounded millions of edges — and each
+    // distributed label-propagation round costs 2 shuffles + a checkpoint
+    // of fixed scheduling latency, which dwarfs the actual work there.
+    // Under `driverEdgeLimit` edges (~16 MB at the default — an
+    // explicitly bounded collect, same class as the centroid/manifest
+    // collects) solve exactly with driver union-find instead; above it,
+    // the distributed O(log diameter) loop below takes over unchanged.
+    // Long ids only on the fast path (the dedup family's id contract);
+    // any other key type falls through to the distributed loop.
+    val longIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges <= driverEdgeLimit && longIds) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the representative is always the component's
+        // smallest id, matching the distributed loop's min-label result
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        else { parent.putIfAbsent(ra, ra) }
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
+        .map(id => (id.longValue(), find(id)))
+      p.unpersist()
+      return labels.toSeq.toDF("id", "comp")
+    }
     // undirected edge list: two narrow projections over the cached pairs
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))

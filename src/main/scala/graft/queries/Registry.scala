@@ -1073,6 +1073,51 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // Incremental near-dup: a 100-doc "arriving batch" (doc_id ≥ 400)
+    // probes the signature index of the already-ingested corpus
+    // (doc_id < 400) — band-key collision candidates, signature-agreement
+    // verify; the corpus-sized tables are scanned once and never
+    // shuffled (both probe joins broadcast the batch side). Portable
+    // hash family so DuckDB replicates signatures, band keys and the
+    // agreement count bit-for-bit.
+    Q("dd_incremental_neardup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpusSig = Dedup.minhashSignature(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", shingleLen = 3, numHashes = 16,
+          hashFamily = Dedup.portableFamily)
+        Dedup.incrementalNearDup(docs.filter(col("doc_id") >= 400), corpusSig,
+            "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+            minAgree = 0.5, hashFamily = Dedup.portableFamily)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sigs AS (SELECT doc_id, r.i AS i,
+                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
+                            FROM posts CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+                            FROM bands b JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
+                            WHERE b.doc_id >= 400 AND c.doc_id < 400),
+                   agree AS (SELECT cd.batch_id, cd.corpus_id,
+                               CAST(sum(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+                             FROM cand cd
+                             JOIN sigs sb ON sb.doc_id = cd.batch_id
+                             JOIN sigs sc ON sc.doc_id = cd.corpus_id AND sc.i = sb.i
+                             GROUP BY 1, 2)
+              SELECT batch_id, corpus_id, n_agree,
+                     CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+              FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5::DOUBLE
+              ORDER BY batch_id, corpus_id""")),
+
     Q("dd_simhash_neardup",
       (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
           maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60,

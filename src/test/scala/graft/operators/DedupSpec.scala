@@ -59,9 +59,22 @@ class DedupSpec extends SparkSpec {
     // components: {1,2,3,4} via chain, {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // fast path (driver union-find, the under-limit regime) …
     val comps = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(comps === expected)
+    // … and the distributed label-propagation loop (forced by a zero
+    // limit) must agree exactly — both on the chain and on a reversed,
+    // shuffled edge list (union order must not matter)
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expected)
+    val shuffled = Seq((11L, 10L), (4L, 3L), (2L, 1L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val comps2 = Dedup.connectedComponents(shuffled)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps2 === expected)
   }
 
   test("incrementalDedup: corpus collisions dropped, fresh and null-text rows survive, corpus never shuffles") {
@@ -82,6 +95,31 @@ class DedupSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
+  }
+
+  test("incrementalNearDup: batch probes the signature index, corpus never shuffles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again until dawn"),
+      (2L, "completely different words about gardening and flowers blooming in spring rain")
+    ).toDF("doc_id", "text")
+    val corpusSig = Dedup.minhashSignature(corpus, "doc_id", "text",
+      shingleLen = 3, numHashes = 16)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again until dusk"), // near-dup of 1
+      (11L, "entirely novel content mentioning satellites and orbital mechanics tonight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, corpusSig, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4, minAgree = 0.5)
+    val hits = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hits.exists(h => h._1 == 10L && h._2 == 1L && h._3 >= 0.5))
+    assert(!hits.exists(h => h._1 == 11L)) // novel doc matches nothing
+    // batch side broadcasts into both the index probe and the verify
+    // join: the corpus signature table is scanned, never shuffle-joined
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
+    spark.catalog.clearCache()
   }
 
   test("spanDedup: repeated blocks keep first occurrence; docs reassemble in order") {
