@@ -388,6 +388,44 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("shuffle_pos"))
   }
 
+  /** Fixed-window document chunking with overlap — split every doc's
+    * token stream into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap`, the long-document preprocessing step
+    * between cleaning and packing (a 200k-token doc cannot ride one
+    * training row). Chunk count is exact integer arithmetic
+    * (`ceil(max(0, n - chunkTokens) / step) + 1` — every token is
+    * covered, the last window may be short), so engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: pure per-row expressions (split + `transform`/`slice`
+    * + posexplode) — NO shuffle, no window, runs at scan speed and
+    * parallelizes with the scan at any corpus size; the interpreted
+    * higher-order lambda here is per-CHUNK (bounded by n/step per doc),
+    * not per-token-pair, so it stays off the hot-loop list. Null and
+    * empty texts yield no chunks (nothing to train on). Returns
+    * (id, chunk_id, n_chunks, chunk_tokens, chunk_text). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val words = split(normalize(col(textCol)), " ")
+    val n = size(words)
+    // ceil division via truncated double divide: exact for any n < 2^40
+    // (the quotient's distance to an integer is >= 1/step, far above the
+    // half-ulp rounding error)
+    val nc = (greatest(n - chunkTokens, lit(0)) + (step - 1))
+      .divide(step).cast("int").plus(1)
+    df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), words.as("_w"), n.as("_n"), nc.as("_nc"))
+      .select(col("id"), col("_n"), col("_nc").as("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("_nc") - 1),
+          i => concat_ws(" ", slice(col("_w"), i * step + 1, lit(chunkTokens))))))
+      .select(col("id"), col("pos").as("chunk_id"), col("n_chunks"),
+        least(lit(chunkTokens), col("_n") - col("pos") * step)
+          .as("chunk_tokens"), col("col").as("chunk_text"))
+  }
+
   /** Per-document keyword extraction — the top-`k` terms of each doc by
     * tf-idf ordering, from EXACT integer statistics: `tf` (term count in
     * the doc) and `df` (number of docs containing the term) are integer

@@ -1497,6 +1497,28 @@ object Registry {
               SELECT id, stratum, n_docs, target FROM ranked
               WHERE rn <= target ORDER BY id""")),
 
+    // Long-document chunking: 32-token windows advancing by 24 (8-token
+    // overlap); chunk counts and boundaries are pure integer arithmetic,
+    // chunk text is exact token-slice reassembly — no shuffle anywhere
+    // (per-row expressions only)
+    Q("ta_chunk_docs",
+      (s, d) => TextAnalysis.chunkDocuments(
+          T(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents
+                         WHERE text IS NOT NULL AND length(trim(text)) > 0),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w,
+                                len(string_split(t, ' ')) AS n FROM d),
+                   nc AS (SELECT doc_id, w, n,
+                            (greatest(n - 32, 0) + 23) // 24 + 1 AS n_chunks FROM w),
+                   ch AS (SELECT doc_id, n, n_chunks,
+                            unnest(range(n_chunks)) AS chunk_id, w FROM nc)
+              SELECT doc_id AS id, chunk_id, n_chunks,
+                     least(32, n - chunk_id * 24) AS chunk_tokens,
+                     array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+              FROM ch ORDER BY id, chunk_id""")),
+
     // Per-doc keyword extraction: top-3 terms by exact-integer tf-idf
     // ordering (raw-ratio idf — IEEE mul/div, no libm log; see
     // TextAnalysis.tfidfKeywords). maxDfFrac 0.9: the synthetic corpus

@@ -49,6 +49,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.count() === 8L)
   }
 
+  test("chunkDocuments: full coverage with overlap, short docs whole, null/empty dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, chunk=4 step=3
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, ""),                                       // empty → dropped
+      (4L, null.asInstanceOf[String])                 // null → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // n=10, step=3: nc = ceil(6/3)+1 = 3 chunks at offsets 0,3,6
+    assert(d1.map(_._5).toSeq === Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.forall(_._3 == 3))
+    assert(d1.map(_._4).toSeq === Seq(4, 4, 4))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._5.split(" ").last === d1(1)._5.split(" ").head)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2(0)._5 === "a b" && d2(0)._4 === 2)
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("domainProfile: host extraction, per-domain doc vs ref counts, lowercasing") {
     import spark.implicits._
     val df = Seq(
