@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L)) // both in-batch and cross-batch dups dropped
   }
 
+  test("CorpusStream: novel docs ingested, cross-batch near-dups gated by the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = tmpDir("corpus")
+    val sigDir = tmpDir("sigidx")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusStream.start(spark, df, "doc_id", "text",
+      corpusDir, sigDir, tmpDir("corpusck"), minAgree = 0.5)
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    mem.addData((1L, base), (2L, "totally different prose concerning parquet files and columnar engines"),
+      (3L, base)) // exact within-batch dup of 1 → dropped by exactDedup
+    q.processAllAvailable()
+    mem.addData((10L, base.replace("dawn", "dusk")), // near-dup of ingested 1 → gated
+      (11L, "novel second-batch document about orbital mechanics and satellites"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L, 11L))
+    // the index holds exactly the kept docs' signatures
+    val sigIds = spark.read.parquet(sigDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(sigIds === Array(1L, 2L, 11L))
+    spark.catalog.clearCache()
+  }
+
   test("EventStream.attributionJoin: effects within the delay bound match, late ones don't") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
