@@ -337,6 +337,27 @@ object Registry {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id""")),
 
+    // Z-order (Morton) key: exact bit-interleave arithmetic, the sort
+    // key behind the multi-dimensional parquet layout (plans/ZOrder.scala;
+    // pruning effect asserted in ZOrderSpec)
+    Q("p20_zorder_key",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(4096)).as("xb"),
+          pmod(col("l_suppkey"), lit(4096)).as("yb"))
+        .withColumn("zv", graft.plans.ZOrder.zValue2(col("xb"), col("yb"), bits = 12))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some {
+        val chain = (0 until 12).map(i =>
+          s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber, xb, yb, ($chain) AS zv
+            FROM (SELECT l_orderkey, l_linenumber,
+                    l_partkey % 4096 AS xb, l_suppkey % 4096 AS yb
+                  FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber"""
+      }),
+
     // ---------------------------------------------------------- J layer
     Q("j01_left_join",
       (s, d) => T(s, d, "orders")
