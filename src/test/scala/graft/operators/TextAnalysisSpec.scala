@@ -72,6 +72,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
+  test("chunkDocuments: reconstruction invariant over randomized sizes and overlaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(150)
+      (i, (1 to n).map(k => s"t$k").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((c, o) <- Seq((16, 0), (16, 4), (7, 3), (50, 49))) {
+      val byDoc = TextAnalysis.chunkDocuments(df, "doc_id", "text", c, o)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getString(4)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val chunks = byDoc(id).sortBy(_._2)
+        // dropping the overlap from every chunk after the first must
+        // reassemble the exact token stream — full coverage, no gaps,
+        // no double-counted tokens
+        val rebuilt = chunks.head._4.split(" ").toSeq ++
+          chunks.tail.flatMap(_._4.split(" ").drop(o).toSeq)
+        assert(rebuilt.mkString(" ") === text, s"doc $id c=$c o=$o")
+        // the declared chunk_tokens matches the actual chunk text
+        chunks.foreach { ch => assert(ch._4.split(" ").length === ch._3) }
+      }
+    }
+  }
+
   test("domainProfile: host extraction, per-domain doc vs ref counts, lowercasing") {
     import spark.implicits._
     val df = Seq(
