@@ -158,13 +158,25 @@ object Dedup {
       hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame = {
     val bSig = minhashSignature(batch, idCol, textCol, shingleLen, numHashes, hashFamily)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds band probe AND verify; batch-bounded
-    val bBands = bandIndex(bSig, idCol, numHashes, bands)
+    incrementalNearDupFromSig(bSig, corpusSig, idCol, numHashes, bands, minAgree)
+  }
+
+  /** [[incrementalNearDup]] over an ALREADY-computed batch signature
+    * table — the shape a streaming loop uses so each tick shingles and
+    * hashes the batch exactly once and can reuse the same signatures for
+    * its index append ([[graft.streaming.CorpusStream]]). Caller owns
+    * `batchSig` persistence (it feeds both the band probe and the
+    * verify pass). */
+  def incrementalNearDupFromSig(batchSig: DataFrame, corpusSig: DataFrame,
+      idCol: String, numHashes: Int, bands: Int,
+      minAgree: Double): DataFrame = {
+    val bBands = bandIndex(batchSig, idCol, numHashes, bands)
       .withColumnRenamed("id", "batch_id")
     val cands = bandIndex(corpusSig, idCol, numHashes, bands)
       .join(broadcast(bBands), Seq("band", "bkey"))
       .select(col("batch_id"), col("id").as("corpus_id"))
       .distinct()
-    val bSigR = bSig.select(col(idCol).as("batch_id") +:
+    val bSigR = batchSig.select(col(idCol).as("batch_id") +:
       (0 until numHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
     val agree = (0 until numHashes).map(i =>
       when(col(s"mh_$i") === col(s"b_mh_$i"), 1).otherwise(0)).reduce(_ + _)
@@ -544,7 +556,7 @@ object Dedup {
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = min id in the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverEdgeLimit: Long = 1000000L): DataFrame = {
+      driverEdgeLimit: Long = 300000L): DataFrame = {
     // materialize the (often expensive) verified-pair pipeline ONCE.
     // r3 persisted the edge UNION instead, so populating the cache ran the
     // entire upstream candidate join once per union branch — 2× the cost
@@ -554,13 +566,17 @@ object Dedup {
     val nEdges = p.count()
     // Small-graph fast path: VERIFIED dup pairs are a thin residue of the
     // corpus (dup rate × candidate precision), so the common regime even
-    // at 100 TB is a graph of bounded millions of edges — and each
-    // distributed label-propagation round costs 2 shuffles + a checkpoint
-    // of fixed scheduling latency, which dwarfs the actual work there.
-    // Under `driverEdgeLimit` edges (~16 MB at the default — an
-    // explicitly bounded collect, same class as the centroid/manifest
-    // collects) solve exactly with driver union-find instead; above it,
-    // the distributed O(log diameter) loop below takes over unchanged.
+    // at 100 TB is a bounded graph — and each distributed label-
+    // propagation round costs 2 shuffles + a checkpoint of fixed
+    // scheduling latency, which dwarfs the actual work in that regime.
+    // Under `driverEdgeLimit` edges, solve exactly with driver
+    // union-find; above it, the distributed O(log diameter) loop below
+    // takes over unchanged. Driver cost at the 300k default, honestly
+    // accounted: the collect materializes ~300k Rows transiently
+    // (~tens of MB), the LongMap holds ≤600k unboxed-key entries
+    // (~20 MB), and the result rides back as a ≤600k-row local
+    // relation — bounded and modest for any realistically-sized
+    // driver, but raise the limit only with the driver heap in mind.
     // Long ids only on the fast path (the dedup family's id contract);
     // any other key type falls through to the distributed loop.
     val longIds = p.schema.fields.forall(
@@ -568,13 +584,13 @@ object Dedup {
     if (nEdges <= driverEdgeLimit && longIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val parent = new java.util.HashMap[Long, Long]()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
-        while (parent.getOrDefault(c, c) != c) {
-          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt
         }
         r
       }
@@ -583,12 +599,12 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         // union by MIN root: the representative is always the component's
         // smallest id, matching the distributed loop's min-label result
-        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
-        else { parent.putIfAbsent(ra, ra) }
-        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+        if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+        else if (!parent.contains(ra)) parent.update(ra, ra)
+        if (!parent.contains(a)) parent.update(a, find(a))
+        if (!parent.contains(b)) parent.update(b, find(b))
       }
-      val labels = parent.keySet().toArray(Array.empty[java.lang.Long])
-        .map(id => (id.longValue(), find(id)))
+      val labels = parent.keysIterator.toArray.map(id => (id, find(id)))
       p.unpersist()
       return labels.toSeq.toDF("id", "comp")
     }
@@ -701,8 +717,12 @@ object Dedup {
     val sig = simhash(df, idCol, textCol, tokenHash, bits)
     val chunks = simhashChunkLayout(bits, maxHamming).zipWithIndex.map {
       case ((off, width), c) =>
+        // width can be the full 64 at maxHamming=0: (1L << 64) wraps to
+        // 1L in JVM shift semantics, which would zero the mask and fold
+        // every doc into ONE bucket — all-ones mask spelled explicitly
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), off).bitwiseAND((1L << width) - 1).as("ckey"))
+          shiftright(col("simhash"), off).bitwiseAND(mask).as("ckey"))
     }
     // the 60-column bit-sum aggregation sits BELOW the banding shuffle,
     // so ReuseExchange computes it once for both self-join sides

@@ -195,17 +195,9 @@ object TextAnalysis {
       .drop("_x_rn")
   }
 
-  /** Fail fast when an operator would overwrite caller columns: the
-    * `withColumn` family silently replaces same-named columns, which
-    * turns a schema coincidence into silent data loss. Case-insensitive,
-    * matching the analyzer's default resolution. */
   private def requireFreshColumns(df: org.apache.spark.sql.DataFrame,
-      op: String, cols: Seq[String]): Unit = {
-    val clash = cols.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
-    require(clash.isEmpty,
-      s"TextAnalysis.$op writes column(s) ${clash.mkString(", ")} that already " +
-        "exist on the input frame — rename or drop them upstream")
-  }
+      op: String, cols: Seq[String]): Unit =
+    Guards.requireFreshColumns(df, s"TextAnalysis.$op", cols)
 
   /** Token-budget corpus selection — fill a per-stratum token budget in
     * priority order (quality score, recency, …) and stop: the data-

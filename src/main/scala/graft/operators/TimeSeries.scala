@@ -39,11 +39,8 @@ object TimeSeries {
       gapSeconds: Long): DataFrame = {
     // session_n is an OUTPUT column and _ts_new_session internal scratch —
     // withColumn would silently overwrite same-named caller columns
-    val clash = Seq("session_n", "_ts_new_session")
-      .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
-    require(clash.isEmpty,
-      s"TimeSeries.sessionize writes column(s) ${clash.mkString(", ")} that " +
-        "already exist on the input frame — rename or drop them upstream")
+    Guards.requireFreshColumns(df, "TimeSeries.sessionize",
+      Seq("session_n", "_ts_new_session"))
     val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(tsCol), 1).over(wOrd)
     df.withColumn("_ts_new_session",

@@ -39,12 +39,14 @@ object CorpusAssembly {
     * proxy: it is already materialized on the documents table, while a
     * token-count priority would force tokenization before the budget
     * window). A frame without them fails analysis up front. The
-    * pipeline also writes `n_tokens` — any caller column of that name
-    * is rejected by [[TextAnalysis.tokenBudgetSelect]]'s output-clash
-    * check. */
+    * pipeline also writes `n_tokens` (recomputing it from the text) —
+    * a caller column of that name is REJECTED here, before the first
+    * withColumn could silently overwrite it. */
   def assemble(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, langRate: Column, tokenBudget: Long,
       shuffleShards: Int, packBudget: Int, packShards: Int): DataFrame = {
+    graft.operators.Guards.requireFreshColumns(docs,
+      "CorpusAssembly.assemble", Seq("n_tokens"))
     // tokenize ONCE — the gate, the budget and the packing all reuse the
     // same count instead of re-splitting the full text three times
     val counted = docs

@@ -38,6 +38,7 @@ object ZOrder {
     * partitions). */
   def zOrdered(df: DataFrame, xBucket: Column, yBucket: Column,
       files: Int, bits: Int = 16): DataFrame = {
+    graft.operators.Guards.requireFreshColumns(df, "ZOrder.zOrdered", Seq("_zv"))
     val zv = zValue2(xBucket, yBucket, bits)
     df.withColumn("_zv", zv)
       .repartitionByRange(files, col("_zv"))

@@ -51,33 +51,56 @@ object CorpusStream {
   }
 
   /** One tick of the ingest loop (factored out so batch jobs and tests
-    * can drive it directly). Returns the number of novel docs kept. */
+    * can drive it directly). Returns the number of novel docs kept.
+    *
+    * Per-tick cost and hygiene: the batch is shingled and minhashed
+    * exactly ONCE (`batchSig` feeds the index probe, the verify pass AND
+    * the signature append via a semi-join — not a second tokenization),
+    * and the tick ends with a full cache sweep: the dedup operators
+    * persist shared subplans (batch signatures, shingle postings) that a
+    * long-lived streaming session would otherwise accumulate across
+    * thousands of micro-batches — the same per-unit-of-work sweep
+    * Bench/Verify run per query. The session is assumed dedicated to
+    * the loop (a daemon's is); callers sharing a session with other
+    * cached work should persist that work externally. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, sigDir: String,
       shingleLen: Int, numHashes: Int, bands: Int,
       minAgree: Double): Long = {
     if (batch.isEmpty) return 0L
-    val deduped = Dedup.exactDedup(batch, idCol, textCol)
-    val index = try Some(spark.read.parquet(sigDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val novel = index match {
-      case Some(sig) =>
-        val dupIds = Dedup.incrementalNearDup(deduped, sig, idCol, textCol,
-            shingleLen, numHashes, bands, minAgree)
-          .select(col("batch_id").as(idCol)).distinct()
-        deduped.join(dupIds, Seq(idCol), "left_anti")
-      case None => deduped
+    try {
+      val deduped = Dedup.exactDedup(batch, idCol, textCol)
+      val batchSig = Dedup.minhashSignature(deduped, idCol, textCol,
+          shingleLen, numHashes)
+        .persist()
+      val index = try Some(spark.read.parquet(sigDir))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      // anti-join on `deduped` (not batchSig ids): a null-text doc has no
+      // signature row, but it is still a batch row — it passes through to
+      // the corpus (review case), it just never enters the index
+      val novel = (index match {
+        case Some(sig) =>
+          val dupIds = Dedup.incrementalNearDupFromSig(batchSig, sig, idCol,
+              numHashes, bands, minAgree)
+            .select(col("batch_id").as(idCol)).distinct()
+          deduped.join(dupIds, Seq(idCol), "left_anti")
+        case None => deduped
+      // cache: novel feeds the corpus append, the signature append and
+      // the count; without it the index probe would run three times
+      }).persist()
+      val n = novel.count()
+      if (n > 0) {
+        novel.write.mode("append").parquet(corpusDir)
+        batchSig.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(sigDir)
+      }
+      n
+    } finally {
+      // release EVERYTHING the tick persisted, incl. operator-internal
+      // caches (shingle postings) that are invisible to the caller
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
-    // cache: novel feeds the corpus append, the signature append and the
-    // count; without it the index probe would run three times
-    novel.persist()
-    val n = novel.count()
-    if (n > 0) {
-      novel.write.mode("append").parquet(corpusDir)
-      Dedup.minhashSignature(novel, idCol, textCol, shingleLen, numHashes)
-        .write.mode("append").parquet(sigDir)
-    }
-    novel.unpersist()
-    n
   }
 }

@@ -97,6 +97,22 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$plan")
   }
 
+  test("simhash chunk mask at width 64 (maxHamming=0): exact dups pair beyond maxBucket") {
+    import spark.implicits._
+    // one 64-bit chunk -> (1L << 64) wraps to 1L in JVM shift semantics;
+    // an unguarded mask would be 0, folding all 300 docs into ONE bucket:
+    // past maxBucket that bucket goes rep-star and the planted pair
+    // (neither member the bucket min) is silently lost
+    val docs = (1L to 300L).map { i =>
+      if (i == 150L || i == 250L) (i, "identical planted duplicate text body")
+      else (i, s"unique filler document number $i with distinct content")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((150L, 250L)))
+    spark.catalog.clearCache()
+  }
+
   test("incrementalNearDup: batch probes the signature index, corpus never shuffles") {
     import spark.implicits._
     val corpus = Seq(

@@ -68,4 +68,14 @@ class CorpusAssemblySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
     assert(rows.map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap === again)
   }
+
+  test("assemble rejects a caller n_tokens column instead of silently recomputing over it") {
+    val withTokens = corpus().withColumn("n_tokens", lit(7L))
+    val e = intercept[IllegalArgumentException] {
+      CorpusAssembly.assemble(withTokens, "doc_id", "text",
+        minTokens = 3, langRate = lit(1.0), tokenBudget = 500L,
+        shuffleShards = 4, packBudget = 64, packShards = 2)
+    }
+    assert(e.getMessage.contains("n_tokens"))
+  }
 }

@@ -18,6 +18,15 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (x, y, zv) => assert(zv === ref(x, y, 12), s"($x,$y)") }
   }
 
+  test("zOrdered rejects a caller _zv column instead of silently clobbering it") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 99L)).toDF("x", "y", "_zv")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zOrdered(df, col("x"), col("y"), files = 1)
+    }
+    assert(e.getMessage.contains("_zv"))
+  }
+
   test("z-ordered layout bounds every file in BOTH dimensions") {
     import spark.implicits._
     // uniform 64×64 grid; 4 z-range files should land near the 4

@@ -92,7 +92,9 @@ class StreamingSpec extends SparkSpec {
     val sigIds = spark.read.parquet(sigDir).select("doc_id")
       .collect().map(_.getLong(0)).sorted
     assert(sigIds === Array(1L, 2L, 11L))
-    spark.catalog.clearCache()
+    // tick hygiene: a long-lived ingest loop must not accumulate the
+    // operators' internal caches across micro-batches
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("EventStream.attributionJoin: effects within the delay bound match, late ones don't") {
