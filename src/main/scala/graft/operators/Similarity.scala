@@ -68,6 +68,53 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
+  /** Symmetric per-vector int8 quantization — the vector-compression leg
+    * of a 100 TB ANN store: codes are 4× smaller than float32, which is
+    * usually the difference between an in-memory index and one that
+    * spills. `scale = max|v| / 127` rides alongside the codes for
+    * dot-product reconstruction; code `i` is `floor(v_i/scale + 0.5)`
+    * — round-half-up spelled as IEEE floor/divide/add, because those
+    * are correctly-rounded in every engine while `round()` is not
+    * (Registry header rule). COSINE over codes needs no scale at all
+    * (it cancels), and integer products summed in doubles are exact —
+    * which is what makes the quantized search path fully
+    * oracle-checkable, unlike raw float cosine where only matched
+    * summation order saves the compare.
+    *
+    * Returns (id, scale, qvec: array<tinyint>); a zero vector keeps
+    * all-zero codes (scale floors at 1e-30, never 0). Pure per-row
+    * expressions — quantization runs at scan speed. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = normVec(df, idCol, vecCol, "id", "vec")
+    v.withColumn("scale",
+        greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-30)) / 127.0)
+      .withColumn("qvec",
+        transform(col("vec"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
+      .select(col("id"), col("scale"), col("qvec"))
+  }
+
+  /** Exact top-k cosine over int8-quantized vectors — [[bruteTopK]] run
+    * on the compressed store. Codes widen to double ONCE per row before
+    * the pair join (not per pair), then score through the codegen'd
+    * [[cosine]]. Same broadcast-probe shape: corpus scanned once, no
+    * shuffle of the big side. */
+  def int8TopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def codes(df: DataFrame, id: String, vec: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col("id").as(id),
+          transform(col("qvec"), x => x.cast("double")).as(vec))
+    val c = codes(corpus, "cand_id", "cand_q").repartition(col("cand_id"))
+    val p = codes(probes, "probe_id", "probe_q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("qsim").desc, col("cand_id"))
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("qsim", cosine(col("probe_q"), col("cand_q")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("qsim"), col("rn"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path next to LSH: a
     * coarse k-means quantizer buckets the corpus into `nlist` cells;
     * each probe searches only its `nprobe` nearest cells (equi-join on

@@ -909,6 +909,61 @@ object Registry {
               SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
+    // int8 quantization audit: per-vector scale (IEEE max/divide — exact)
+    // plus integer code checksums. floor(x/scale + 0.5) spells
+    // round-half-up in correctly-rounded ops; round() itself differs
+    // across engines near .5 (Registry header rule)
+    Q("ann_int8_audit",
+      (s, d) => Similarity.quantizeInt8(T(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"),
+          expr("CAST(aggregate(qvec, 0L, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
+          expr("CAST(aggregate(qvec, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS BIGINT)").as("q_norm2"))
+        .orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id, scale,
+                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                         FROM s)
+              SELECT vec_id, scale,
+                     CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
+              FROM q ORDER BY vec_id""")),
+
+    // top-k over the COMPRESSED store: cosine over int8 codes (scales
+    // cancel; integer products sum exactly in doubles, so the score is
+    // unconditionally engine-exact — no summation-order dependence)
+    Q("ann_topk_int8",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("probe_id", "rn")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id,
+                           list_transform(vec, x -> floor(x / scale + 0.5)) AS qv
+                         FROM s),
+                   pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 10),
+                   sim AS (SELECT pr.probe_id, c.vec_id AS cand_id,
+                             list_sum(list_transform(list_zip(pr.pq, c.qv),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(pr.pq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(c.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qsim
+                           FROM pr, q c WHERE c.vec_id <> pr.probe_id),
+                   ranked AS (SELECT probe_id, cand_id, qsim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY qsim DESC, cand_id) AS rn
+                              FROM sim)
+              SELECT probe_id, cand_id, qsim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     Q("ann_topk_lsh",
       (s, d) => {
         val emb = T(s, d, "embeddings")

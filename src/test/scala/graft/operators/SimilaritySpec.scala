@@ -27,6 +27,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sims(2) === -1.0)
   }
 
+  test("quantizeInt8: codes bounded, extreme magnitudes hit ±127, dequant error within scale/2") {
+    val out = Similarity.quantizeInt8(vecs(), "vec_id", "embedding").collect()
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Byte](2)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      // the max-|v| element must land exactly on ±127
+      assert(q.exists(b => math.abs(b) == 127))
+      assert(scale > 0.0)
+    }
+    // dequantization: |q*scale - v| <= scale/2 for every element
+    val v1 = Array(0.9f, 0.1f, 0.0f, 0.0f)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    val (s1, q1) = (r1.getDouble(1), r1.getSeq[Byte](2))
+    v1.zip(q1).foreach { case (v, q) =>
+      assert(math.abs(q * s1 - v) <= s1 / 2 + 1e-12)
+    }
+  }
+
+  test("int8TopK: quantized ranking agrees with brute force on well-separated vectors") {
+    val brute = Similarity.bruteTopK(vecs(), vecs().filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    val int8 = Similarity.int8TopK(vecs(), vecs().filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    // top-2 for probe 0 is {1 (near-dup), 4 (45°)} in both spaces —
+    // 8-bit codes easily preserve this separation
+    assert(int8 === brute)
+  }
+
   test("bruteTopK: correct ranking, self excluded, deterministic ties") {
     val out = Similarity.bruteTopK(vecs(), vecs().filter(col("vec_id") === 0), "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
