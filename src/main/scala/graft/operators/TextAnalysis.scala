@@ -471,6 +471,49 @@ object TextAnalysis {
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_refs"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the distribution-
+    * shift monitor a pipeline runs between ingests: for every token,
+    * compare its RATE in corpus A (count `a` of `ta` total tokens) vs
+    * corpus B (`b` of `tb`) by exact integer cross-multiplication:
+    * `drift = |a·tb − b·ta|` — zero iff the rates are identical, and
+    * ranking by it equals ranking by |a/ta − b/tb| scaled by `ta·tb`,
+    * with NO floating point anywhere (no rate division, no float sum —
+    * the report is bit-exact in any engine). Returns the top-`k` tokens
+    * by drift with both counts and the signed cross-difference.
+    *
+    * Overflow bound: `a·tb` must fit int64 — safe while each corpus
+    * holds under ~3·10⁹ tokens; beyond that, run per-shard (compose
+    * with [[graft.operators.Dedup.hashBucket]]) or widen to decimals.
+    *
+    * Scale shape: two map-side-combinable token counts, a full outer
+    * join on token (vocabulary-sized, far smaller than the corpora),
+    * one-row totals broadcast, then distributed TakeOrdered for the
+    * top-k (the [[vocabulary]] shape — never a global sort). */
+  def vocabularyDrift(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: org.apache.spark.sql.DataFrame, out: String) =
+      Dedup.wordPosts(df, idCol, textCol)
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as(out))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.select(
+      sum(col("n_a")).as("total_a"), sum(col("n_b")).as("total_b"))
+    joined.join(broadcast(totals))
+      .withColumn("cross_diff", col("n_a") * col("total_b") - col("n_b") * col("total_a"))
+      .withColumn("drift", abs(col("cross_diff")))
+      .orderBy(col("drift").desc, col("w")).limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("drift").desc, col("w"))))
+      .select(col("w").as("token"), col("n_a"), col("n_b"),
+        col("cross_diff"), col("drift"), col("rnk"))
+  }
+
   /** Temperature-flattened corpus mixing — the multilingual/multi-source
     * sampling step (XLM-R style): stratum `s` with `n_s` docs gets a
     * target of `budget · n_s^(1/T) / Σ n^(1/T)` docs, which up-weights

@@ -1573,6 +1573,40 @@ object Registry {
               SELECT id, stratum, n_docs, target FROM ranked
               WHERE rn <= target ORDER BY id""")),
 
+    // Snapshot drift report: rate comparison by exact integer cross-
+    // multiplication (a·tb − b·ta) — no rate division, no float sum;
+    // the report is bit-exact in any engine
+    Q("ta_vocab_drift",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.vocabularyDrift(
+            docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+            "doc_id", "text", k = 20)
+          .orderBy("rnk")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+                   ca AS (SELECT w, count(*) AS n_a FROM wd
+                          WHERE doc_id < 250 AND w <> '' GROUP BY 1),
+                   cb AS (SELECT w, count(*) AS n_b FROM wd
+                          WHERE doc_id >= 250 AND w <> '' GROUP BY 1),
+                   j AS (SELECT coalesce(ca.w, cb.w) AS w,
+                           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+                         FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+                   tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS total_a,
+                                  CAST(sum(n_b) AS BIGINT) AS total_b FROM j),
+                   x AS (SELECT w, n_a, n_b,
+                           n_a * total_b - n_b * total_a AS cross_diff,
+                           abs(n_a * total_b - n_b * total_a) AS drift
+                         FROM j CROSS JOIN tot),
+                   ranked AS (SELECT w AS token, n_a, n_b, cross_diff, drift,
+                                row_number() OVER (ORDER BY drift DESC, w) AS rnk
+                              FROM x)
+              SELECT token, n_a, n_b, cross_diff, drift, rnk
+              FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
+
     // Long-document chunking: 32-token windows advancing by 24 (8-token
     // overlap); chunk counts and boundaries are pure integer arithmetic,
     // chunk text is exact token-slice reassembly — no shuffle anywhere

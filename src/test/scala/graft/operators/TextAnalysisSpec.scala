@@ -99,6 +99,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabularyDrift: identical rates drift zero, appeared/vanished tokens rank top, signs") {
+    import spark.implicits._
+    // A: a=2 b=1 spike=1 (total 4); B: a=2 b=2 (total 4)
+    // a keeps rate 1/2 -> drift 0; spike appears (+4); b doubles (-4)
+    val a = Seq((1L, "a a b spike")).toDF("doc_id", "text")
+    val b = Seq((2L, "a a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyDrift(a, b, "doc_id", "text", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out("a") === ((2L, 2L, 0L, 0L, 3)))
+    assert(out("b") === ((1L, 2L, -4L, 4L, 1)))      // drift tie: "b" < "spike"
+    assert(out("spike") === ((1L, 0L, 4L, 4L, 2)))
+  }
+
   test("domainProfile: host extraction, per-domain doc vs ref counts, lowercasing") {
     import spark.implicits._
     val df = Seq(
