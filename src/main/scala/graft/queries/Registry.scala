@@ -1149,20 +1149,22 @@ object Registry {
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
 
-    // Incremental near-dup: a 100-doc "arriving batch" (doc_id ≥ 400)
-    // probes the signature index of the already-ingested corpus
-    // (doc_id < 400) — band-key collision candidates, signature-agreement
-    // verify; the corpus-sized tables are scanned once and never
-    // shuffled (both probe joins broadcast the batch side). Portable
-    // hash family so DuckDB replicates signatures, band keys and the
-    // agreement count bit-for-bit.
+    // Incremental near-dup: a 10%-of-corpus "arriving batch"
+    // (doc_id ≡ 7 mod 10 — a MODULO split so the batch stays the small
+    // side at every scale factor; a fixed id threshold inverted the
+    // sides at sf0.1 and broadcast the big one) probes the signature
+    // index of the already-ingested 90% — band-key collision candidates,
+    // signature-agreement verify; the corpus-sized tables are scanned
+    // once and never shuffled (both probe joins broadcast the batch
+    // side). Portable hash family so DuckDB replicates signatures, band
+    // keys and the agreement count bit-for-bit.
     Q("dd_incremental_neardup",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val corpusSig = Dedup.minhashSignature(docs.filter(col("doc_id") < 400),
+        val corpusSig = Dedup.minhashSignature(docs.filter(col("doc_id") % 10 =!= 7),
           "doc_id", "text", shingleLen = 3, numHashes = 16,
           hashFamily = Dedup.portableFamily)
-        Dedup.incrementalNearDup(docs.filter(col("doc_id") >= 400), corpusSig,
+        Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 7), corpusSig,
             "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
             minAgree = 0.5, hashFamily = Dedup.portableFamily)
           .orderBy("batch_id", "corpus_id")
@@ -1182,7 +1184,7 @@ object Registry {
                              FROM sigs GROUP BY 1, 2),
                    cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
                             FROM bands b JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
-                            WHERE b.doc_id >= 400 AND c.doc_id < 400),
+                            WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
                    agree AS (SELECT cd.batch_id, cd.corpus_id,
                                CAST(sum(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
                              FROM cand cd
