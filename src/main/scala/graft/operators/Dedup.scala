@@ -110,8 +110,19 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, numHashes: Int,
       hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): DataFrame =
-    signatureOf(shinglePosts(df, idCol, textCol, shingleLen), numHashes, hashFamily)
-      .withColumnRenamed("id", idCol)
+    minhashSignatureWithPosts(df, idCol, textCol, shingleLen, numHashes, hashFamily)._1
+
+  /** [[minhashSignature]] plus the handle of the shingle-postings persist
+    * it creates internally — for per-unit-of-work callers (a streaming
+    * ingest tick) that must release exactly their own caches rather than
+    * sweeping the whole session ([[graft.streaming.CorpusStream]]). The
+    * caller owns `posts.unpersist()` once the tick's actions finish. */
+  def minhashSignatureWithPosts(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily): (DataFrame, DataFrame) = {
+    val posts = shinglePosts(df, idCol, textCol, shingleLen)
+    (signatureOf(posts, numHashes, hashFamily).withColumnRenamed("id", idCol), posts)
+  }
 
   /** LSH band index over a signature table — the materialized "dedup
     * index" an incremental pipeline maintains alongside the corpus: one
@@ -122,6 +133,11 @@ object Dedup {
     * partitioned/bucketed by (band, bkey) and batch probes co-locate. */
   def bandIndex(sig: DataFrame, idCol: String, numHashes: Int,
       bands: Int): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0 → every bkey the empty
+    // string → every doc collides with every doc (quadratic candidates);
+    // a non-divisor bands would silently ignore the trailing minhashes
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (1 <= bands <= numHashes)")
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -457,6 +473,65 @@ object Dedup {
         concat_ws(" ", array_sort(
           collect_list(when(col("kept"), struct(col("blk"), col("btext")))))
           .getField("btext")).as("clean_text"))
+  }
+
+  /** Exact substring (suffix-window) dedup — the stride-1 sibling of
+    * [[spanDedup]] and the standard LLM-corpus primitive it approximates:
+    * remove any ≥ `windowWords`-word passage that already occurred
+    * ANYWHERE in the corpus, at ANY word offset. [[spanDedup]] compares
+    * fixed non-overlapping blocks, so a duplicated passage offset by a
+    * few words slips through (the blocks never line up); here EVERY
+    * word position starts a window, so a repeated run of ≥ windowWords
+    * words always produces matching window keys regardless of alignment
+    * — the pigeonhole that suffix-array dedup exploits, done with
+    * equi-joins.
+    *
+    * Mechanics: windows are keyed by md5 of their text (128-bit —
+    * collision-free at any realistic corpus size, engine-portable);
+    * every window occurrence after the global first (ordered by id, then
+    * position — within-doc repeats dedup too) marks its `windowWords`
+    * positions covered; uncovered tokens reassemble in order. Returns
+    * (id, n_tokens, n_kept, clean_text) — a doc shorter than
+    * `windowWords` has no window and passes through whole.
+    *
+    * Scale shape: the postings stream shuffles ONCE by id (wordPosts)
+    * and every per-id pass — window assembly, the final reassembly
+    * aggregate, the covered-set join (on id alone, against doc-bounded
+    * covered arrays) — reuses that distribution; the only other
+    * shuffles carry (id, pos, 32-char key) window rows and the covered
+    * positions, never whole documents. The stride-1 window stream is
+    * windowWords× the corpus in KEY volume but constant-width per row —
+    * the standard cost of exact substring dedup, and still equi-join
+    * shaped (no cartesian anywhere). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 20): DataFrame = {
+    require(windowWords >= 2, s"windowWords=$windowWords must be >= 2")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val posts = wordPosts(df, idCol, textCol)
+    val parts = col("w") +: (1 until windowWords).map(k => lead(col("w"), k).over(w))
+    val wins = posts
+      .withColumn("last_w", lead(col("w"), windowWords - 1).over(w))
+      .withColumn("wkey", md5(concat_ws(" ", parts: _*).cast("binary")))
+      .filter(col("last_w").isNotNull) // full windows only
+      .select(col("id"), col("pos"), col("wkey"))
+    val firstOf = Window.partitionBy("wkey")
+    val dupWins = wins
+      .withColumn("first", min(struct(col("id"), col("pos"))).over(firstOf))
+      .filter(!(col("first.id") === col("id") && col("first.pos") === col("pos")))
+    val cov = dupWins
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("cp"))
+      .distinct()
+      .groupBy("id").agg(collect_set(col("cp")).as("cov"))
+    posts.join(cov, Seq("id"), "left")
+      .withColumn("kept", col("cov").isNull || !array_contains(col("cov"), col("pos")))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", array_sort(
+          collect_list(when(col("kept"), struct(col("pos"), col("w")))))
+          .getField("w")).as("clean_text"))
   }
 
   /** Deterministic hash split — assign every row to one of `buckets`

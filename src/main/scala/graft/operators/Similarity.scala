@@ -94,18 +94,31 @@ object Similarity {
   }
 
   /** Exact top-k cosine over int8-quantized vectors — [[bruteTopK]] run
-    * on the compressed store. Codes widen to double ONCE per row before
-    * the pair join (not per pair), then score through the codegen'd
-    * [[cosine]]. Same broadcast-probe shape: corpus scanned once, no
-    * shuffle of the big side. */
+    * on the compressed store, quantizing raw float vectors on the fly
+    * (the one-shot shape; [[int8TopKStored]] searches a pre-quantized
+    * code table instead). Codes widen to double ONCE per row before the
+    * pair join (not per pair), then score through the codegen'd
+    * [[cosine]]. Probes broadcast; the corpus-side repartition is a
+    * DELIBERATE spread, not an avoidable shuffle — cosine is per-pair
+    * arithmetic and a single-file corpus otherwise arrives as one split
+    * (same note as [[bruteTopK]]). */
   def int8TopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    int8TopKStored(quantizeInt8(corpus, idCol, vecCol), probes, idCol, vecCol, k)
+
+  /** [[int8TopK]] over an ALREADY-quantized `(id, scale, qvec)` code
+    * table ([[quantizeInt8]] output) — the production shape: the store
+    * holds 4×-compressed codes, quantization cost was paid once at write
+    * time, and only the (small) probe set quantizes at query time.
+    * Cosine over codes needs no scale (it cancels), so `scale` is
+    * carried by the store purely for dot-product/L2 reconstruction. */
+  def int8TopKStored(codes: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    def codes(df: DataFrame, id: String, vec: String) =
-      quantizeInt8(df, idCol, vecCol)
-        .select(col("id").as(id),
-          transform(col("qvec"), x => x.cast("double")).as(vec))
-    val c = codes(corpus, "cand_id", "cand_q").repartition(col("cand_id"))
-    val p = codes(probes, "probe_id", "probe_q")
+    def widen(df: DataFrame, id: String, vec: String) =
+      df.select(col("id").as(id),
+        transform(col("qvec"), x => x.cast("double")).as(vec))
+    val c = widen(codes, "cand_id", "cand_q").repartition(col("cand_id"))
+    val p = widen(quantizeInt8(probes, idCol, vecCol), "probe_id", "probe_q")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("qsim").desc, col("cand_id"))
     c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
@@ -223,6 +236,121 @@ object Similarity {
       // raw double sim, NOT round(,6): DuckDB's round() on doubles is
       // approximate near half-ulp boundaries (Registry header rule);
       // the cosine itself is bitwise-identical across engines
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** Product-quantization codebook training — the compression tier past
+    * int8: the vector splits into `m` subvectors of `dim/m` dims, each
+    * subvector space gets its own `ksub`-codeword k-means codebook, and a
+    * stored vector becomes `m` small code ids (m=8, ksub=16 → 8 nibbles
+    * for a 64-float vector, 64× smaller than float32). Offline half of
+    * [[pqSearch]], shipped as constants ([[graft.operators.PqCodebooks]]).
+    *
+    * Deterministic, like [[ivfTrain]]: sub-codebooks initialize from the
+    * first `ksub` vectors' slices by id, `iters` Lloyd rounds with L2
+    * assignment (the PQ metric — unlike the coarse IVF quantizer, a
+    * subvector's MAGNITUDE matters for reconstruction, so cosine would
+    * be the wrong fit here) and code-id tie-break. Per-iteration collect
+    * is bounded by m × ksub × dsub doubles, never the corpus. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Seq[Seq[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normVec(corpus, idCol, vecCol, "id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subvectors")
+    val dsub = dim / m
+    // one row per (id, sub, sv): every Lloyd round trains all m
+    // subspaces in ONE distributed pass over this exploded stream
+    val sliced = c.select(col("id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), slice(col("vec"), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("x"))
+      .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = c.orderBy("id").limit(ksub).select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: Seq[Seq[Array[Double]]] = (0 until m).map { s =>
+      init.toSeq.map(v => v.slice(s * dsub, (s + 1) * dsub))
+    }
+    def bookDF(bs: Seq[Seq[Array[Double]]]): DataFrame =
+      bs.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, ci) => (s, ci, cw.toSeq) }
+      }.toDF("sub", "code", "cw")
+    for (_ <- 0 until iters) {
+      val assigned = sliced.join(broadcast(bookDF(books)), Seq("sub"))
+        .withColumn("d", expr(
+          "aggregate(zip_with(sv, cw, (x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x)"))
+        .groupBy("id", "sub")
+        .agg(first(col("sv")).as("sv"),
+          min(struct(col("d"), col("code"))).getField("code").as("code"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mn"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), p => p.getField("mn")).as("cw"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = books.zipWithIndex.map { case (cws, s) =>
+        cws.zipWithIndex.map { case (cw, ci) => means.getOrElse((s, ci), cw) }
+      }
+    }
+    sliced.unpersist()
+    c.unpersist()
+    books
+  }
+
+  /** PQ (asymmetric) top-k search with GIVEN codebooks — the online half:
+    * every corpus vector is replaced by its m-codeword RECONSTRUCTION
+    * (what a production store keeps as m nibble codes and expands from
+    * the broadcast codebooks at scan time), probes stay full-precision,
+    * and exact cosine(probe, reconstruction) ranks candidates. Corpus
+    * scanned once; codebooks broadcast (m × ksub rows); the per-sub
+    * argmin collapses map-side, so the only corpus-sized shuffle carries
+    * one (id, m codes) row per vector.
+    *
+    * Assignment minimizes L2 via `|c|² − 2·sv·c` (the |sv|² term is
+    * constant per slot and drops out of the argmin) — `cw2` is folded
+    * left-to-right from the same literals in both engines and
+    * [[graft.functions.VectorDot]] matches the oracle's list_sum fold,
+    * so codes, reconstructions and scores are all engine-exact. */
+  def pqSearch(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val cb = codebooks.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, ci) =>
+        (s, ci, cw.toSeq, cw.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }.toDF("sub", "code", "cw", "cw2")
+    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
+    val sliced = c.select(col("cand_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), slice(col("cand_vec"), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("x"))
+      .select(col("cand_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    import org.apache.spark.sql.graftops.PlanApi
+    val dot = PlanApi.column(graft.functions.VectorDot(
+      PlanApi.expression(col("sv")), PlanApi.expression(col("cw"))))
+    val recon = sliced.join(broadcast(cb), Seq("sub"))
+      .withColumn("d", col("cw2") - lit(2.0) * dot)
+      .groupBy("cand_id", "sub")
+      .agg(min(struct(col("d"), col("code"), col("cw"))).getField("cw").as("cw"))
+      .groupBy("cand_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cw")))),
+        p => p.getField("cw"))).as("recon"))
+    val p = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    recon.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_vec"), col("recon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 

@@ -463,7 +463,13 @@ object TextAnalysis {
     * (domain, n_docs, n_refs). */
   def domainProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val host = lower(regexp_extract(col("url"), "https?://([^/ \\t\\n\\r]+)", 1))
+    // UrlPattern runs to the next whitespace, so a sentence-final URL
+    // drags its punctuation along ("see https://x.org." / "(https://x.org)"
+    // → hosts "x.org." / "x.org)") — strip trailing punctuation or the
+    // per-domain aggregate fragments and a blocklist on "x.org" misses
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "https?://([^/ \\t\\n\\r]+)", 1)),
+      "[.,;:)\\]]+$", "")
     df.select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
       .select(col("id"), host.as("domain"))

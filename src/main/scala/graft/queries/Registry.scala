@@ -964,6 +964,43 @@ object Registry {
               SELECT probe_id, cand_id, qsim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
+    // The same compressed-store search through a REAL store roundtrip:
+    // codes are written to parquet (tinyint + double survive bit-exactly)
+    // and searched from the re-read table via int8TopKStored — proving
+    // the production shape (quantize once at write time, search codes)
+    // returns the identical result. Oracle = the inline formulation.
+    Q("ann_topk_int8_stored",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val store = java.nio.file.Files.createTempDirectory("graft_int8_store")
+        Similarity.quantizeInt8(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(store.toString)
+        Similarity.int8TopKStored(s.read.parquet(store.toString),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("probe_id", "rn")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id,
+                           list_transform(vec, x -> floor(x / scale + 0.5)) AS qv
+                         FROM s),
+                   pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 10),
+                   sim AS (SELECT pr.probe_id, c.vec_id AS cand_id,
+                             list_sum(list_transform(list_zip(pr.pq, c.qv),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(pr.pq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(c.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qsim
+                           FROM pr, q c WHERE c.vec_id <> pr.probe_id),
+                   ranked AS (SELECT probe_id, cand_id, qsim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY qsim DESC, cand_id) AS rn
+                              FROM sim)
+              SELECT probe_id, cand_id, qsim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     Q("ann_topk_lsh",
       (s, d) => {
         val emb = T(s, d, "embeddings")
@@ -1664,11 +1701,17 @@ object Registry {
     // under test
     Q("ta_domain_profile",
       (s, d) => {
+        // the %7/%11 plants are pathless sentence-final URLs — the shape
+        // whose host keeps trailing punctuation without the operator's
+        // trim ("(https://press…)" → "press.example.org)"), so the oracle
+        // row would fragment if the trim ever regressed
         val planted = T(s, d, "documents").withColumn("text_u",
           concat_ws(" ", col("text"),
             concat(lit("http://"), col("source"), lit(".example.org/p/"), col("doc_id")),
             when(col("doc_id") % 10 === 0,
-              concat(lit("https://cdn.example.org/a/"), col("doc_id")))))
+              concat(lit("https://cdn.example.org/a/"), col("doc_id"))),
+            when(col("doc_id") % 7 === 3, lit("(https://press.example.org)")),
+            when(col("doc_id") % 11 === 5, lit("read https://news.example.org."))))
         TextAnalysis.domainProfile(planted, "doc_id", "text_u")
           .orderBy(col("n_refs").desc, col("domain"))
       },
@@ -1676,13 +1719,19 @@ object Registry {
                            concat_ws(' ', text,
                              'http://' || source || '.example.org/p/' || doc_id,
                              CASE WHEN doc_id % 10 = 0
-                                  THEN 'https://cdn.example.org/a/' || doc_id END) AS text_u
+                                  THEN 'https://cdn.example.org/a/' || doc_id END,
+                             CASE WHEN doc_id % 7 = 3
+                                  THEN '(https://press.example.org)' END,
+                             CASE WHEN doc_id % 11 = 5
+                                  THEN 'read https://news.example.org.' END) AS text_u
                          FROM documents),
                    u AS (SELECT doc_id,
                            unnest(regexp_extract_all(text_u, 'https?://[^ \t\n\r]+')) AS url
                          FROM p),
                    h AS (SELECT doc_id,
-                           lower(regexp_extract(url, 'https?://([^/ \t\n\r]+)', 1)) AS domain
+                           regexp_replace(
+                             lower(regexp_extract(url, 'https?://([^/ \t\n\r]+)', 1)),
+                             '[.,;:)\]]+$', '') AS domain
                          FROM u)
               SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
               FROM h GROUP BY 1 ORDER BY n_refs DESC, domain""")),
@@ -2084,6 +2133,38 @@ object Registry {
                      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                      coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY blk), '') AS clean_text
               FROM flag GROUP BY doc_id ORDER BY id""")),
+
+    // Suffix-window exact substring dedup: stride-1 windows catch a
+    // duplicated passage at ANY word offset (dd_span_dedup's fixed
+    // 20-word blocks only catch block-aligned repeats). Both engines key
+    // windows by md5 of the window text — equality structure, not the
+    // rendered digests, is what the result depends on.
+    Q("dd_substring_dedup",
+      (s, d) => Dedup.substringDedup(T(s, d, "documents"), "doc_id", "text",
+          windowWords = 12)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+                   tok AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
+                                                  for i in range(1, len(ws) + 1)], recursive := true)
+                           FROM w),
+                   win AS (SELECT doc_id, unnest([{'wpos': i - 1,
+                                                   'wkey': md5(array_to_string(ws[i:i+11], ' '))}
+                                                  for i in range(1, len(ws) - 12 + 2)], recursive := true)
+                           FROM w),
+                   flag AS (SELECT doc_id, wpos,
+                              row_number() OVER (PARTITION BY wkey ORDER BY doc_id, wpos) AS rn
+                            FROM win),
+                   cov AS (SELECT DISTINCT doc_id, wpos + j AS cp
+                           FROM flag, range(0, 12) r(j)
+                           WHERE rn > 1),
+                   kept AS (SELECT t.doc_id, t.pos, t.w, c.cp
+                            FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos)
+              SELECT doc_id AS id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN cp IS NULL THEN w END, ' ' ORDER BY pos), '') AS clean_text
+              FROM kept GROUP BY doc_id ORDER BY id""")),
 
     // Vocabulary induction: top-50 tokens by document frequency — the
     // seed list for tokenizer training / stopword + maxDocFreq pruning

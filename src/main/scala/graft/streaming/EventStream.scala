@@ -118,21 +118,48 @@ object EventStream {
     * key seeds state at 0.0 — the batch operator's convention
     * (`Ewma.withEwma` resets state to 0.0 on group change), so the first
     * emitted value for any key is α·v in both modes (parity asserted in
-    * StreamingSpec). */
-  def streamingEwma(points: Dataset[Point], alpha: Double): Dataset[EwmaOut] = {
+    * StreamingSpec).
+    *
+    * State lifecycle (same optional-timeout pattern as
+    * [[streamingSessionize]]): without `idleTimeout`, one double per key
+    * lives for the job lifetime — tiny per key, unbounded over an
+    * unbounded key population. Set `idleTimeout` (a duration string) to
+    * evict keys idle that long in PROCESSING time; a key arriving after
+    * eviction re-seeds from 0.0, the documented cold-start convention —
+    * i.e. expiry forgets smoothing history, exactly what an EWMA of a
+    * long-silent series should do. */
+  def streamingEwma(points: Dataset[Point], alpha: Double,
+      idleTimeout: Option[String] = None): Dataset[EwmaOut] = {
     import points.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     points
       .groupByKey(_.key)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[EwmaState]) =>
-          var cur = state.getOption.map(_.ewma).getOrElse(0.0)
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-            cur = (1.0 - alpha) * cur + alpha * p.value
-            EwmaOut(key, p.ts, cur)
-          }
-          state.update(EwmaState(cur))
-          out.iterator
-      }
+        OutputMode.Append(), timeoutConf)(ewmaTick(alpha, idleTimeout))
   }
+
+  /** The per-group fold behind [[streamingEwma]], exposed so the
+    * timeout/eviction contract is unit-testable with `TestGroupState`
+    * (a registered processing-time timeout keeps scheduling timeout-check
+    * batches after the data drains, which wedges processAllAvailable-
+    * style synchronization — the same constraint the sessionize spec
+    * documents — so cross-batch eviction can't be driven deterministically
+    * through the engine in a test). */
+  private[streaming] def ewmaTick(alpha: Double, idleTimeout: Option[String])(
+      key: String, rows: Iterator[Point], state: GroupState[EwmaState]): Iterator[EwmaOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var cur = state.getOption.map(_.ewma).getOrElse(0.0)
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+        cur = (1.0 - alpha) * cur + alpha * p.value
+        EwmaOut(key, p.ts, cur)
+      }
+      state.update(EwmaState(cur))
+      idleTimeout.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
 }

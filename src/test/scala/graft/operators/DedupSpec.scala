@@ -158,6 +158,43 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((2L, 1L, "p q r")))          // internal repeat collapses
   }
 
+  test("substringDedup catches an offset duplicate that block-aligned spanDedup misses") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's 6-word passage OFFSET BY ONE word ("x" shim):
+    // no 4-word BLOCK of doc 2 equals any block of doc 1, so spanDedup
+    // at blockWords=4 keeps doc 2 whole — but every stride-1 4-word
+    // window of the passage matches, so substringDedup strips it
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f q r s")
+    ).toDF("doc_id", "text")
+    val span = Dedup.spanDedup(docs, "doc_id", "text", blockWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(span(2L) === ((3L, 3L, "x a b c d e f q r s"))) // offset dup slips through
+    val sub = Dedup.substringDedup(docs, "doc_id", "text", windowWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(sub(1L) === ((8L, 8L, "a b c d e f g h")))      // first owner keeps all
+    // doc 2's windows at pos 1..3 ("a b c d".."c d e f") match doc 1 →
+    // positions 1..6 covered; the shim and fresh tail survive
+    assert(sub(2L) === ((10L, 4L, "x q r s")))
+  }
+
+  test("substringDedup: short docs pass whole; within-doc repeat collapses; full copy empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny doc"),                    // < windowWords → untouched
+      (2L, "p q r s p q r s"),             // within-doc repeat at stride 4
+      (3L, "m n o p q r"),
+      (4L, "m n o p q r")                  // exact copy of 3 → fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", windowWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((2L, 2L, "tiny doc")))
+    assert(out(2L) === ((8L, 4L, "p q r s")))  // second occurrence stripped
+    assert(out(3L) === ((6L, 6L, "m n o p q r")))
+    assert(out(4L) === ((6L, 0L, "")))         // nothing left
+  }
+
   test("qualityReport: keep true/false branches and null-text three-valued logic") {
     import spark.implicits._
     val docs = Seq(

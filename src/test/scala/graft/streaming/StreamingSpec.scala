@@ -97,6 +97,86 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("CorpusStream.ingestBatch: committed-batch replay is skipped (idempotent commit)") {
+    import spark.implicits._
+    val corpusDir = tmpDir("corpus_idem")
+    val sigDir = tmpDir("sigidx_idem")
+    val batch = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val n1 = CorpusStream.ingestBatch(spark, batch, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(7L))
+    assert(n1 === 2L)
+    // at-least-once replay of the SAME batch id: must be a no-op
+    val n2 = CorpusStream.ingestBatch(spark, batch, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(7L))
+    assert(n2 === 0L)
+    assert(spark.read.parquet(corpusDir).count() === 2L)
+    assert(spark.read.parquet(sigDir).count() === 2L)
+  }
+
+  test("CorpusStream.ingestBatch: partial-publish crash replay rolls back and republishes once") {
+    import spark.implicits._
+    val corpusDir = tmpDir("corpus_crash")
+    val sigDir = tmpDir("sigidx_crash")
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    CorpusStream.ingestBatch(spark, b1, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(0L))
+    // simulate a crash AFTER batch 1's sig publish but BEFORE its corpus
+    // publish and commit marker: sig rows present, corpus rows and marker
+    // absent — the worst window (the batch's own orphaned index rows
+    // would gate its docs out without the rollback)
+    val b2 = Seq((5L, "totally different prose concerning parquet files and engines"))
+      .toDF("doc_id", "text")
+    CorpusStream.ingestBatch(spark, b2, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(1L))
+    new java.io.File(corpusDir).listFiles()
+      .filter(_.getName.startsWith("batch1-")).foreach(_.delete())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/_graft_commits/batch-1"), false)
+    // replay of the half-committed batch: doc 5 must land exactly once
+    val n = CorpusStream.ingestBatch(spark, b2, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(1L))
+    assert(n === 1L)
+    val kept = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 5L))
+    val sigIds = spark.read.parquet(sigDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(sigIds === Array(1L, 5L))
+  }
+
+  test("CorpusStream.ingestBatch: releases only its own caches; null-text docs dedup by id") {
+    import spark.implicits._
+    val corpusDir = tmpDir("corpus_cache")
+    val sigDir = tmpDir("sigidx_cache")
+    // co-resident cached work must survive an ingest tick (the r6 design
+    // swept the whole session cache per tick)
+    val resident = spark.range(100).toDF("n").persist()
+    resident.count()
+    // two DISTINCT docs with null text: no content identity, so neither
+    // may collapse onto the other (null-never-matches, as incrementalDedup)
+    val batch = Seq((1L, Some("alpha beta gamma delta epsilon zeta")),
+      (2L, None: Option[String]), (3L, None: Option[String]),
+      (3L, None: Option[String])) // same-id null dup → one row
+      .toDF("doc_id", "text")
+    val n = CorpusStream.ingestBatch(spark, batch, "doc_id", "text",
+      corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(0L))
+    assert(n === 3L)
+    val kept = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L, 3L))
+    // index holds only the text-bearing doc
+    assert(spark.read.parquet(sigDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the resident cache is untouched; the tick's own persists are gone
+    assert(resident.storageLevel.useMemory, "co-resident cache was swept")
+    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    resident.unpersist()
+  }
+
   test("EventStream.attributionJoin: effects within the delay bound match, late ones don't") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -159,6 +239,60 @@ class StreamingSpec extends SparkSpec {
     // same order, so the doubles must be bitwise identical
     assert(stream.toSeq === batch.toSeq)
     assert(stream(0) === a * 12.5)
+  }
+
+  test("EventStream.streamingEwma: idleTimeout in-engine single batch keeps values; state registered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = 0.5
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Point]
+    // one micro-batch through the real engine with the timeout conf ON:
+    // the setTimeoutDuration/hasTimedOut code path runs and values are
+    // unchanged vs the no-timeout operator (same pattern as the
+    // sessionize idleTimeout test; see ewmaTick's scaladoc for why
+    // cross-batch eviction is tested at the unit level instead)
+    mem.addData(EventStream.Point("k", t("2024-01-01T00:00:00Z"), 10.0),
+      EventStream.Point("k", t("2024-01-01T00:00:04Z"), 20.0))
+    val q = EventStream.streamingEwma(mem.toDS(), a, idleTimeout = Some("1 hour"))
+      .writeStream
+      .format("memory").queryName("sewma_to").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val out = spark.sql("SELECT ewma FROM sewma_to ORDER BY ts")
+      .collect().map(_.getDouble(0))
+    q.stop()
+    assert(out.toSeq === Seq(5.0, 0.5 * 5.0 + 0.5 * 20.0))
+  }
+
+  test("EventStream.ewmaTick: timed-out state is evicted; late arrival re-seeds from 0.0") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val a = 0.5
+    val tick = EventStream.ewmaTick(a, Some("10 minutes")) _
+    // key with live state whose deadline lapsed: the timeout invocation
+    // (no rows) must remove the state and emit nothing
+    val timedOut = TestGroupState.create[EventStream.EwmaState](
+      optionalState = org.apache.spark.api.java.Optional.of(EventStream.EwmaState(5.0)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    assert(tick("k", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "timed-out state must be evicted")
+    // the key returns after eviction: a fresh state re-seeds from 0.0
+    // (first value α·v — the cold-start convention), NOT from the old 5.0
+    val fresh = TestGroupState.create[EventStream.EwmaState](
+      optionalState = org.apache.spark.api.java.Optional.empty[EventStream.EwmaState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 2000000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = tick("k", Iterator(EventStream.Point("k", t("2024-01-01T01:00:00Z"), 10.0)),
+      fresh).toSeq
+    assert(out.map(_.ewma) === Seq(a * 10.0))
+    assert(fresh.getTimeoutTimestampMs.isPresent, "re-seeded key must re-register its timeout")
+    assert(fresh.get === EventStream.EwmaState(a * 10.0))
   }
 
   test("EventStream.streamingSessionize: idleTimeout keeps numbering for active keys") {
