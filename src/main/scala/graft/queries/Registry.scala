@@ -766,15 +766,37 @@ object Registry {
     * both engines see identical constants. */
   private lazy val planeLiterals: String =
     Similarity.hyperplanes(16, 64, 42L).zipWithIndex
-      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
       .mkString(", ")
 
   /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
     * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */
   private lazy val centroidLiterals: String =
     graft.operators.IvfQuantizer.centroids.zipWithIndex
-      .map { case (c, i) => s"($i, [${c.mkString(", ")}])" }
+      .map { case (c, i) => s"($i, [${c.map(dlit).mkString(", ")}])" }
       .mkString(", ")
+
+  /** The pre-trained PQ codebooks ([[graft.operators.PqCodebooks]]) as
+    * DuckDB VALUES rows (sub, code, codeword) — same round-trip argument
+    * as [[planeLiterals]]. */
+  private lazy val pqLiterals: String =
+    graft.operators.PqCodebooks.books.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, ci) => s"($s, $ci, [${cw.map(dlit).mkString(", ")}])" }
+    }.mkString(", ")
+
+  /** Render a double for a DuckDB VALUES list so it parses as DOUBLE,
+    * not DECIMAL: a plain decimal literal becomes DECIMAL(19,18) and
+    * DuckDB's wide-DECIMAL→DOUBLE conversion is double-rounded (~14% of
+    * the PQ codebook values came back 1 ulp off, which perturbed the PQ
+    * reconstructions — the one literal family whose values feed the
+    * OUTPUT, not just an argmin). E-notation parses via strtod
+    * (correctly rounded, bit-identical to the JVM double); Scala already
+    * emits E-notation for small/large magnitudes, so only plain forms
+    * need the `E0` suffix. */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
 
   val llm: Seq[Q] = Seq(
 
@@ -1089,6 +1111,53 @@ object Registry {
                               / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                                  * sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
                             FROM cand),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM sims)
+              SELECT probe_id, cand_id, sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
+    // Product-quantization search with PRE-TRAINED codebooks (the
+    // compression tier past int8: 8 nibble codes per 64-float vector,
+    // 64x). Corpus vectors are replaced by their codeword
+    // reconstructions (L2 assignment via |c|^2 - 2*sv.c — the |sv|^2
+    // term drops out of the argmin), probes stay full-precision, exact
+    // cosine ranks. Both engines see identical codebook literals, so
+    // codes, reconstructions and scores are engine-exact.
+    Q("ann_topk_pq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.pqSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, codebooks = graft.operators.PqCodebooks.books)
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH cb(sub, code, cv) AS (VALUES $pqLiterals),
+                   cbn AS (SELECT sub, code, cv,
+                             list_sum(list_transform(cv, x -> x * x)) AS cv2
+                           FROM cb),
+                   sl AS (SELECT v.vec_id, s.sub,
+                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
+                              x -> CAST(x AS DOUBLE)) AS sv
+                          FROM embeddings v, range(0, 8) s(sub)),
+                   asg AS (SELECT vec_id, sub, code, cv FROM (
+                             SELECT sl.vec_id, sl.sub, c.code, c.cv,
+                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                                      ORDER BY c.cv2 - (2.0::DOUBLE) * list_sum(
+                                          list_transform(list_zip(sl.sv, c.cv),
+                                            z -> z[1] * z[2])),
+                                        c.code) AS rn
+                             FROM sl JOIN cbn c USING (sub))
+                           WHERE rn = 1),
+                   recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS rv
+                             FROM asg GROUP BY vec_id),
+                   pr AS (SELECT vec_id AS probe_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+                          FROM embeddings WHERE vec_id < 10),
+                   sims AS (SELECT p.probe_id, r.vec_id AS cand_id,
+                              list_sum(list_transform(list_zip(p.pv, r.rv), z -> z[1] * z[2]))
+                              / (sqrt(list_sum(list_transform(p.pv, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(r.rv, x -> x * x)))) AS sim
+                            FROM pr p, recon r WHERE r.vec_id <> p.probe_id),
                    ranked AS (SELECT probe_id, cand_id, sim,
                                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
                               FROM sims)

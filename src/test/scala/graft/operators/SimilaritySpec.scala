@@ -120,6 +120,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(2) <= r.getLong(3)))
   }
 
+  test("pq: train is deterministic; search recall vs brute; no cartesian; 64x code budget") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    // training determinism: same call twice, same codebooks bitwise
+    val b1 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val b2 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    assert(b1.flatten.map(_.toSeq) === b2.flatten.map(_.toSeq))
+    assert(b1.size === 8 && b1.forall(_.size === 16) && b1.head.head.length === 8)
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqSearch(emb, probes, "vec_id", "embedding", 5, b1)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ reconstructions are lossy (16 codewords per 8-dim subspace, a
+    // 64x code budget) — recall is the fitness gauge, exactness belongs
+    // to the oracle query; same floor as the LSH recall test
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.2, s"PQ recall $recall vs brute")
+    // the shipped pre-trained codebooks match their declared shape
+    val shipped = graft.operators.PqCodebooks.books
+    assert(shipped.size === 8 && shipped.forall(_.size === 16)
+      && shipped.forall(_.forall(_.length === 8)))
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)

@@ -27,6 +27,50 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("_zv"))
   }
 
+  test("two-dimension filter prunes more row groups on a z-ordered write than an unordered one") {
+    import spark.implicits._
+    // end-to-end proof of the layout's point: the same rectangle filter,
+    // adjudicated purely from parquet FOOTER stats (what a scan's
+    // row-group pruning reads), must qualify fewer row groups under the
+    // Z-order layout than under an unordered write of identical data
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "100000") // exact boundaries (see test above)
+    val zDir = tmpDir("zskip_z")
+    val uDir = tmpDir("zskip_u")
+    try ZOrder.zOrdered(grid, col("x"), col("y"), files = 8, bits = 6)
+      .write.mode("overwrite").parquet(zDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    grid.repartition(8).write.mode("overwrite").parquet(uDir)
+    // rectangle predicate: 8 <= x <= 23 AND 8 <= y <= 23 (1/16 of the grid)
+    def qualifying(dir: String): (Int, Int) = {
+      val stats = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+        .flatMap(f => ParquetMeta.columnStats(spark, f))
+      val groups = stats.groupBy(s => (s.path, s.rowGroup))
+      val hit = groups.count { case (_, cols) =>
+        def overlaps(c: String): Boolean = {
+          val s = cols.find(_.column == c).get
+          s.min.toLong <= 23L && s.max.toLong >= 8L
+        }
+        overlaps("x") && overlaps("y")
+      }
+      (hit, groups.size)
+    }
+    val (zHit, zTotal) = qualifying(zDir)
+    val (uHit, uTotal) = qualifying(uDir)
+    // unordered: every row group spans the full range → nothing prunes
+    assert(uHit === uTotal, s"unordered layout unexpectedly pruned ($uHit/$uTotal)")
+    // z-order: the rectangle intersects a strict minority of z-ranges
+    assert(zHit < uHit, s"z-order must qualify fewer groups ($zHit/$zTotal vs $uHit/$uTotal)")
+    assert(zHit <= zTotal / 2, s"expected <= half the z-ordered groups to qualify, got $zHit/$zTotal")
+  }
+
   test("z-ordered layout bounds every file in BOTH dimensions") {
     import spark.implicits._
     // uniform 64×64 grid; 4 z-range files should land near the 4
