@@ -505,19 +505,38 @@ object Dedup {
     * shaped (no cartesian anywhere). */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 20): DataFrame = {
-    require(windowWords >= 2, s"windowWords=$windowWords must be >= 2")
-    val w = Window.partitionBy("id").orderBy("pos")
     val posts = wordPosts(df, idCol, textCol)
-    val parts = col("w") +: (1 until windowWords).map(k => lead(col("w"), k).over(w))
-    val wins = posts
-      .withColumn("last_w", lead(col("w"), windowWords - 1).over(w))
-      .withColumn("wkey", md5(concat_ws(" ", parts: _*).cast("binary")))
-      .filter(col("last_w").isNotNull) // full windows only
-      .select(col("id"), col("pos"), col("wkey"))
+    val wins = slidingWindows(posts, windowWords)
     val firstOf = Window.partitionBy("wkey")
     val dupWins = wins
       .withColumn("first", min(struct(col("id"), col("pos"))).over(firstOf))
       .filter(!(col("first.id") === col("id") && col("first.pos") === col("pos")))
+      .select(col("id"), col("pos"))
+    dropCovered(posts, dupWins, windowWords)
+  }
+
+  /** The stride-1 window-key stream shared by [[substringDedup]] and
+    * [[incrementalSubstringDedup]]: one row per full `windowWords`-word
+    * window, keyed by md5 of the window text. `posts` must be a
+    * [[wordPosts]] stream (partitioned by id). */
+  private def slidingWindows(posts: DataFrame, windowWords: Int): DataFrame = {
+    require(windowWords >= 2, s"windowWords=$windowWords must be >= 2")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("w") +: (1 until windowWords).map(k => lead(col("w"), k).over(w))
+    posts
+      .withColumn("last_w", lead(col("w"), windowWords - 1).over(w))
+      .withColumn("wkey", md5(concat_ws(" ", parts: _*).cast("binary")))
+      .filter(col("last_w").isNotNull) // full windows only
+      .select(col("id"), col("pos"), col("wkey"))
+  }
+
+  /** Reassemble documents minus the positions covered by `dupWins`
+    * (`(id, pos)` window starts, each covering `windowWords` tokens):
+    * the shared tail of the substring-dedup family. The covered-set join
+    * is on id alone against doc-bounded arrays, reusing the postings
+    * distribution. Returns (id, n_tokens, n_kept, clean_text). */
+  private def dropCovered(posts: DataFrame, dupWins: DataFrame,
+      windowWords: Int): DataFrame = {
     val cov = dupWins
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("cp"))
@@ -532,6 +551,42 @@ object Dedup {
         concat_ws(" ", array_sort(
           collect_list(when(col("kept"), struct(col("pos"), col("w")))))
           .getField("w")).as("clean_text"))
+  }
+
+  /** The materialized window-fingerprint index an incremental substring
+    * pipeline maintains alongside the corpus (the substring sibling of
+    * the minhash signature index): the distinct window md5 keys of the
+    * corpus. Store it partitioned/bucketed by `wkey` and batch probes
+    * co-locate; append each ingested batch's novel keys per arrival. */
+  def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 20): DataFrame =
+    slidingWindows(wordPosts(df, idCol, textCol), windowWords)
+      .select("wkey").distinct()
+
+  /** Incremental substring dedup — strip from an arriving (small) batch
+    * every ≥ `windowWords`-word passage that already exists in the
+    * indexed corpus, without touching corpus text: the per-arrival form
+    * of [[substringDedup]], probing [[windowFingerprints]] instead of
+    * self-joining. Within-batch repeats are NOT chased here (compose
+    * with [[substringDedup]] on compaction cadence — the same
+    * ingest/compactor split as [[incrementalNearDup]]).
+    *
+    * Scale shape (mirrors [[incrementalDedup]]): the batch's distinct
+    * window keys broadcast INTO the index scan (semi-join — at most
+    * |batch windows| keys survive), and the hit set broadcasts back
+    * against the batch windows; the corpus-sized index is scanned once
+    * and never shuffled. Returns (id, n_tokens, n_kept, clean_text). */
+  def incrementalSubstringDedup(batch: DataFrame, corpusWins: DataFrame,
+      idCol: String, textCol: String, windowWords: Int = 20): DataFrame = {
+    val posts = wordPosts(batch, idCol, textCol)
+    val wins = slidingWindows(posts, windowWords)
+    val batchKeys = wins.select("wkey").distinct()
+    val hits = corpusWins.select(col("wkey"))
+      .join(broadcast(batchKeys), Seq("wkey"), "left_semi")
+      .distinct()
+    val covered = wins.join(broadcast(hits), Seq("wkey"))
+      .select(col("id"), col("pos"))
+    dropCovered(posts, covered, windowWords)
   }
 
   /** Deterministic hash split — assign every row to one of `buckets`

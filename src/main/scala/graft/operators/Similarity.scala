@@ -319,7 +319,26 @@ object Similarity {
   def pqSearch(corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
-    val spark = corpus.sparkSession
+    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
+    val recon = pqRecon(c, codebooks)
+    val p = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    recon.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_vec"), col("recon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
+  /** The PQ encode-and-reconstruct subplan shared by [[pqSearch]] and
+    * [[ivfPqSearch]]: `(cand_id, cand_vec: array<double>)` →
+    * `(cand_id, recon)` where recon concatenates each subvector's
+    * nearest codeword. One corpus scan; codebooks broadcast; the per-sub
+    * argmin collapses map-side. */
+  private def pqRecon(c: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = c.sparkSession
     import spark.implicits._
     val m = codebooks.size
     val dsub = codebooks.head.head.length
@@ -328,7 +347,6 @@ object Similarity {
         (s, ci, cw.toSeq, cw.foldLeft(0.0)((a, x) => a + x * x))
       }
     }.toDF("sub", "code", "cw", "cw2")
-    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
     val sliced = c.select(col("cand_id"), explode(array((0 until m).map { s =>
         struct(lit(s).as("sub"), slice(col("cand_vec"), s * dsub + 1, dsub).as("sv"))
       }: _*)).as("x"))
@@ -336,7 +354,7 @@ object Similarity {
     import org.apache.spark.sql.graftops.PlanApi
     val dot = PlanApi.column(graft.functions.VectorDot(
       PlanApi.expression(col("sv")), PlanApi.expression(col("cw"))))
-    val recon = sliced.join(broadcast(cb), Seq("sub"))
+    sliced.join(broadcast(cb), Seq("sub"))
       .withColumn("d", col("cw2") - lit(2.0) * dot)
       .groupBy("cand_id", "sub")
       .agg(min(struct(col("d"), col("code"), col("cw"))).getField("cw").as("cw"))
@@ -344,10 +362,49 @@ object Similarity {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("cw")))),
         p => p.getField("cw"))).as("recon"))
-    val p = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
+  }
+
+  /** IVF-PQ — the composed production ANN index (coarse cells + PQ
+    * codes, the FAISS IVFPQ shape): the pre-trained coarse quantizer
+    * prunes the search to `nprobe` cells per probe, and candidates rank
+    * by cosine against their PQ RECONSTRUCTIONS instead of raw vectors —
+    * so query cost is bounded by nprobe/nlist of the corpus AND the
+    * store holds only m small codes per vector (64× at m=8/ksub=16).
+    * Both quantizers ship as constants, so the whole path — cell
+    * assignment, probe expansion, PQ codes, reconstruction scores — is
+    * engine-exact and oracle-checked end-to-end. One corpus scan per
+    * branch (cells, codes) off a shared lazily-persisted projection;
+    * centroids and codebooks broadcast; candidates come from an
+    * equi-join on cell id, never a cartesian. */
+  def ivfPqSearch(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // shared by the cell-assignment and PQ-encode branches — lazy
+    // plan-keyed persist (populated on the query's first action)
+    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def centDF(cents: Seq[Array[Double]]): DataFrame =
+      cents.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toDF("cell", "centroid")
+    val cells = c.crossJoin(broadcast(centDF(centroids)))
+      .withColumn("d", -cosine(col("cand_vec"), col("centroid")))
+      .groupBy(col("cand_id"))
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
+    val recon = pqRecon(c, codebooks)
     import org.apache.spark.sql.expressions.Window
+    val probeCells = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
+      .crossJoin(broadcast(centDF(centroids)))
+      .withColumn("d", -cosine(col("probe_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("probe_id", "probe_vec", "cell")
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
-    recon.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+    cells.join(recon, Seq("cand_id"))
+      .join(probeCells, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("sim", cosine(col("probe_vec"), col("recon")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -1164,6 +1164,69 @@ object Registry {
               SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
 
+    // IVF-PQ: the composed production index — the pre-trained coarse
+    // quantizer prunes to nprobe cells, PQ reconstructions stand in for
+    // raw vectors in the re-rank (64x smaller store). Every stage
+    // engine-exact from the two shared literal sets.
+    Q("ann_topk_ivfpq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.ivfPqSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, centroids = graft.operators.IvfQuantizer.centroids, nprobe = 4,
+            codebooks = graft.operators.PqCodebooks.books)
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH cents(cell, cvec) AS (VALUES $centroidLiterals),
+                   cb(sub, code, pw) AS (VALUES $pqLiterals),
+                   cbn AS (SELECT sub, code, pw,
+                             list_sum(list_transform(pw, x -> x * x)) AS pw2
+                           FROM cb),
+                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id AS cand_id, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1),
+                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
+                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                    FROM scored WHERE vec_id < 10)
+                              WHERE rn <= 4),
+                   sl AS (SELECT v.vec_id, s.sub,
+                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
+                              x -> CAST(x AS DOUBLE)) AS sv
+                          FROM embeddings v, range(0, 8) s(sub)),
+                   asg AS (SELECT vec_id, sub, code, pw FROM (
+                             SELECT sl.vec_id, sl.sub, c.code, c.pw,
+                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                                      ORDER BY c.pw2 - (2.0::DOUBLE) * list_sum(
+                                          list_transform(list_zip(sl.sv, c.pw),
+                                            z -> z[1] * z[2])),
+                                        c.code) AS rn
+                             FROM sl JOIN cbn c USING (sub))
+                           WHERE rn = 1),
+                   recon AS (SELECT vec_id, flatten(list(pw ORDER BY sub)) AS rv
+                             FROM asg GROUP BY vec_id),
+                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, r.rv
+                            FROM pcells p
+                            JOIN cells c ON c.cell = p.cell
+                            JOIN recon r ON r.vec_id = c.cand_id
+                            WHERE c.cand_id <> p.probe_id),
+                   sims AS (SELECT probe_id, cand_id,
+                              list_sum(list_transform(list_zip(probe_vec, rv),
+                                z -> CAST(z[1] AS DOUBLE) * z[2]))
+                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS sim
+                            FROM cand),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM sims)
+              SELECT probe_id, cand_id, sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
     // IVF search path with iters=0: centroids are then exactly the first
     // nlist vectors by id, which DuckDB can derive too — oracle-checks
     // cell assignment (argmin cosine, cell tie-break), nprobe expansion
@@ -2228,6 +2291,43 @@ object Registry {
                    cov AS (SELECT DISTINCT doc_id, wpos + j AS cp
                            FROM flag, range(0, 12) r(j)
                            WHERE rn > 1),
+                   kept AS (SELECT t.doc_id, t.pos, t.w, c.cp
+                            FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos)
+              SELECT doc_id AS id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                     coalesce(string_agg(CASE WHEN cp IS NULL THEN w END, ' ' ORDER BY pos), '') AS clean_text
+              FROM kept GROUP BY doc_id ORDER BY id""")),
+
+    // Incremental substring dedup: a 10%-of-corpus arriving batch
+    // (modulo split — stays the small side at every SF) probes the
+    // window-fingerprint index of the already-ingested 90%; any
+    // >=12-word passage already indexed strips from the batch. Batch
+    // keys broadcast into the index scan — the index is never shuffled.
+    Q("dd_incremental_substring",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val idx = Dedup.windowFingerprints(
+          docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", windowWords = 12)
+        Dedup.incrementalSubstringDedup(
+            docs.filter(col("doc_id") % 10 === 7), idx, "doc_id", "text",
+            windowWords = 12)
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+                   win AS (SELECT doc_id, unnest([{'wpos': i - 1,
+                                                   'wkey': md5(array_to_string(ws[i:i+11], ' '))}
+                                                  for i in range(1, len(ws) - 12 + 2)], recursive := true)
+                           FROM w),
+                   idx AS (SELECT DISTINCT wkey FROM win WHERE doc_id % 10 <> 7),
+                   tok AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
+                                                  for i in range(1, len(ws) + 1)], recursive := true)
+                           FROM w WHERE doc_id % 10 = 7),
+                   cov AS (SELECT DISTINCT b.doc_id, b.wpos + j AS cp
+                           FROM win b, range(0, 12) r(j)
+                           WHERE b.doc_id % 10 = 7
+                             AND b.wkey IN (SELECT wkey FROM idx)),
                    kept AS (SELECT t.doc_id, t.pos, t.w, c.cp
                             FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos)
               SELECT doc_id AS id, count(*) AS n_tokens,

@@ -11,14 +11,58 @@ import graft.{GraftSession, SparkEntry}
   * superseded-checkpoint release in connectedComponents, and bounded
   * status-store retention, pass N must cost the same as pass 1.
   *
-  * Usage: `runMain graft.tools.Soak [sfDir] [passes]` — prints one line
-  * per pass (total seconds, worst query, heap after sweep) and a final
-  * PASS/FAIL verdict on the pass-over-pass ratio.
+  * A second stage soaks the STREAMING ingest path: `corpusTicks` ticks
+  * of [[graft.streaming.CorpusStream.ingestBatch]] against a growing
+  * signature index — per-tick latency and heap must stay flat, proving
+  * the targeted per-tick cache release (not a session-wide sweep) and
+  * the idempotent-commit bookkeeping don't accumulate anything across
+  * thousands of micro-batches. The signature index is compacted every
+  * 100 ticks (single rewrite between ticks), modelling the same
+  * ingest-loop/compactor split the reference runs — without it the
+  * per-tick index LISTING grows linearly with published batch files,
+  * which is a filesystem artifact, not session state.
+  *
+  * Usage: `runMain graft.tools.Soak [sfDir] [passes] [corpusTicks]` —
+  * prints one line per query pass, one line per 100 ingest ticks, and a
+  * final PASS/FAIL verdict covering both stages. `passes = 0` skips the
+  * query stage; `corpusTicks = 0` skips the ingest stage.
   */
 object Soak {
+
+  /** Deterministic ~30-word pseudo-text for tick `t`, doc `i` (LCG over
+    * a small vocabulary — unique enough that distinct (t, i) are never
+    * near-dups, reproducible so replayed ids are EXACT dups). */
+  private def soakText(t: Long, i: Int): String = {
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu")
+    var s = t * 100003L + i * 7919L + 12345L
+    val words = (0 until 30).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      vocab(((s >>> 33) % vocab.length).toInt)
+    }
+    s"tick $t doc $i " + words.mkString(" ")
+  }
+
+  /** Rewrite `dir` as one parquet file (between ticks — single writer). */
+  private def compactDir(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+    val df = spark.read.parquet(dir).persist()
+    df.count()
+    val tmp = dir + "_compacting"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.unpersist(blocking = true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val corpusTicks = args.lift(2).map(_.toInt).getOrElse(500)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,14 +88,70 @@ object Soak {
       println(f"[soak] pass $pass/$passes total=$total%.1fs worst=${worst._1}:${worst._2}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
       total
     }
+
+    // ---- streaming ingest soak ----
+    val tickLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var heapEarly = 0L
+    var heapLate = 0L
+    if (corpusTicks > 0) {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_soak_corpus")
+      val corpusDir = s"$base/corpus"
+      val sigDir = s"$base/sig"
+      for (t <- 0 until corpusTicks) {
+        // 8 docs per tick: 6 novel + 2 exact replays of the previous
+        // tick's docs, so the index probe GATES something every tick
+        val docs = (0 until 8).map { i =>
+          val id = t.toLong * 8L + i
+          val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t.toLong, i)
+          (id, txt)
+        }.toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        graft.streaming.CorpusStream.ingestBatch(spark, docs, "doc_id", "text",
+          corpusDir, sigDir, shingleLen = 3, numHashes = 16, bands = 4,
+          minAgree = 0.8, batchId = Some(t.toLong))
+        tickLat += (System.nanoTime() - t0) / 1e9
+        if ((t + 1) % 100 == 0) {
+          compactDir(spark, sigDir)
+          System.gc()
+          val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+          if (t + 1 == 100) heapEarly = heapMb
+          heapLate = heapMb
+          val last100 = tickLat.takeRight(100)
+          println(f"[soak] ticks ${t + 1}/$corpusTicks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+        }
+      }
+    }
     spark.stop()
+
     // pass 1 pays janino compilation for every generated stage; steady
     // state is pass 2+. Degradation = any later pass markedly worse than
     // pass 2 (1.5× leaves room for box noise; r5's signature was 2-10×).
     val steady = totals.drop(1)
-    val verdict =
-      if (steady.isEmpty || steady.max <= steady.min * 1.5) "SOAK PASS"
-      else "SOAK FAIL"
-    println(f"$verdict: passes=${totals.map(t => f"$t%.1f").mkString(",")}s")
+    val queryOk = steady.isEmpty || steady.max <= steady.min * 1.5
+    // ingest: same shape — first 100 ticks pay codegen; steady per-tick
+    // median must not creep (1.5× slack) and post-GC heap must stay flat
+    val (corpusOk, tickSummary) =
+      if (tickLat.size < 200) (true, f"ticks=${tickLat.size}")
+      else {
+        val early = median(tickLat.slice(100, 200).toSeq)
+        val late = median(tickLat.takeRight(100).toSeq)
+        val flatLat = late <= early * 1.5
+        val flatHeap = heapEarly == 0L || heapLate <= heapEarly * 2
+        (flatLat && flatHeap,
+          f"ticks=${tickLat.size} early=$early%.2fs late=$late%.2fs heapMB=$heapEarly->$heapLate")
+      }
+    val verdict = if (queryOk && corpusOk) "SOAK PASS" else "SOAK FAIL"
+    val passSummary =
+      if (totals.isEmpty) "passes=skipped"
+      else s"passes=${totals.map(t => f"$t%.1f").mkString(",")}s"
+    println(s"$verdict: $passSummary $tickSummary")
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 }

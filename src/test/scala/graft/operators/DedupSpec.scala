@@ -195,6 +195,38 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((6L, 0L, "")))         // nothing left
   }
 
+  test("incrementalSubstringDedup: batch passages in the index strip; index never shuffles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "completely different words about gardening and flowers blooming")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.windowFingerprints(corpus, "doc_id", "text", windowWords = 4)
+    val batch = Seq(
+      (10L, "x y a b c d e f q r"), // corpus passage at offset 2 → stripped
+      (11L, "entirely novel content mentioning satellites and orbits")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalSubstringDedup(batch, idx, "doc_id", "text",
+      windowWords = 4)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // windows at pos 2..4 of doc 10 hit the index → positions 2..7 covered
+    assert(byId(10L) === ((10L, 4L, "x y q r")))
+    assert(byId(11L) === ((7L, 7L, "entirely novel content mentioning satellites and orbits")))
+    // the (corpus-sized) index is never shuffle-JOINED: both probe joins
+    // on the window keys are broadcast (batch keys into the index scan,
+    // hit set back against the batch windows). The plan's remaining
+    // exchanges are the index BUILD (pre-materialized in production —
+    // this test constructs it inline) and batch-bounded distincts; the
+    // reassembly merge join rides the postings repartition
+    // co-partitioned, adding no shuffle. Final-plan section only: AQE's
+    // toString appends the initial plan, whose un-sized estimates differ.
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin [wkey"), s"index probe not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin [wkey"), s"shuffle join on index keys in:\n$plan")
+  }
+
   test("qualityReport: keep true/false branches and null-text three-valued logic") {
     import spark.implicits._
     val docs = Seq(

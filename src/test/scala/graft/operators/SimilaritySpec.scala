@@ -145,6 +145,35 @@ class SimilaritySpec extends SparkSpec {
       && shipped.forall(_.forall(_.length === 8)))
   }
 
+  test("ivfpq: candidates bounded by probed cells; recall holds; no cartesian") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqSearch(emb, probes, "vec_id", "embedding", 5,
+      graft.operators.IvfQuantizer.centroids, nprobe = 8,
+      graft.operators.PqCodebooks.books)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = ivfpq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doubly approximate (cell pruning AND lossy reconstructions): the
+    // floor is below pure-PQ's, but the index must still be useful
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-PQ recall $recall vs brute")
+    // every candidate comes from a probed cell: with nprobe = nlist the
+    // result must equal pure PQ search (cell pruning disabled ⇒ same
+    // candidate set, same reconstructions)
+    val full = Similarity.ivfPqSearch(emb, probes, "vec_id", "embedding", 5,
+      graft.operators.IvfQuantizer.centroids,
+      nprobe = graft.operators.IvfQuantizer.centroids.size,
+      graft.operators.PqCodebooks.books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val purePq = Similarity.pqSearch(emb, probes, "vec_id", "embedding", 5,
+      graft.operators.PqCodebooks.books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === purePq)
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)

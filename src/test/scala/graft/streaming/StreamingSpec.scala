@@ -75,6 +75,9 @@ class StreamingSpec extends SparkSpec {
     val sigDir = tmpDir("sigidx")
     val mem = MemoryStream[(Long, String)]
     val df = mem.toDF().toDF("doc_id", "text")
+    // other suites may legitimately leave session caches behind now that
+    // a tick releases only its OWN persists — assert on the DELTA
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val q = CorpusStream.start(spark, df, "doc_id", "text",
       corpusDir, sigDir, tmpDir("corpusck"), minAgree = 0.5)
     val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
@@ -93,8 +96,9 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(sigIds === Array(1L, 2L, 11L))
     // tick hygiene: a long-lived ingest loop must not accumulate the
-    // operators' internal caches across micro-batches
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // operators' internal caches across micro-batches (delta vs the
+    // suite-start set — co-resident caches are none of the tick's business)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preexisting).isEmpty)
   }
 
   test("CorpusStream.ingestBatch: committed-batch replay is skipped (idempotent commit)") {
@@ -153,7 +157,9 @@ class StreamingSpec extends SparkSpec {
     val corpusDir = tmpDir("corpus_cache")
     val sigDir = tmpDir("sigidx_cache")
     // co-resident cached work must survive an ingest tick (the r6 design
-    // swept the whole session cache per tick)
+    // swept the whole session cache per tick); assert on the DELTA so
+    // other suites' leftover caches don't skew the count
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     val resident = spark.range(100).toDF("n").persist()
     resident.count()
     // two DISTINCT docs with null text: no content identity, so neither
@@ -173,7 +179,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
     // the resident cache is untouched; the tick's own persists are gone
     assert(resident.storageLevel.useMemory, "co-resident cache was swept")
-    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preexisting).size === 1)
     resident.unpersist()
   }
 
