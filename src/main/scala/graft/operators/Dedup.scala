@@ -414,6 +414,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup — semantic deduplication in embedding space (Abbas et al.
+    * 2023): documents whose MEANING repeats are pruned even when their
+    * text shares no n-grams. Every doc is assigned to its nearest
+    * pre-trained coarse-quantizer cell (the IVF assignment — cosine
+    * argmin, cell-id tie-break), candidate pairs are generated WITHIN
+    * cells only, verified by exact cosine ≥ `minCosine`, and each
+    * connected group of near-duplicates keeps its min-id representative.
+    * Returns every input doc as (id, cell, component, keep).
+    *
+    * Scale shape: the clustering is what makes SemDeDup tractable at
+    * 100 TB — candidates come from an equi-join on cell id (never a
+    * cartesian), so pair volume is bounded by the largest cell, and
+    * `nlist` scales with the corpus to hold cells at a target size.
+    * Cells over `maxBucket` degrade to the linear rep-star (or trip
+    * `bucketGuard` loudly — same contract as the LSH family); centroids
+    * broadcast (nlist×dim); the verified-pair residue feeds the same
+    * bounded [[connectedComponents]] as the text dedup family. The cell
+    * assignment is persisted lazily: pair generation and the final
+    * audit join both read it, and the component step's eager edge count
+    * would otherwise recompute the corpus×centroid scan. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], minCosine: Double,
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    // widen float embeddings once; both downstream branches read this
+    val vecs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cells = vecs.crossJoin(broadcast(cents))
+      .withColumn("d", -Similarity.cosine(col("vec"), col("centroid")))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = cappedBucketPairs(cells, Seq("cell"), Nil, maxBucket, bucketGuard)
+    val pairs = cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    cells.join(comps, Seq("id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("id")))
+      .select(col("id"), col("cell"), col("component"),
+        (col("component") === col("id")).as("keep"))
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup — the shape a continuously
     * ingesting training pipeline runs: drop new-batch docs whose content
     * fingerprint already exists in the accumulated corpus. The corpus is

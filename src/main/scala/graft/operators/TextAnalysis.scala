@@ -142,13 +142,41 @@ object TextAnalysis {
   /** Word n-gram shingles of the normalized text. Built with per-shingle
     * `element_at` lookups (O(1) each) rather than `slice` (which allocates
     * a sub-array per shingle) — higher-order lambdas are interpreted, not
-    * codegen'd, so constant factors matter here. */
+    * codegen'd, so constant factors matter here.
+    *
+    * CAUTION: when this column is inlined into a single projection over
+    * the raw text, every `element_at` in the lambda re-evaluates the
+    * whole `split(normalize(text))` subtree — O(words²) regexp work per
+    * doc (measured 38× slower at sf0.1). For a corpus-wide shingle
+    * stream use [[shingleStream]], which materializes the word array
+    * behind a projection boundary first. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(normalize(text), " ")
     when(size(words) < n, array(normalize(text)))
       .otherwise(transform(
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", (1 to n).map(k => element_at(words, (i + k).cast("int"))): _*)))
+  }
+
+  /** Corpus-wide shingle stream at scan speed — one row per word
+    * `n`-gram occurrence, column `sg` (short docs yield their whole
+    * normalized text; null text yields nothing; duplicates NOT
+    * collapsed). The word array is materialized in its own projection
+    * so the shingle lambda's `element_at` lookups hit a bound attribute
+    * instead of re-running `split(normalize(text))` per element (the
+    * [[shingles]] caution — CollapseProject keeps the boundary because
+    * `ws` is referenced `n`+1 times). Zero shuffle, unlike the
+    * window-`lead` assembly in the dedup family, which pays a
+    * repartition by doc id — use that when per-doc positions matter,
+    * this when only the shingle stream does. */
+  def shingleStream(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val norm = normalize(col(textCol))
+    df.select(norm.as("t"), split(norm, " ").as("ws"))
+      .select(explode(when(size(col("ws")) < n, array(col("t")))
+        .otherwise(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ",
+            (1 to n).map(k => element_at(col("ws"), (i + k).cast("int"))): _*)))).as("sg"))
   }
 
   /** Granularity of the [[sampleKeep]] rate threshold: rates are honored
@@ -564,5 +592,126 @@ object TextAnalysis {
       .withColumn("_t_rn", row_number().over(w))
       .filter(col("_t_rn") <= col("target"))
       .select(col("id"), col("stratum"), col("n_docs"), col("target"))
+  }
+
+  /** Count-min sketch over whitespace tokens — the mergeable
+    * fixed-memory frequency summary a 100 TB corpus uses where an exact
+    * token groupBy would carry the full vocabulary through a shuffle:
+    * `depth` hash rows × `width` counters (`depth·width` cells total,
+    * KBs not TBs), each token occurrence incrementing one cell per row.
+    * Point estimates ([[cmEstimate]]) take the min over rows — always
+    * ≥ the true count, within `e·N / width` with probability
+    * `1 − (1/2)^depth`. Returns the sketch as (row, col, cnt).
+    *
+    * Scale shape: one scan, one groupBy on (row, col) whose key space is
+    * the FIXED `depth·width` grid — the aggregation is map-side-combined
+    * into at most `depth·width` rows per partition regardless of corpus
+    * size, and two sketches merge by adding cells (the partial
+    * aggregation IS the merge). The portable md5 hash keeps every cell
+    * cross-engine reproducible. */
+  def countMinSketch(df: org.apache.spark.sql.DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 512): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    df.select(explode(split(normalize(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(explode(array((0 until depth).map { r =>
+        struct(lit(r).as("row"),
+          pmod(Dedup.portableHash60(concat(col("tok"), lit(s"#cm$r"))),
+            lit(width.toLong)).as("col"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate token frequencies from a [[countMinSketch]]: min
+    * over the `depth` cells each token hashes to (0 when a cell is
+    * absent — the token was never counted). The sketch broadcasts (its
+    * size is the fixed grid, corpus-independent); `depth`/`width` must
+    * match the sketch's. Returns (tok, cm_est). */
+  def cmEstimate(sketch: org.apache.spark.sql.DataFrame,
+      tokens: org.apache.spark.sql.DataFrame, tokCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame =
+    tokens.select(col(tokCol).as("tok")).distinct()
+      .select(col("tok"), explode(array((0 until depth).map { r =>
+        struct(lit(r).as("row"),
+          pmod(Dedup.portableHash60(concat(col("tok"), lit(s"#cm$r"))),
+            lit(width.toLong)).as("col"))
+      }: _*)).as("rc"))
+      .select(col("tok"), col("rc.row").as("row"), col("rc.col").as("col"))
+      .join(broadcast(sketch), Seq("row", "col"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  /** HyperLogLog register table over an arbitrary key expression — the
+    * mergeable cardinality sketch ("how many distinct shingles /
+    * fingerprints / urls") that replaces a corpus-wide DISTINCT shuffle
+    * with `m = 2^p` one-byte registers. The portable 60-bit hash splits
+    * into a `p`-bit bucket and a `60−p`-bit remainder; the register
+    * holds the max rank `rho` (leading zeros + 1, via the minimal-width
+    * `bin()` string both engines share) seen in its bucket. Returns all
+    * `m` rows as (bucket, rho), empty registers as rho = 0.
+    *
+    * Scale shape: one scan, one groupBy over at most `m` keys
+    * (map-side-combined max — each partition emits ≤ m rows), spine
+    * join to densify. Two sketches merge by per-bucket max — the
+    * partial aggregation IS the merge, so per-shard register tables
+    * roll up without touching row data. Duplicate keys are free (max is
+    * idempotent), so feed the raw stream — no upstream DISTINCT needed.
+    * Null keys carry no identity and are skipped. */
+  def hllRegisters(df: org.apache.spark.sql.DataFrame, key: Column,
+      p: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
+    val m = 1 << p
+    val wBits = 60 - p
+    val spark = df.sparkSession
+    val regs = df.select(Dedup.portableHash60(key).as("h"))
+      .filter(col("h").isNotNull)
+      .select(shiftright(col("h"), wBits).as("bucket"),
+        (col("h") % lit(1L << wBits)).as("rem"))
+      .withColumn("rho", when(col("rem") === 0L, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("rem")))))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    spark.range(m).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
+  }
+
+  /** PMI-style collocation extraction — the top-K word bigrams by lift
+    * `P(xy) / (P(x)·P(y)) = (c_xy·N·N) / (N2·c_x·c_y)`, the monotone
+    * exponential of pointwise mutual information (log is libm-dependent,
+    * the ratio is one IEEE division — so ranking AND score are
+    * engine-exact). `minCount` drops rare bigrams (the classic PMI
+    * low-count pathology). Returns (w1, w2, c_xy, c_x, c_y, lift),
+    * lift-descending.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined
+    * groupBys; the unigram table is vocabulary-bounded and broadcasts
+    * into the bigram stream twice (w1, w2) — swap to shuffled joins if
+    * the vocabulary ever outgrows broadcast; the global top-K is a
+    * distributed TakeOrdered, never a single-partition sort. */
+  def pmiBigrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 20,
+      minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = Dedup.wordPosts(df, idCol, textCol)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bi = posts.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val uni = posts.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nUni = posts.agg(count(lit(1)).as("n_uni"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .join(broadcast(nUni)).join(broadcast(nBi))
+      // left-to-right IEEE chain, mirrored verbatim in the oracle
+      .withColumn("lift",
+        col("c_xy").cast("double") * col("n_uni") * col("n_uni")
+          / (col("n_bi").cast("double") * col("c_x") * col("c_y")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
   }
 }

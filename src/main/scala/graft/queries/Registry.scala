@@ -2105,6 +2105,57 @@ object Registry {
               FROM cos WHERE cosine >= 0.4::DOUBLE
               ORDER BY id_a, id_b""")),
 
+    // SemDeDup: cluster-then-dedup in embedding space — the pre-trained
+    // coarse quantizer bounds candidate pairs to within-cell equi-joins,
+    // exact cosine verifies, connected groups keep their min-id rep.
+    // Both quantizer and threshold are literals, so cell assignment,
+    // pair verification, and the component labels all oracle-check.
+    Q("dd_semantic",
+      (s, d) => Dedup.semanticDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+          graft.operators.IvfQuantizer.centroids, minCosine = 0.4,
+          // oracle is exact all-pairs-within-cell: pin it, guard loudly
+          // (cells at the sf0.1 fixture hold ~125 vecs; the guard trips
+          // when a cell outgrows exact pairing — the fix is more cells)
+          maxBucket = Int.MaxValue,
+          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE cents(cell, cv) AS (VALUES $centroidLiterals),
+                   scored AS (SELECT v.vec_id, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1),
+                   cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                            FROM cells a JOIN cells b
+                              ON a.cell = b.cell AND a.vec_id < b.vec_id),
+                   pairsq AS (SELECT c.id_a, c.id_b
+                              FROM cand c
+                              JOIN embeddings va ON va.vec_id = c.id_a
+                              JOIN embeddings vb ON vb.vec_id = c.id_b
+                              WHERE list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                    / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                       * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                                    >= 0.4::DOUBLE),
+                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+                             UNION SELECT id_b, id_a FROM pairsq),
+                   reach(src, dst) AS (
+                     SELECT src, dst FROM edges
+                     UNION
+                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                   comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
+                            FROM reach GROUP BY src)
+              SELECT c.vec_id AS id, c.cell,
+                     coalesce(p.component, c.vec_id) AS component,
+                     coalesce(p.component, c.vec_id) = c.vec_id AS keep
+              FROM cells c LEFT JOIN comp p USING (vec_id)
+              ORDER BY id""")),
+
     // Incremental ingest-cycle dedup: new batch (doc_id % 10 = 0) vs the
     // accumulated corpus (the rest). The plan never shuffles the corpus —
     // batch fingerprints broadcast into the corpus scan, the hit-set
@@ -2349,6 +2400,119 @@ object Registry {
                                 row_number() OVER (ORDER BY doc_freq DESC, tok) AS rnk
                               FROM dfq)
               SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
+
+    // HyperLogLog cardinality sketch over corpus shingles: 256 one-byte
+    // registers replace the corpus-wide DISTINCT shuffle. Registers,
+    // zero-count, and the integer harmonic denominator are exact; the
+    // raw estimate is a single literal-arithmetic chain mirrored
+    // verbatim (no small/large-range correction — that needs ln, which
+    // is libm-dependent; v_zero ships so a caller can apply it).
+    Q("ta_hll_distinct",
+      (s, d) => {
+        val sh = graft.operators.TextAnalysis.shingleStream(
+          T(s, d, "documents"), "text", 3)
+        val regs = graft.operators.TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+        val est = regs.agg(
+          count(lit(1)).as("m"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
+          .withColumn("est_raw", expr(
+            "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
+        val exact = sh.agg(countDistinct(col("sg")).as("n_exact"))
+        est.join(exact)
+          .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
+                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
+                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
+                          FROM w),
+                   keys AS (SELECT unnest(s) AS sg FROM sh),
+                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
+                          FROM keys WHERE sg IS NOT NULL),
+                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
+                   regs0 AS (SELECT bucket,
+                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
+                             FROM br GROUP BY bucket),
+                   regs AS (SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
+                            FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range),
+                   agg AS (SELECT count(*) AS m,
+                                  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                                  CAST(sum(1::BIGINT << CAST(54 - rho AS INTEGER)) AS BIGINT) AS denom
+                           FROM regs),
+                   ex AS (SELECT count(DISTINCT sg) AS n_exact FROM keys WHERE sg IS NOT NULL)
+              SELECT m, v_zero, denom,
+                     0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE) AS est_raw,
+                     n_exact
+              FROM agg CROSS JOIN ex""")),
+
+    // Count-min heavy hitters: a 4×64-cell mergeable frequency sketch
+    // point-estimates the top-20 tokens; estimates are provably ≥ exact
+    // (overcount column). Sketch cells, estimates, and exact counts are
+    // all integer → hash-exact.
+    Q("ta_heavy_hitters",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sketch = graft.operators.TextAnalysis.countMinSketch(docs, "text",
+          depth = 4, width = 64)
+        val toks = docs.select(explode(split(
+            graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        graft.operators.TextAnalysis.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
+          .join(top, Seq("tok"))
+          .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
+            (col("cm_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("token"))
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
+                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+                   cells AS (SELECT r.range AS rw,
+                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                             FROM tk CROSS JOIN range(0, 4) r),
+                   sketch AS (SELECT rw, cl, count(*) AS cnt FROM cells GROUP BY rw, cl),
+                   exact AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok),
+                   top AS (SELECT tok, exact_cnt
+                           FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rn FROM exact)
+                           WHERE rn <= 20),
+                   kcells AS (SELECT t.tok, r.range AS rw,
+                                ('0x' || substr(md5(t.tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                              FROM top t CROSS JOIN range(0, 4) r),
+                   est AS (SELECT k.tok, min(coalesce(s.cnt, 0)) AS cm_est
+                           FROM kcells k LEFT JOIN sketch s ON s.rw = k.rw AND s.cl = k.cl
+                           GROUP BY k.tok)
+              SELECT t.tok AS token, t.exact_cnt, e.cm_est, e.cm_est - t.exact_cnt AS overcount
+              FROM top t JOIN est e USING (tok)
+              ORDER BY exact_cnt DESC, token""")),
+
+    // PMI collocations: top-20 bigrams by lift (the monotone exponential
+    // of PMI — log is libm-dependent, the ratio is one IEEE division, so
+    // both the ranking and the score hash-match).
+    Q("ta_pmi_bigrams",
+      (s, d) => graft.operators.TextAnalysis.pmiBigrams(
+        T(s, d, "documents"), "doc_id", "text", topK = 20, minCount = 5L),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+                   posts AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
+                                                    for i in range(1, len(ws) + 1)], recursive := true)
+                             FROM w),
+                   bi AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM posts),
+                   bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+                   uni AS (SELECT w, count(*) AS c FROM posts GROUP BY w),
+                   n1 AS (SELECT count(*) AS n_uni FROM posts),
+                   n2 AS (SELECT count(*) AS n_bi FROM bi2),
+                   bg AS (SELECT w1, w2, count(*) AS c_xy FROM bi2 GROUP BY w1, w2 HAVING count(*) >= 5),
+                   sc AS (SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+                            CAST(b.c_xy AS DOUBLE) * n1.n_uni * n1.n_uni
+                              / (CAST(n2.n_bi AS DOUBLE) * ux.c * uy.c) AS lift
+                          FROM bg b
+                          JOIN uni ux ON ux.w = b.w1
+                          JOIN uni uy ON uy.w = b.w2
+                          CROSS JOIN n1 CROSS JOIN n2)
+              SELECT w1, w2, c_xy, c_x, c_y, lift
+              FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20""")),
 
     // Corpus diversity audit: per-cluster membership under the pre-trained
     // IVF quantizer (same argmin-cosine assignment the oracle replicates

@@ -227,6 +227,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin [wkey"), s"shuffle join on index keys in:\n$plan")
   }
 
+  test("semanticDedup: within-cell groups keep min-id rep, cross-cell never pairs, no cartesian") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val docs = Seq(
+      (1L, Seq(1.0, 0.01)),   // cell 0, ~identical to 2
+      (2L, Seq(1.0, 0.011)),  // cell 0 → dup of 1
+      (3L, Seq(0.9, 0.5)),    // cell 0, but below threshold vs 1/2
+      (4L, Seq(0.01, 1.0)),   // cell 1, ~identical to 5
+      (5L, Seq(0.012, 1.0))   // cell 1 → dup of 4
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(docs, "vec_id", "embedding", cents, minCosine = 0.999)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) === ((0, 1L, true)))
+    assert(byId(2L) === ((0, 1L, false))) // collapsed into 1
+    assert(byId(3L) === ((0, 3L, true))) // same cell, not similar enough
+    assert(byId(4L) === ((1, 4L, true)))
+    assert(byId(5L) === ((1, 4L, false)))
+    // docs 3 and 4: cosine(0.9,0.5 ; 0.01,1.0) ≈ 0.49 — would NOT pair
+    // even if cells allowed it; but 1 vs 4 (cos ≈ 0.02) lands in
+    // different cells, so no pair is ever GENERATED for it (the
+    // clustering is the tractability mechanism, not just a filter)
+  }
+
   test("qualityReport: keep true/false branches and null-text three-valued logic") {
     import spark.implicits._
     val docs = Seq(

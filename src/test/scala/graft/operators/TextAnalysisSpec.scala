@@ -127,4 +127,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("duckdb.org") === (1L, 1L))
     assert(out.size === 2)
   }
+
+  test("countMinSketch/cmEstimate: row mass conservation, est >= exact, unseen token 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta delta"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val depth = 3
+    val width = 8 // tiny width forces collisions — the estimate must still bound
+    val sketch = TextAnalysis.countMinSketch(df, "text", depth, width)
+    // every row of the sketch counts every token occurrence exactly once
+    val rowMass = sketch.groupBy("row").agg(sum("cnt").as("mass"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rowMass === (0 until depth).map(_ -> 8L).toMap) // 8 tokens total
+    val cands = Seq("alpha", "beta", "gamma", "delta", "unseen").toDF("tok")
+    val est = TextAnalysis.cmEstimate(sketch, cands, "tok", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L)
+    // CM guarantee: estimate never undercounts; a never-counted token
+    // may collide into occupied cells but min-over-rows stays bounded
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"$t: ${est(t)} < $c") }
+    assert(est("unseen") >= 0L && est("unseen") <= 8L)
+  }
+
+  test("hllRegisters: dense m rows, merge = per-bucket max, estimate within HLL error") {
+    import spark.implicits._
+    val a = (0 until 600).map(i => s"key_a_$i").toDF("k")
+    val b = (0 until 500).map(i => s"key_b_$i").toDF("k")
+    val p = 8
+    val m = 1 << p
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hllRegisters(df, col("k"), p)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (ra, rb) = (regs(a), regs(b))
+    val ru = regs(a.union(b))
+    assert(ra.size === m && ru.size === m)
+    // mergeability — the property that lets per-shard sketches roll up
+    // without touching row data
+    assert(ru === (0 until m).map(i => i.toLong -> math.max(ra(i), rb(i))).toMap)
+    // raw-estimate accuracy at n=1100, m=256: typical error 1.04/sqrt(m)
+    // ≈ 6.5%; assert a generous 4-sigma band so the test never flakes
+    val denom = ru.values.map(r => math.pow(2.0, -r)).sum
+    val estim = 0.7213 / (1.0 + 1.079 / m) * m * m / denom
+    assert(math.abs(estim - 1100.0) / 1100.0 < 0.26, s"estimate $estim vs 1100")
+  }
+
+  test("pmiBigrams: collocation lift exact, independents near 1, minCount prunes") {
+    import spark.implicits._
+    // "new york" always adjacent; fillers vary. 6 docs x 4 tokens.
+    val docs = (0 until 6).map { i =>
+      (i.toLong, s"new york tok$i other")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, "doc_id", "text", topK = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // c_xy=6, N=24, N2=18, c_x=c_y=6 → lift = 6*24*24/(18*6*6) = 16/3
+    val (cxy, cx, cy, lift) = out(("new", "york"))
+    assert(cxy === 6L && cx === 6L && cy === 6L)
+    assert(lift === 6.0 * 24 * 24 / (18.0 * 6 * 6))
+    // rare bigrams (each "york tokI" occurs once) pruned by minCount=2
+    assert(!out.keySet.exists(_._2.startsWith("tok")))
+  }
 }
