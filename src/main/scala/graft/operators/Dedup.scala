@@ -349,6 +349,82 @@ object Dedup {
     verifyJaccard(cands, posts, minJaccard)
   }
 
+  /** Minhash Jaccard ESTIMATOR audit — every LSH candidate pair with
+    * the signature-based estimate (fraction of agreeing components, the
+    * statistic a 100 TB pipeline uses to SKIP exact verification) next
+    * to the exact n-gram Jaccard it estimates. The estimator's bias is
+    * the thing this query exists to measure: E[est] = true Jaccard, but
+    * at `numHashes` components the spread is ±1/√numHashes — pick the
+    * verify-vs-trust threshold from this table, not from folklore.
+    *
+    * Scale shape: candidates are band-key equi-joins (shared Exchange
+    * across banding branches, same as the near-dup family); the
+    * signature aggregation feeds banding AND both per-pair signature
+    * joins — ReuseExchange dedupes the underlying shuffle; agreement is
+    * a per-row sum of `numHashes` comparisons, no extra shuffle.
+    * Returns (id_a, id_b, n_agree, est_jaccard, jaccard). */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      hashFamily: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = xxhashFamily,
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
+    val posts = shinglePosts(df, idCol, textCol, shingleLen)
+    // the signature table feeds THREE consumers (banding + both per-pair
+    // agreement joins); persisted so the 32-hash aggregation runs once —
+    // the same materialization a production pipeline keeps as its
+    // signature index (one row per doc, numHashes longs)
+    val sig = signatureOf(posts, numHashes, hashFamily)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = bandPairs(sig, numHashes, bands, maxBucket, bucketGuard)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds agreement + verify
+    val sigA = sig.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val sigB = sig.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .withColumn("n_agree", agree)
+      // integer / integer-literal under one IEEE division — engine-exact
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numHashes)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("est_jaccard"))
+    // exact Jaccard for the same pairs: threshold -1 keeps every candidate
+    est.join(verifyJaccard(cands, posts, -1.0), Seq("id_a", "id_b"))
+  }
+
+  /** Pairwise split-contamination matrix — for every pair of
+    * [[hashBucket]] splits (the same bucketing `ta_split` ships), the
+    * number of distinct word shingles the two sides SHARE, plus each
+    * side's distinct-shingle total and the containment ratio
+    * `shared / min(n_a, n_b)`: the train/val/test leakage audit run
+    * once per corpus build before any eval is trusted. Returns
+    * (split_a, split_b, shared_shingles, n_a, n_b, containment); pairs
+    * sharing nothing are absent.
+    *
+    * Scale shape: one distinct over (split, shingle) — shuffle keyed by
+    * shingle content, map-side combined; the self-join is a shingle-key
+    * equi-join whose output collapses into at most `buckets²` rows
+    * map-side; totals are buckets-sized and broadcast back. */
+  def splitOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 3, shingleLen: Int = 3): DataFrame = {
+    val tagged = shinglePosts(df, idCol, textCol, shingleLen)
+      .withColumn("split", hashBucket(col("id"), buckets))
+      .select("split", "s").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // totals + both join sides
+    val totals = tagged.groupBy("split").agg(count(lit(1)).as("n"))
+    tagged.select(col("split").as("split_a"), col("s"))
+      .join(tagged.select(col("split").as("split_b"), col("s")), Seq("s"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(totals.select(col("split").as("split_a"), col("n").as("n_a"))), Seq("split_a"))
+      .join(broadcast(totals.select(col("split").as("split_b"), col("n").as("n_b"))), Seq("split_b"))
+      .withColumn("containment",
+        col("shared_shingles").cast("double") / least(col("n_a"), col("n_b")))
+      .select(col("split_a"), col("split_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
   /** Shingles whose posting list is ≤ `maxDocFreq` docs — the
     * stop-shingle / prefix-filter prune shared by the ngram dedup family
     * and the decontamination check. */

@@ -493,4 +493,60 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
+
+  /** Lexical top-k — rank corpus docs per probe by shared distinct word
+    * shingles: the sparse/keyword arm of a hybrid retrieval stack (the
+    * role BM25 plays in production; overlap count keeps it engine-exact
+    * where idf·log weighting would not be). Probes are the small side
+    * and broadcast into the corpus posting stream; the overlap count is
+    * a map-side-combined groupBy; ranking is a bounded per-probe
+    * window. At corpus scale compose with the inverted-index family's
+    * stop-shingle prune ([[Dedup.ngramJaccardPairs]]) for candidate
+    * generation — full overlap counting against every doc sharing any
+    * shingle is the honest cost of this exact formulation.
+    * Returns (probe_id, cand_id, overlap, rn). */
+  def lexicalTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleLen: Int = 3): DataFrame = {
+    val cp = Dedup.shinglePosts(corpus, idCol, textCol, shingleLen)
+    val pp = Dedup.shinglePosts(probes, idCol, textCol, shingleLen)
+      .select(col("id").as("probe_id"), col("s"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("overlap").desc, col("cand_id"))
+    cp.join(broadcast(pp), Seq("s"))
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("id").as("cand_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("overlap"), col("rn"))
+  }
+
+  /** Reciprocal-rank fusion — combine two per-probe rankings (each
+    * `(probe_id, cand_id, rn)`) into one, scoring every candidate
+    * `Σ 1/(rrfK + rank)` over the lists it appears in (Cormack et al.'s
+    * k=60 default): THE standard hybrid-retrieval merge, score-scale
+    * free, so a cosine arm and an overlap-count arm fuse without
+    * calibration. Engine-exact: ranks are integers and each term is one
+    * IEEE division, summed in fixed order. Candidates missing from a
+    * list contribute 0 (full outer join). Returns
+    * (probe_id, cand_id, rn_a, rn_b, score, rn).
+    *
+    * Scale shape: both inputs are already k-bounded per probe, so the
+    * fusion join, scoring, and re-rank all operate on O(probes · k)
+    * rows — negligible next to the arms that produced them. */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val a = rankA.select(col("probe_id"), col("cand_id"), col("rn").as("rn_a"))
+    val b = rankB.select(col("probe_id"), col("cand_id"), col("rn").as("rn_b"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    a.join(b, Seq("probe_id", "cand_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rn_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rn_b")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("rn_a"), col("rn_b"),
+        col("score"), col("rn"))
+  }
 }

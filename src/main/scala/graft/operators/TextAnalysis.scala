@@ -676,6 +676,113 @@ object TextAnalysis {
       .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
+  /** Power-of-two token-length histogram — the mergeable quantile
+    * sketch completing the trio (count-min: frequency, HLL:
+    * cardinality, this: distribution): docs bucket by
+    * `floor(log2(n_tokens)) + 1` (= the minimal-width `bin()` length,
+    * pure integer — no libm log), counts accumulate per bucket, and any
+    * quantile reads off the cumulative column to within a 2× bracket.
+    * Returns one row per non-empty bucket:
+    * (bucket, lo, hi, cnt, cum), `lo..hi` the inclusive length range.
+    *
+    * Scale shape: the groupBy key space is ≤ 64 buckets, so the
+    * aggregation collapses map-side regardless of corpus rows and
+    * per-shard histograms merge by adding counts. The cum window runs
+    * over the ≤ 64-row RESULT, not the corpus (the one "no partition"
+    * window in the family that is genuinely bounded). */
+  def tokenHistogram(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(tokenCount(col(textCol)).as("n")).filter(col("n").isNotNull)
+      .withColumn("bucket",
+        when(col("n") === 0, lit(0)).otherwise(length(bin(col("n").cast("long")))))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", when(col("bucket") === 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
+      .withColumn("hi", when(col("bucket") === 0, lit(0L))
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("lo"), col("hi"), col("cnt"), col("cum"))
+  }
+
+  /** BPE tokenizer training — learn `numMerges` byte-pair merges from
+    * the corpus (Sennrich et al.): per iteration, count adjacent symbol
+    * pairs weighted by word frequency, take the max (count desc, then
+    * lexicographic — fully deterministic), and merge it greedily
+    * left-to-right in every word. Returns the learned merge table
+    * (it, lft, rgt, cnt) — the artifact a tokenizer ships.
+    *
+    * Everything is relational: the corpus collapses to a
+    * word-frequency vocabulary once (map-side-combined groupBy — the
+    * only pass over corpus rows); iterations run on the VOCAB posting
+    * table (word, freq, pos, sym), so per-iteration cost is bounded by
+    * vocabulary size, not corpus size. The greedy non-overlapping
+    * merge is the classic gaps-and-islands trick instead of a
+    * sequential fold: pair-start runs (only possible when lft = rgt)
+    * split into islands of consecutive positions, even offsets within
+    * an island merge, the position after a merge drops. No interpreted
+    * lambdas in the loop — windows and codegen'd expressions only.
+    *
+    * Driver loop bounds: one argmax collect per iteration (1 row) and
+    * an eager localCheckpoint to keep lineage flat (superseded
+    * generations released, same hygiene as connectedComponents). Stops
+    * early when no pair reaches `minPairCount`. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(split(normalize(col(textCol)), " ")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+    var posts = vocab.select(col("wd"), col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("wd"))),
+          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
+      .localCheckpoint(true)
+    val wv = Window.partitionBy("wd").orderBy("pos")
+    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    import org.apache.spark.sql.graftops.PlanApi
+    var it = 0
+    var done = false
+    while (it < numMerges && !done) {
+      val top = posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
+        .filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((it, l, r, cnt))
+        val stepped = posts
+          .withColumn("start",
+            col("sym") === lit(l) && lead(col("sym"), 1).over(wv) === lit(r))
+          // starts-so-far → island id (constant within a consecutive run
+          // of pair-starts; runs longer than 1 only exist when l = r)
+          .withColumn("srn", count(when(col("start"), 1)).over(cum))
+          .withColumn("island", when(col("start"), col("pos") - col("srn")))
+          .withColumn("ifirst",
+            min(when(col("start"), col("pos")))
+              .over(Window.partitionBy("wd", "island")))
+          // greedy left-to-right: even offsets within the island merge
+          .withColumn("valid", col("start") && (col("pos") - col("ifirst")) % 2 === 0)
+          .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
+          .filter(!col("pvalid")) // the right half of a merged pair drops
+          .withColumn("sym", when(col("valid"), lit(l + r)).otherwise(col("sym")))
+          .withColumn("pos", row_number().over(wv) - 1)
+          .select("wd", "freq", "pos", "sym")
+          .localCheckpoint(true)
+        PlanApi.releaseCheckpointBlocks(posts)
+        posts = stepped
+        it += 1
+      }
+    }
+    PlanApi.releaseCheckpointBlocks(posts)
+    merges.toSeq.toDF("it", "lft", "rgt", "cnt")
+  }
+
   /** PMI-style collocation extraction — the top-K word bigrams by lift
     * `P(xy) / (P(x)·P(y)) = (c_xy·N·N) / (N2·c_x·c_y)`, the monotone
     * exponential of pointwise mutual information (log is libm-dependent,

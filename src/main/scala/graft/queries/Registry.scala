@@ -784,6 +784,53 @@ object Registry {
       cws.zipWithIndex.map { case (cw, ci) => s"($s, $ci, [${cw.map(dlit).mkString(", ")}])" }
     }.mkString(", ")
 
+  /** The `ta_bpe_train` oracle: `k` unrolled BPE iterations, each a CTE
+    * block that counts adjacent symbol pairs, takes the deterministic
+    * argmax, and applies the greedy left-to-right merge via the same
+    * gaps-and-islands formulation the Spark operator uses ([[
+    * graft.operators.TextAnalysis.bpeTrain]]) — the oracle DERIVES
+    * every merge, no learned state is embedded. */
+  private def bpeOracle(k: Int): String = {
+    val head =
+      """WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |     toks AS (SELECT unnest(string_split(t, ' ')) AS wd FROM d),
+        |     vocab AS (SELECT wd, count(*) AS freq FROM toks WHERE length(wd) > 0 GROUP BY wd),
+        |     p0 AS (SELECT wd, freq, unnest([{'pos': i - 1, 'sym': wd[i]}
+        |                                     for i in range(1, len(wd) + 1)], recursive := true)
+        |            FROM vocab)""".stripMargin
+    val blocks = (0 until k).map { i =>
+      s""",
+         |     pc$i AS (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |              FROM (SELECT wd, freq, sym,
+         |                           lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt
+         |                    FROM p$i)
+         |              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |     best$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |     s$i AS (SELECT p.wd, p.freq, p.pos, p.sym, b.l AS ml, b.r AS mr,
+         |                    (p.sym = b.l AND lead(p.sym) OVER (PARTITION BY p.wd ORDER BY p.pos) = b.r) AS start
+         |             FROM p$i p CROSS JOIN best$i b),
+         |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
+         |                         OVER (PARTITION BY wd ORDER BY pos
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
+         |             FROM s$i),
+         |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
+         |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
+         |                         OVER (PARTITION BY wd, island) AS ifirst
+         |             FROM isl$i),
+         |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i),
+         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
+         |              FROM va$i),
+         |     p${i + 1} AS (SELECT wd, freq,
+         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |                          CASE WHEN valid THEN ml || mr ELSE sym END AS sym
+         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
+    }.mkString
+    val union = (0 until k)
+      .map(i => s"SELECT $i AS it, l AS lft, r AS rgt, cnt FROM best$i")
+      .mkString(" UNION ALL ")
+    s"$head$blocks\n              $union ORDER BY it"
+  }
+
   /** Render a double for a DuckDB VALUES list so it parses as DOUBLE,
     * not DECIMAL: a plain decimal literal becomes DECIMAL(19,18) and
     * DuckDB's wide-DECIMAL→DOUBLE conversion is double-rounded (~14% of
@@ -930,6 +977,58 @@ object Registry {
                      FROM scored)
               SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+
+    // Hybrid retrieval: dense (cosine top-20) and sparse (shared-shingle
+    // top-20) arms fused by reciprocal-rank fusion (k=60) — the standard
+    // calibration-free hybrid-search merge; ranks are integers, each RRF
+    // term one IEEE division, so the fused ORDER is engine-exact.
+    Q("ann_hybrid_rrf",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val docs = T(s, d, "documents")
+        val dense = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 20)
+        val sparse = Similarity.lexicalTopK(docs, docs.filter(col("doc_id") < 5),
+          "doc_id", "text", 20)
+        Similarity.rrfFuse(dense, sparse, k = 10).orderBy("probe_id", "rn")
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+                   scored AS (
+                     SELECT p.probe_id, e.vec_id AS cand_id,
+                            list_sum(list_transform(list_zip(p.pv, e.embedding),
+                              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+                     FROM p, embeddings e WHERE e.vec_id <> p.probe_id),
+                   ra AS (SELECT probe_id, cand_id, rn FROM (
+                            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                            FROM scored) WHERE rn <= 20),
+                   d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   ov AS (SELECT pp.doc_id AS probe_id, cp.doc_id AS cand_id, count(*) AS overlap
+                          FROM posts pp JOIN posts cp
+                            ON cp.sg = pp.sg AND cp.doc_id <> pp.doc_id
+                          WHERE pp.doc_id < 5 GROUP BY 1, 2),
+                   rb AS (SELECT probe_id, cand_id, rn FROM (
+                            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY overlap DESC, cand_id) AS rn
+                            FROM ov) WHERE rn <= 20),
+                   fused AS (SELECT coalesce(ra.probe_id, rb.probe_id) AS probe_id,
+                                    coalesce(ra.cand_id, rb.cand_id) AS cand_id,
+                                    ra.rn AS rn_a, rb.rn AS rn_b,
+                                    coalesce(1.0E0 / (60 + ra.rn), 0.0E0)
+                                      + coalesce(1.0E0 / (60 + rb.rn), 0.0E0) AS score
+                             FROM ra FULL OUTER JOIN rb
+                               ON rb.probe_id = ra.probe_id AND rb.cand_id = ra.cand_id),
+                   rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+                          FROM fused)
+              SELECT probe_id, cand_id, rn_a, rn_b, score, rn
+              FROM rk WHERE rn <= 10 ORDER BY probe_id, rn""")),
 
     // int8 quantization audit: per-vector scale (IEEE max/divide — exact)
     // plus integer code checksums. floor(x/scale + 0.5) spells
@@ -1317,6 +1416,85 @@ object Registry {
               JOIN sizes sb ON sb.doc_id = i.id_b
               WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
               ORDER BY id_a, id_b""")),
+
+    // Minhash estimator audit: per LSH candidate, the signature-agreement
+    // Jaccard estimate next to the exact value it estimates — the table
+    // that calibrates a 100 TB verify-vs-trust threshold. No threshold
+    // filter: a candidate pair sharing band VALUES but zero shingles
+    // still appears (jaccard 0, LEFT JOIN in the oracle).
+    Q("dd_minhash_estimate",
+      (s, d) => Dedup.minhashEstimatePairs(T(s, d, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 32, bands = 8,
+          hashFamily = Dedup.portableFamily,
+          maxBucket = Int.MaxValue,
+          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   sigs AS (SELECT doc_id, r.i AS i,
+                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
+                            FROM posts CROSS JOIN range(32) r(i) GROUP BY 1, 2),
+                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                            FROM bands a JOIN bands b
+                              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                   agr AS (SELECT c.id_a, c.id_b,
+                             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+                           FROM cand c
+                           JOIN sigs sa ON sa.doc_id = c.id_a
+                           JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                           GROUP BY 1, 2),
+                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                             FROM cand c
+                             JOIN posts a ON a.doc_id = c.id_a
+                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
+                             GROUP BY 1, 2)
+              SELECT a.id_a, a.id_b, a.n_agree,
+                     CAST(a.n_agree AS DOUBLE) / 32 AS est_jaccard,
+                     CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+              FROM agr a
+              LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+              JOIN sizes sa ON sa.doc_id = a.id_a
+              JOIN sizes sb ON sb.doc_id = a.id_b
+              ORDER BY a.id_a, a.id_b""")),
+
+    // Pairwise split-contamination matrix: distinct shared shingles
+    // between every pair of hash-bucket splits (the same bucketing
+    // ta_split ships) — the train/val/test leakage audit.
+    Q("dd_overlap_matrix",
+      (s, d) => Dedup.splitOverlapMatrix(T(s, d, "documents"), "doc_id", "text",
+          buckets = 3, shingleLen = 3)
+        .orderBy("split_a", "split_b"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   tagged AS (SELECT DISTINCT
+                                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 3 AS split,
+                                unnest(s) AS sg
+                              FROM sh),
+                   totals AS (SELECT split, count(*) AS n FROM tagged GROUP BY split),
+                   shared AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS shared_shingles
+                              FROM tagged a JOIN tagged b
+                                ON a.sg = b.sg AND a.split < b.split
+                              GROUP BY 1, 2)
+              SELECT s.split_a, s.split_b, s.shared_shingles, ta.n AS n_a, tb.n AS n_b,
+                     CAST(s.shared_shingles AS DOUBLE) / least(ta.n, tb.n) AS containment
+              FROM shared s
+              JOIN totals ta ON ta.split = s.split_a
+              JOIN totals tb ON tb.split = s.split_b
+              ORDER BY split_a, split_b""")),
 
     // Incremental near-dup: a 10%-of-corpus "arriving batch"
     // (doc_id ≡ 7 mod 10 — a MODULO split so the batch stays the small
@@ -2446,6 +2624,30 @@ object Registry {
                      n_exact
               FROM agg CROSS JOIN ex""")),
 
+    // Power-of-two token-length histogram: the mergeable distribution
+    // sketch (≤64 integer buckets, map-side-collapsing, shards merge by
+    // adding counts) next to the exact-quantile lengthProfile.
+    Q("ta_token_histogram",
+      (s, d) => graft.operators.TextAnalysis.tokenHistogram(
+        T(s, d, "documents"), "text").orderBy("bucket"),
+      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                         FROM documents WHERE text IS NOT NULL),
+                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
+                                count(*) AS cnt
+                         FROM n GROUP BY 1),
+                   h AS (SELECT bucket,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
+                           cnt,
+                           sum(cnt) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                         FROM b)
+              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
+              FROM h ORDER BY bucket""")),
+
     // Count-min heavy hitters: a 4×64-cell mergeable frequency sketch
     // point-estimates the top-20 tokens; estimates are provably ≥ exact
     // (overcount column). Sketch cells, estimates, and exact counts are
@@ -2513,6 +2715,16 @@ object Registry {
                           CROSS JOIN n1 CROSS JOIN n2)
               SELECT w1, w2, c_xy, c_x, c_y, lift
               FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20""")),
+
+    // BPE tokenizer training: k merge iterations, each DERIVED by the
+    // oracle itself (pair-count → argmax → gaps-and-islands greedy
+    // merge, one unrolled CTE block per iteration) — nothing about the
+    // learned merges is smuggled in as a literal. Counts are integer,
+    // tie-breaks lexicographic, so the merge sequence is engine-exact.
+    Q("ta_bpe_train",
+      (s, d) => graft.operators.TextAnalysis.bpeTrain(
+        T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
+      Some(bpeOracle(8))),
 
     // Corpus diversity audit: per-cluster membership under the pre-trained
     // IVF quantizer (same argmin-cosine assignment the oracle replicates

@@ -227,6 +227,49 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin [wkey"), s"shuffle join on index keys in:\n$plan")
   }
 
+  test("minhashEstimatePairs: exact dup estimates 1.0; estimator brackets exact jaccard") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // exact dup of 1
+      (3L, base + " nu xi omicron"),    // near dup of 1/2
+      (4L, "totally different words about something else entirely here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashEstimatePairs(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (agree12, est12, jac12) = out((1L, 2L))
+    assert(agree12 === 32L && est12 === 1.0 && jac12 === 1.0)
+    // the near-dup pair surfaces via banding and its estimate is the
+    // agreement ratio — sanity: both estimate and exact in (0, 1), and
+    // the estimate is a multiple of 1/32
+    out.filterKeys(_ != ((1L, 2L))).foreach { case (_, (na, est, jac)) =>
+      assert(est === na.toDouble / 32 && jac > 0.0 && jac < 1.0)
+    }
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("splitOverlapMatrix: identical corpus gives containment 1; disjoint vocab gives no pairs") {
+    import spark.implicits._
+    // 30 identical docs → every split holds the same shingle set
+    val same = (0 until 30).map(i => (i.toLong, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val m = Dedup.splitOverlapMatrix(same, "doc_id", "text", buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(m.length === 3) // (0,1) (0,2) (1,2)
+    m.foreach { case (_, (shared, na, nb, cont)) =>
+      assert(na === 4L && nb === 4L && shared === 4L && cont === 1.0)
+    }
+    // disjoint vocabularies → zero shared shingles → empty matrix
+    val disjoint = (0 until 30).map(i =>
+      (i.toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e")).toDF("doc_id", "text")
+    assert(Dedup.splitOverlapMatrix(disjoint, "doc_id", "text", buckets = 3).count() === 0L)
+  }
+
   test("semanticDedup: within-cell groups keep min-id rep, cross-cell never pairs, no cartesian") {
     import spark.implicits._
     val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))

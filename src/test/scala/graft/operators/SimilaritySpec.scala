@@ -145,6 +145,33 @@ class SimilaritySpec extends SparkSpec {
       && shipped.forall(_.forall(_.length === 8)))
   }
 
+  test("rrfFuse: list-exclusive candidates score one term; fusion order and exact scores") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "cand_id", "rn")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("probe_id", "cand_id", "rn")
+    val out = Similarity.rrfFuse(a, b, k = 10, rrfK = 60)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getInt(5))).toMap
+    // 11 is in both lists: 1/62 + 1/61; 10 only in a: 1/61; 12 only in b: 1/62
+    assert(out(11L) === ((1.0 / 62 + 1.0 / 61, 1)))
+    assert(out(10L) === ((1.0 / 61, 2)))
+    assert(out(12L) === ((1.0 / 62, 3)))
+  }
+
+  test("lexicalTopK: ranks by shared distinct shingles, probe broadcast, self excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // probe
+      (2L, "the quick brown fox jumps over a sleeping cat"), // 4 shared 3-grams
+      (3L, "quick brown fox somewhere in the woods today"),  // 2 shared
+      (4L, "nothing in common with anything else at all")    // 0 shared
+    ).toDF("doc_id", "text")
+    val out = Similarity.lexicalTopK(docs, docs.filter(col("doc_id") === 1), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.map(t => (t._2, t._4)).toSet === Set((2L, 1), (3L, 2))) // 4 absent
+    assert(out.find(_._2 == 2L).get._3 > out.find(_._2 == 3L).get._3)
+    assert(!out.exists(_._2 == 1L)) // self excluded
+  }
+
   test("ivfpq: candidates bounded by probed cells; recall holds; no cartesian") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)

@@ -174,6 +174,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(estim - 1100.0) / 1100.0 < 0.26, s"estimate $estim vs 1100")
   }
 
+  test("bpeTrain: hand-computed merge sequence with ties and overlapping runs; early stop") {
+    import spark.implicits._
+    // 3×banana + 2×bandana. Pair counts: (a,n)=10, (n,a)=8, (b,a)=5 →
+    // merge 0 = (a,n). Then (b,an)=5 ties (an,a)=5 → lex on l: "an"<"b"
+    // → merge 1 = (an,a). Then merge 2 = (b,an)=5.
+    val docs = Seq(
+      (1L, "banana banana banana"),
+      (2L, "bandana bandana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Seq((0, "a", "n", 10L), (1, "an", "a", 5L), (2, "b", "an", 5L)))
+    // overlapping-run greedy: "aaaa" merges to "aa","aa" then "aaaa" —
+    // counts: iter0 (a,a)=3, iter1 (aa,aa)=1
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val rout = TextAnalysis.bpeTrain(runs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rout === Seq((0, "a", "a", 3L), (1, "aa", "aa", 1L)))
+    // asked for 5 merges, vocabulary exhausted after 2 → early stop
+  }
+
+  test("tokenHistogram: power-of-two buckets, bounds, cumulative; empty and null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                        // 1 token  → bucket 1 [1,1]
+      (2L, "a b"),                      // 2 tokens → bucket 2 [2,3]
+      (3L, "a b c"),                    // 3 tokens → bucket 2
+      (4L, "a b c d"),                  // 4 tokens → bucket 3 [4,7]
+      (5L, "a b c d e f g h"),          // 8 tokens → bucket 4 [8,15]
+      (6L, ""),                         // 0 tokens → bucket 0 [0,0]
+      (7L, null.asInstanceOf[String])   // skipped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenHistogram(docs, "text")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map(
+      0 -> ((0L, 0L, 1L, 1L)),
+      1 -> ((1L, 1L, 1L, 2L)),
+      2 -> ((2L, 3L, 2L, 4L)),
+      3 -> ((4L, 7L, 1L, 5L)),
+      4 -> ((8L, 15L, 1L, 6L))))
+  }
+
   test("pmiBigrams: collocation lift exact, independents near 1, minCount prunes") {
     import spark.implicits._
     // "new york" always adjacent; fillers vary. 6 docs x 4 tokens.
