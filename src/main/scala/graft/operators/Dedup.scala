@@ -811,6 +811,29 @@ object Dedup {
     * diameter, and thus round count, stays small).
     * Returns (id, component) for every id appearing in `pairs`, where
     * component = min id in the component. */
+  /** CANONICAL-REPRESENTATIVE SELECTION — which duplicate to KEEP.
+    * Joins a component labeling ([[connectedComponents]] output as
+    * `(doc_id, component)`) with a per-doc score table
+    * `(doc_id, quality)` and marks, per component, the member with the
+    * highest quality (ties → lowest id) as `canonical`. Emitting the
+    * whole labeled cluster (not just winners) keeps the audit trail a
+    * filtering report needs — losers carry their rank.
+    *
+    * Scale shape: one shuffle on `component` for the ranking window;
+    * component populations are near-dup cluster sizes, which the
+    * candidate-stage bucket caps already bound — no skew beyond what
+    * the dedup family upstream has designed away. */
+  def canonicalReps(components: DataFrame,
+      scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("component")
+      .orderBy(col("quality").desc, col("doc_id"))
+    components.join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("component"), col("doc_id"), col("quality"),
+        col("rn"), (col("rn") === 1).as("canonical"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverEdgeLimit: Long = 300000L): DataFrame = {
     // materialize the (often expensive) verified-pair pipeline ONCE.

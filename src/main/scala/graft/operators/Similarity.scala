@@ -106,6 +106,42 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame =
     int8TopKStored(quantizeInt8(corpus, idCol, vecCol), probes, idCol, vecCol, k)
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus snapshots — the
+    * vector analogue of `TextAnalysis.vocabularyDrift`: has the
+    * embedding distribution moved between crawls/model versions?
+    * Per-dimension sums of int8 codes ([[quantizeInt8]]) are exact
+    * integers, so the cross-multiplied mean comparison
+    * `cross_diff = sum_a·n_b − sum_b·n_a` is engine-exact — raw-float
+    * means can never hash-match (accumulation-order dependence);
+    * `mean_shift` divides only at the very end (two correctly-rounded
+    * IEEE divisions + one subtraction over exact integers).
+    *
+    * Scale shape: quantization rides the scan; posexplode fans out dim×
+    * rows but the groupBy key space is the DIMENSION count, so partial
+    * aggregation collapses map-side to `dim` rows per partition and
+    * per-shard partial sums merge by adding — the same mergeable-summary
+    * contract as the sketch trio. Overflow bound: |code| ≤ 127 keeps
+    * `sum` exact to ~7·10^16 vectors and `cross_diff` to
+    * `sum·n < 2^63` — holds past 10^8 vectors per side at dim 64;
+    * revisit with DECIMAL(38) sums beyond that. */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    def sums(df: DataFrame, tag: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(posexplode(col("qvec")).as(Seq("dim", "q")))
+        .groupBy("dim")
+        .agg(sum(col("q").cast("long")).as(s"sum_$tag"),
+          count(lit(1)).as(s"n_$tag"))
+    sums(a, "a").join(sums(b, "b"), Seq("dim"))
+      .withColumn("cross_diff",
+        col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+      .withColumn("mean_shift",
+        col("sum_a").cast("double") / col("n_a")
+          - col("sum_b").cast("double") / col("n_b"))
+      .select(col("dim"), col("sum_a"), col("n_a"), col("sum_b"), col("n_b"),
+        col("cross_diff"), col("mean_shift"))
+  }
+
   /** [[int8TopK]] over an ALREADY-quantized `(id, scale, qvec)` code
     * table ([[quantizeInt8]] output) — the production shape: the store
     * holds 4×-compressed codes, quantization cost was paid once at write

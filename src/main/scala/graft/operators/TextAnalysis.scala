@@ -227,6 +227,38 @@ object TextAnalysis {
       op: String, cols: Seq[String]): Unit =
     Guards.requireFreshColumns(df, s"TextAnalysis.$op", cols)
 
+  /** EPOCH-REPETITION CORPUS MIXING — the data-budget stage that repeats
+    * scarce high-quality sources ("4 epochs of wiki, 1.5 of books, 1 of
+    * web"): each doc replicates `floor(e)` times plus one more for a
+    * deterministic `frac(e)` share of its stratum ([[sampleKeep]] under
+    * its own salt — uncorrelated with split/sample decisions). Output is
+    * one row per (doc, epoch), epoch 0-based; factor-0 strata drop out.
+    * Downstream shuffling ([[shufflePositions]]) interleaves replicas.
+    *
+    * Scale shape: pure per-row expressions plus a bounded explode
+    * (≤ ceil(max factor) rows out per row in — the factor table is
+    * config-sized and rides inside the codegen'd CASE chain). Fractional
+    * factors honor [[SampleResolution]] granularity, same contract as
+    * [[sampleKeep]]. Null ids carry no stable replica identity and are
+    * excluded (the [[sampleKeep]] rule). */
+  def epochMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+      stratumCol: String, epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      "epoch factors must be in [0, 100]")
+    val factor = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val extra = when(sampleKeep(col(idCol), factor - floor(factor), "#epoch"), 1)
+      .otherwise(0)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(stratumCol).as("stratum"),
+        (floor(factor).cast("int") + extra).as("n_epochs"))
+      .filter(col("n_epochs") > 0)
+      .select(col(idCol), col("stratum"), col("n_epochs"),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
+  }
+
   /** Token-budget corpus selection — fill a per-stratum token budget in
     * priority order (quality score, recency, …) and stop: the data-
     * selection step between filtering and packing. A doc is kept iff the
@@ -623,6 +655,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge count-min sketches by ADDING cells — the property that makes
+    * the sketch a 100 TB citizen: per-shard sketches roll up to the
+    * whole-corpus sketch without touching row data (the merged table is
+    * bit-identical to sketching the union, which `ta_cm_merge` proves
+    * against an oracle that sketches the union directly). The groupBy
+    * key space stays the fixed `depth·width` grid. */
+  def cmMerge(sketches: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Merge HyperLogLog register tables by per-bucket MAX (max is
+    * associative + idempotent, so shard registers roll up to exactly the
+    * whole-corpus registers — `ta_hll_merge` proves it cross-engine).
+    * Inputs must share the same `p`. */
+  def hllMerge(regTables: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(regTables.nonEmpty, "no register tables to merge")
+    regTables.reduce(_ unionByName _)
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+  }
+
   /** Point-estimate token frequencies from a [[countMinSketch]]: min
     * over the `depth` cells each token hashes to (0 when a cell is
     * absent — the token was never counted). The sketch broadcasts (its
@@ -783,6 +837,73 @@ object TextAnalysis {
     merges.toSeq.toDF("it", "lft", "rgt", "cnt")
   }
 
+  /** BPE ENCODING with a pre-trained merge table ([[BpeMerges]] shape) —
+    * the other half of the tokenizer: every word splits to characters
+    * and each merge applies once, in rank order, as the same greedy
+    * gaps-and-islands rewrite [[bpeTrain]] uses. This is the
+    * single-pass rank-order variant (subword-nmt's loop re-scans for
+    * the best REMAINING pair, which later merges can re-create; one
+    * pass per merge is deterministic, plan-static, and what a
+    * streaming-friendly encoder wants — documented difference, not an
+    * accident). Returns (id, n_syms, enc): the subword count and the
+    * space-joined symbol sequence.
+    *
+    * Scale shape — the decisive trick: encoding is a function of the
+    * WORD alone, so the whole merge cascade runs on the DISTINCT
+    * vocabulary (bounded — millions of rows against a corpus of
+    * trillions), and the encoded-word table broadcasts back onto the
+    * corpus word stream. All `merges.size` rewrite stages are windows
+    * over `wd`, stacked on ONE vocab-sized Exchange; merges that
+    * chain the same symbol (`l == r`) pay the gaps-and-islands pass,
+    * every other merge short-circuits to `valid = start` (consecutive
+    * starts are impossible when `l != r`). The corpus pays one word
+    * explode, one broadcast join, one per-doc reassembly groupBy. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
+      .filter(length(col("wd")) > 0)
+    var posts = words.select("wd").distinct()
+      .select(col("wd"),
+        posexplode(transform(sequence(lit(1), length(col("wd"))),
+          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
+    val wv = Window.partitionBy("wd").orderBy("pos")
+    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for ((l, r) <- merges) {
+      val started = posts.withColumn("start",
+        col("sym") === lit(l) && lead(col("sym"), 1).over(wv) === lit(r))
+      val validated =
+        if (l != r) started.withColumn("valid", col("start"))
+        else started
+          .withColumn("srn", count(when(col("start"), 1)).over(cum))
+          .withColumn("island", when(col("start"), col("pos") - col("srn")))
+          .withColumn("ifirst", min(when(col("start"), col("pos")))
+            .over(Window.partitionBy("wd", "island")))
+          .withColumn("valid",
+            col("start") && (col("pos") - col("ifirst")) % 2 === 0)
+      posts = validated
+        .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
+        .filter(!col("pvalid"))
+        .withColumn("sym", when(col("valid"), lit(l + r)).otherwise(col("sym")))
+        .withColumn("pos", row_number().over(wv) - 1)
+        .select("wd", "pos", "sym")
+    }
+    val encVocab = posts.groupBy("wd")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s.getField("sym"))).as("e"))
+    words.join(broadcast(encVocab), Seq("wd"))
+      .groupBy("id")
+      .agg(sum(col("n")).as("n_syms"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("e")))),
+          s => s.getField("e"))).as("enc"))
+  }
+
   /** PMI-style collocation extraction — the top-K word bigrams by lift
     * `P(xy) / (P(x)·P(y)) = (c_xy·N·N) / (N2·c_x·c_y)`, the monotone
     * exponential of pointwise mutual information (log is libm-dependent,
@@ -820,5 +941,79 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topK)
+  }
+
+  /** Frozen linear quality-classifier weights, the shape a fasttext /
+    * logistic-regression filter model ships in after offline training:
+    * (bias, length, punctuation, mean-token-length, stopword, digit).
+    * Values are short decimals so both engines parse them to the same
+    * doubles. */
+  val QualityWeights: Seq[Double] =
+    Seq(-1.25, 1.75, -2.5, 0.875, 1.5, -1.125)
+
+  /** MODEL-BASED QUALITY FILTERING — linear classifier INFERENCE at scan
+    * speed (the CCNet / DataComp stage that replaces hand-tuned
+    * heuristics with a trained filter). The model arrives as literal
+    * weights ([[QualityWeights]]); features are cheap per-row signals
+    * over exact integer counts. We emit the LOGIT, not the sigmoid:
+    * `exp` is libm (not engine-exact) and `keep = logit > 0` is the
+    * identical decision boundary. The dot product is a fixed-order
+    * chain `w0 + w1·f1 + … + w5·f5` — each step one IEEE mul + add, so
+    * the same expression tree yields bit-identical logits in Spark and
+    * the DuckDB oracle. Null text → null features and null keep (review
+    * case, not a silent drop — matches [[qualityReport]]).
+    *
+    * Scale shape: pure per-row expressions inside one codegen stage,
+    * zero shuffle, zero joins — the filter rides the corpus scan. */
+  def qualityLogit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      weights: Seq[Double] = QualityWeights): org.apache.spark.sql.DataFrame = {
+    require(weights.length == 6, s"need 6 weights (bias + 5 features), got ${weights.length}")
+    val t = col(textCol)
+    val fLen = least(length(t).cast("double") / lit(500.0), lit(1.0))
+    val fPunct = punctRatio(t)
+    val fMtl = least(meanTokenLen(t) / lit(12.0), lit(1.0))
+    val marked = concat(lit(" "), lower(t), lit(" "))
+    val fStop = Seq("the", "and", "of", "is")
+      .map(wd => when(marked.contains(s" $wd "), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(4.0)
+    val fDigit = when(length(t) === 0, lit(0.0)).otherwise(
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+        / length(t).cast("double"))
+    val feats = Seq(fLen, fPunct, fMtl, fStop, fDigit)
+    // fixed-order left fold: w0 + w1*f1 + ... — mirrored verbatim in SQL
+    val logit = feats.zip(weights.tail)
+      .foldLeft(lit(weights.head): Column) { case (acc, (f, w)) => acc + lit(w) * f }
+    df.select(col(idCol).as("id"),
+      when(t.isNotNull, fLen).as("f_len"),
+      when(t.isNotNull, fPunct).as("f_punct"),
+      when(t.isNotNull, fMtl).as("f_mtl"),
+      when(t.isNotNull, fStop).as("f_stop"),
+      when(t.isNotNull, fDigit).as("f_digit"),
+      when(t.isNotNull, logit).as("logit"),
+      when(t.isNotNull, logit > 0).as("keep"))
+  }
+
+  /** BLOCKLIST (badwords) FILTERING — the C4-style wordlist gate: flag
+    * every document containing a blocked term, with total occurrence
+    * count and the sorted distinct terms that matched (the audit trail a
+    * filtering report needs). Matching is exact whole-token equality on
+    * the normalized token stream — substring matching is the classic
+    * false-positive trap ("class" vs "ass"), so membership is tested
+    * per token against the literal array.
+    *
+    * Scale shape: split + filter + aggregate are higher-order ARRAY
+    * expressions per row — the blocklist travels inside the codegen'd
+    * expression (it is a tokenizer-config-sized constant), zero shuffle,
+    * zero joins. */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val toks = split(normalize(col(textCol)), " ")
+    val bad = filter(toks, x => array_contains(lit(terms.toArray), x))
+    df.select(col(idCol).as("id"),
+      size(bad).as("n_hits"),
+      array_join(array_sort(array_distinct(bad)), " ").as("hit_terms"),
+      when(col(textCol).isNotNull, size(bad) === 0).as("keep"))
   }
 }

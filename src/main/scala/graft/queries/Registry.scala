@@ -831,6 +831,99 @@ object Registry {
     s"$head$blocks\n              $union ORDER BY it"
   }
 
+  /** The `ta_bpe_encode` oracle: the merge cascade runs per DISTINCT
+    * word (mirroring the operator's vocab-bounded design), one CTE
+    * block per pre-trained merge (literals from
+    * [[graft.operators.BpeMerges]]); `l != r` merges skip the islands
+    * machinery (consecutive starts impossible), and the encoded-word
+    * table joins back onto the corpus word stream. */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val head =
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |     wp AS (SELECT doc_id, unnest([{'wpos': i - 1, 'wd': ws[i]}
+        |                                   for i in range(1, len(ws) + 1)], recursive := true)
+        |            FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM d)),
+        |     p0 AS (SELECT wd, unnest([{'pos': i - 1, 'sym': wd[i]}
+        |                               for i in range(1, len(wd) + 1)], recursive := true)
+        |            FROM (SELECT DISTINCT wd FROM wp WHERE length(wd) > 0))""".stripMargin
+    val blocks = merges.zipWithIndex.map { case ((l, r), i) =>
+      val validity =
+        if (l != r)
+          s""",
+             |     va$i AS (SELECT *, start AS valid FROM s$i)""".stripMargin
+        else
+          s""",
+             |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
+             |                         OVER (PARTITION BY wd ORDER BY pos
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
+             |             FROM s$i),
+             |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
+             |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
+             |                         OVER (PARTITION BY wd, island) AS ifirst
+             |             FROM isl$i),
+             |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i)""".stripMargin
+      s""",
+         |     s$i AS (SELECT wd, pos, sym,
+         |                    (sym = '$l' AND lead(sym) OVER (PARTITION BY wd ORDER BY pos) = '$r') AS start
+         |             FROM p$i)$validity,
+         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
+         |              FROM va$i),
+         |     p${i + 1} AS (SELECT wd,
+         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |                          CASE WHEN valid THEN '$l$r' ELSE sym END AS sym
+         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
+    }.mkString
+    s"""$head$blocks,
+       |     encv AS (SELECT wd, count(*) AS n, string_agg(sym, ' ' ORDER BY pos) AS e
+       |              FROM p${merges.size} GROUP BY wd)
+       |              SELECT w.doc_id AS id, CAST(sum(v.n) AS BIGINT) AS n_syms,
+       |                     string_agg(v.e, ' ' ORDER BY w.wpos) AS enc
+       |              FROM wp w JOIN encv v USING (wd)
+       |              GROUP BY w.doc_id ORDER BY id""".stripMargin
+  }
+
+  /** The `ta_quality_logit` oracle: the same fixed-order IEEE chain over
+    * the same exact-count features, weights interpolated from the ONE
+    * source of truth ([[graft.operators.TextAnalysis.QualityWeights]])
+    * via [[dlit]] so both engines parse identical doubles. Null text is
+    * carried as a flag and nulled at the end — DuckDB's `least` ignores
+    * NULL arguments (would turn a null feature into the cap). */
+  private def qualityLogitOracle: String = {
+    val w = graft.operators.TextAnalysis.QualityWeights.map(dlit)
+    val ntok = """(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"""
+    s"""WITH f AS (SELECT doc_id, text IS NULL AS tnull,
+       |             least(CAST(length(text) AS DOUBLE) / ${dlit(500.0)}, ${dlit(1.0)}) AS f_len,
+       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
+       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |                        / CAST(length(text) AS DOUBLE) END) AS f_punct,
+       |             least((CASE WHEN $ntok = 0 THEN ${dlit(0.0)}
+       |                    ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+       |                         / CAST($ntok AS DOUBLE) END) / ${dlit(12.0)}, ${dlit(1.0)}) AS f_mtl,
+       |             CAST((CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END) AS DOUBLE)
+       |               / ${dlit(4.0)} AS f_stop,
+       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
+       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                        / CAST(length(text) AS DOUBLE) END) AS f_digit
+       |           FROM documents),
+       |     g AS (SELECT doc_id,
+       |             CASE WHEN tnull THEN NULL ELSE f_len END AS f_len,
+       |             CASE WHEN tnull THEN NULL ELSE f_punct END AS f_punct,
+       |             CASE WHEN tnull THEN NULL ELSE f_mtl END AS f_mtl,
+       |             CASE WHEN tnull THEN NULL ELSE f_stop END AS f_stop,
+       |             CASE WHEN tnull THEN NULL ELSE f_digit END AS f_digit,
+       |             CASE WHEN tnull THEN NULL
+       |                  ELSE ${w(0)} + ${w(1)} * f_len + ${w(2)} * f_punct
+       |                       + ${w(3)} * f_mtl + ${w(4)} * f_stop + ${w(5)} * f_digit END AS logit
+       |           FROM f)
+       |SELECT doc_id AS id, f_len, f_punct, f_mtl, f_stop, f_digit, logit,
+       |       logit > ${dlit(0.0)} AS keep
+       |FROM g ORDER BY id""".stripMargin
+  }
+
   /** Render a double for a DuckDB VALUES list so it parses as DOUBLE,
     * not DECIMAL: a plain decimal literal becomes DECIMAL(19,18) and
     * DuckDB's wide-DECIMAL→DOUBLE conversion is double-rounded (~14% of
@@ -1053,6 +1146,39 @@ object Registry {
                      CAST(list_sum(qv) AS BIGINT) AS q_sum,
                      CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
               FROM q ORDER BY vec_id""")),
+
+    // Embedding-distribution drift: per-dimension int8-code sums compared
+    // across two snapshot halves by integer cross-multiplication — the
+    // vector analogue of ta_vocab_drift, and a mergeable per-shard
+    // summary at 100 TB (raw-float means could never hash-match)
+    Q("ann_embed_drift",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.embeddingDrift(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding").orderBy("dim")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id, scale,
+                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                         FROM s),
+                   e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': qv[i]}
+                                                for i in range(1, len(qv) + 1)], recursive := true)
+                         FROM q),
+                   sa AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_a, count(*) AS n_a
+                          FROM e WHERE vec_id % 2 = 0 GROUP BY dim),
+                   sb AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_b, count(*) AS n_b
+                          FROM e WHERE vec_id % 2 = 1 GROUP BY dim)
+              SELECT sa.dim, sum_a, n_a, sum_b, n_b,
+                     sum_a * n_b - sum_b * n_a AS cross_diff,
+                     CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b AS mean_shift
+              FROM sa JOIN sb USING (dim) ORDER BY dim""")),
 
     // top-k over the COMPRESSED store: cosine over int8 codes (scales
     // cancel; integer products sum exactly in doubles, so the score is
@@ -1900,6 +2026,32 @@ object Registry {
     // integer micro-weights (IEEE sqrt is correctly rounded → engine-
     // exact; the normalizing sum and the per-stratum target are pure
     // integer arithmetic), selection by salted-hash order
+    // Epoch-repetition mixing: per-source repeat factors ("2.5 epochs of
+    // src0"), integer part replicated outright, fractional part a
+    // deterministic salted-hash share — scan-speed expressions + a
+    // bounded explode, zero shuffle; factor-0 strata drop out
+    Q("ta_epoch_mix",
+      (s, d) => TextAnalysis.epochMix(
+          T(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.5, "src3" -> 0.0),
+          defaultEpochs = 1.0)
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH f AS (SELECT doc_id, source AS stratum,
+                           CASE WHEN source = 'src0' THEN 2.5E0
+                                WHEN source = 'src1' THEN 3.0E0
+                                WHEN source = 'src2' THEN 5.0E-1
+                                WHEN source = 'src3' THEN 0.0E0
+                                ELSE 1.0E0 END AS e,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 18, 15))::BIGINT
+                             % 1000000 AS h
+                         FROM documents WHERE doc_id IS NOT NULL),
+                   n AS (SELECT doc_id, stratum,
+                           CAST(floor(e) AS INTEGER)
+                             + CASE WHEN h < (e - floor(e)) * 1000000 THEN 1 ELSE 0 END AS n_epochs
+                         FROM f)
+              SELECT doc_id, stratum, n_epochs, unnest(range(n_epochs)) AS epoch
+              FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""")),
+
     Q("ta_temperature_mix",
       (s, d) => TextAnalysis.temperatureMix(
           T(s, d, "documents"), "doc_id", "source", budget = 120L)
@@ -2242,6 +2394,76 @@ object Registry {
                      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
               SELECT src AS doc_id, least(src, min(dst)) AS component
               FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // Canonical-representative selection: WHICH duplicate to keep — per
+    // dup component, the member with the highest quality score wins
+    // (ties → lowest id); losers keep their rank as the audit trail.
+    // Composes dd_dup_groups' component labeling with ta_quality's
+    // proven-green score; one shuffle on component for the ranking window
+    Q("dd_canonical_rep",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val comps = Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+              shingleLen = 3, minJaccard = 0.5))
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        Dedup.canonicalReps(comps, scored).orderBy("component", "doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
+                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
+                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                            GROUP BY 1, 2 HAVING count(*) >= 3),
+                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+                             FROM cand c
+                             JOIN posts a ON a.doc_id = c.id_a
+                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
+                             GROUP BY 1, 2),
+                   pairsq AS (SELECT i.id_a, i.id_b
+                              FROM inter i
+                              JOIN sizes sa ON sa.doc_id = i.id_a
+                              JOIN sizes sb ON sb.doc_id = i.id_b
+                              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE),
+                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+                             UNION SELECT id_b, id_a FROM pairsq),
+                   reach(src, dst) AS (
+                     SELECT src, dst FROM edges
+                     UNION
+                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                   comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                            FROM reach GROUP BY src),
+                   qual AS (SELECT doc_id,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) AS quality
+                           FROM documents),
+                   r AS (SELECT c.component, c.doc_id, q.quality,
+                           row_number() OVER (PARTITION BY c.component
+                                              ORDER BY q.quality DESC, c.doc_id) AS rn
+                         FROM comp c JOIN qual q USING (doc_id))
+              SELECT component, doc_id, quality, rn, rn = 1 AS canonical
+              FROM r ORDER BY component, doc_id""")),
 
     Q("dd_embed_neardup",
       // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
@@ -2689,6 +2911,57 @@ object Registry {
               FROM top t JOIN est e USING (tok)
               ORDER BY exact_cnt DESC, token""")),
 
+    // Sketch MERGEABILITY proven cross-engine: Spark sketches three
+    // doc_id%3 shards separately and merges by ADDING cells
+    // (TextAnalysis.cmMerge); the oracle sketches the whole corpus in one
+    // pass. Hash-equality IS the lossless-merge property that lets
+    // per-shard sketches roll up at 100 TB without touching row data
+    Q("ta_cm_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.cmMerge((0 until 3).map(k =>
+          TextAnalysis.countMinSketch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
+            depth = 4, width = 64)))
+          .orderBy("row", "col")
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
+                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+                   cells AS (SELECT r.range AS rw,
+                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                             FROM tk CROSS JOIN range(0, 4) r)
+              SELECT rw AS "row", cl AS "col", count(*) AS cnt
+              FROM cells GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // HLL registers merge by per-bucket MAX (associative + idempotent):
+    // Spark merges three shard register tables; the oracle computes
+    // whole-corpus registers directly — max-merge is exactly lossless
+    Q("ta_hll_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.hllMerge((0 until 3).map { k =>
+          val sh = TextAnalysis.shingleStream(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text", 3)
+          TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+        }).orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
+                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
+                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
+                          FROM w),
+                   keys AS (SELECT unnest(s) AS sg FROM sh),
+                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
+                          FROM keys WHERE sg IS NOT NULL),
+                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
+                   regs0 AS (SELECT bucket,
+                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
+                             FROM br GROUP BY bucket)
+              SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
+              FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range
+              ORDER BY bucket""")),
+
     // PMI collocations: top-20 bigrams by lift (the monotone exponential
     // of PMI — log is libm-dependent, the ratio is one IEEE division, so
     // both the ranking and the score hash-match).
@@ -2725,6 +2998,49 @@ object Registry {
       (s, d) => graft.operators.TextAnalysis.bpeTrain(
         T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
       Some(bpeOracle(8))),
+
+    // BPE encoding with the pre-trained merge table (constants, the
+    // production artifact shape): every merge stage rides ONE Exchange
+    // as stacked windows; word boundaries partition merges apart.
+    Q("ta_bpe_encode",
+      (s, d) => graft.operators.TextAnalysis.bpeEncode(
+        T(s, d, "documents"), "doc_id", "text",
+        graft.operators.BpeMerges.merges).orderBy("id"),
+      Some(bpeEncodeOracle(graft.operators.BpeMerges.merges))),
+
+    // Model-based quality filtering: a FROZEN linear classifier (the
+    // CCNet/DataComp stage that replaces hand heuristics) scored at scan
+    // speed — literal weights, per-row features, zero shuffle. Output is
+    // the logit (sigmoid is libm, not engine-exact); keep = logit > 0 is
+    // the same decision boundary
+    Q("ta_quality_logit",
+      (s, d) => TextAnalysis.qualityLogit(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      Some(qualityLogitOracle)),
+
+    // C4-style blocklist gate: whole-token matching (substring matching
+    // is the classic "class"/"ass" false-positive trap) as higher-order
+    // array expressions — the blocklist is a constant inside the
+    // codegen'd expression, zero shuffle, zero joins. Oracle nit: DuckDB's
+    // sort/join chain yields NULL for an empty list where Spark's
+    // array_join yields '' — coalesced in the SQL. (No `--` comments in
+    // oracle SQL: the dump flattens newlines.)
+    Q("ta_blocklist",
+      (s, d) => TextAnalysis.blocklistFilter(
+          T(s, d, "documents"), "doc_id", "text", Seq("slow", "scan", "spill"))
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, text IS NULL AS tnull,
+                           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+                         FROM documents),
+                   m AS (SELECT doc_id, tnull,
+                           list_filter(toks, x -> list_contains(['slow', 'scan', 'spill'], x)) AS bad
+                         FROM d)
+              SELECT doc_id AS id,
+                     CASE WHEN tnull THEN NULL ELSE len(bad) END AS n_hits,
+                     CASE WHEN tnull THEN NULL
+                          ELSE coalesce(array_to_string(list_sort(list_distinct(bad)), ' '), '') END AS hit_terms,
+                     CASE WHEN tnull THEN NULL ELSE len(bad) = 0 END AS keep
+              FROM m ORDER BY id""")),
 
     // Corpus diversity audit: per-cluster membership under the pre-trained
     // IVF quantizer (same argmin-cosine assignment the oracle replicates

@@ -18,7 +18,11 @@ import graft.operators.Dedup
   *     anything already ingested ([[Dedup.incrementalNearDup]] — batch
   *     side broadcasts, the index is scanned, never shuffled);
   *  3. appends only the novel docs to the corpus, and their signatures
-  *     to the index, so the next batch probes an up-to-date index.
+  *     to the index, so the next batch probes an up-to-date index;
+  *  4. (optional, `statsDir`) appends the novel docs' PARTIAL count-min
+  *     sketch — streaming statistics maintenance: corpus-wide token
+  *     frequencies stay queryable ([[readTokenStats]]) at the cost of
+  *     one fixed-grid aggregation per tick, no corpus rescan ever.
   *
   * The index is a plain parquet table of [[Dedup.minhashSignature]]
   * rows — the materialization [[Dedup.bandIndex]] derives from, and the
@@ -31,7 +35,8 @@ import graft.operators.Dedup
   *
   * == Delivery: exactly-once at batch granularity ==
   *
-  * foreachBatch is at-least-once, and the tick writes TWO tables — so a
+  * foreachBatch is at-least-once, and the tick writes TWO tables (three
+  * with `statsDir`, all under the same protocol) — so a
   * naive append pair leaves a crashed-and-replayed batch half-committed
   * (docs in the corpus invisible to the index, or re-appended twice).
   * [[ingestBatch]] instead commits idempotently on the foreachBatch
@@ -60,13 +65,16 @@ object CorpusStream {
       textCol: String, corpusDir: String, sigDir: String,
       checkpointDir: String,
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minAgree: Double = 0.8): StreamingQuery = {
+      minAgree: Double = 0.8,
+      statsDir: Option[String] = None,
+      statsDepth: Int = 4, statsWidth: Int = 512): StreamingQuery = {
     // explicit Unit-typed function pins the Scala overload of
     // foreachBatch (the Java VoidFunction2 alternative makes an inline
     // lambda ambiguous)
     val tick: (DataFrame, Long) => Unit = (batch, batchId) => {
       ingestBatch(spark, batch, idCol, textCol, corpusDir, sigDir,
-        shingleLen, numHashes, bands, minAgree, batchId = Some(batchId))
+        shingleLen, numHashes, bands, minAgree, batchId = Some(batchId),
+        statsDir = statsDir, statsDepth = statsDepth, statsWidth = statsWidth)
       ()
     }
     docs.writeStream
@@ -74,6 +82,16 @@ object CorpusStream {
       .foreachBatch(tick)
       .start()
   }
+
+  /** Fold the accumulated per-batch partial sketches into the
+    * whole-corpus count-min sketch — the read side of streaming
+    * statistics maintenance (`statsDir` on [[start]]/[[ingestBatch]]):
+    * the stream pays one fixed-grid aggregation per tick; readers fold
+    * `ticks × depth·width` partial rows and never rescan the corpus.
+    * Identical to sketching the corpus directly (lossless add-merge —
+    * the `ta_cm_merge` property), which StreamingSpec asserts. */
+  def readTokenStats(spark: SparkSession, statsDir: String): DataFrame =
+    graft.operators.TextAnalysis.cmMerge(Seq(spark.read.parquet(statsDir)))
 
   private def commitMarker(corpusDir: String, batchId: Long): Path =
     new Path(new Path(corpusDir, "_graft_commits"), s"batch-$batchId")
@@ -122,7 +140,9 @@ object CorpusStream {
   def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, sigDir: String,
       shingleLen: Int, numHashes: Int, bands: Int,
-      minAgree: Double, batchId: Option[Long] = None): Long = {
+      minAgree: Double, batchId: Option[Long] = None,
+      statsDir: Option[String] = None,
+      statsDepth: Int = 4, statsWidth: Int = 512): Long = {
     if (batch.isEmpty) return 0L
     val fs = new Path(corpusDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     batchId.foreach { bid =>
@@ -131,6 +151,7 @@ object CorpusStream {
       // orphaned signature rows would otherwise gate its docs out
       rollback(fs, sigDir, bid)
       rollback(fs, corpusDir, bid)
+      statsDir.foreach(sd => rollback(fs, sd, bid))
     }
     // null-text docs carry no content identity: keep one row per id
     // (never collapse distinct docs on a shared null hash) and skip the
@@ -157,13 +178,24 @@ object CorpusStream {
       val n = novel.count()
       if (n > 0) {
         val novelSig = batchSig.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+        // streaming statistics maintenance: each tick appends the NOVEL
+        // docs' partial count-min sketch (fixed-grid rows, corpus-size-
+        // independent) under the same batch-prefixed commit protocol —
+        // readers fold partials with cmMerge ([[readTokenStats]]) and
+        // never rescan the corpus
+        val batchStats = statsDir.map(sd => (sd,
+          graft.operators.TextAnalysis.countMinSketch(novel, textCol,
+            statsDepth, statsWidth)))
         batchId match {
           case Some(bid) =>
             publish(fs, novel, corpusDir, bid)
             publish(fs, novelSig, sigDir, bid)
+            batchStats.foreach { case (sd, sk) => publish(fs, sk, sd, bid) }
           case None =>
             novel.write.mode("append").parquet(corpusDir)
             novelSig.write.mode("append").parquet(sigDir)
+            batchStats.foreach { case (sd, sk) =>
+              sk.write.mode("append").parquet(sd) }
         }
       }
       batchId.foreach { bid =>

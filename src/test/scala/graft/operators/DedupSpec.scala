@@ -637,4 +637,19 @@ class DedupSpec extends SparkSpec {
     assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[shard".r.findFirstIn(plan).isDefined,
       s"corpus window not partitioned by shard:\n$plan")
   }
+
+  test("canonicalReps: per-component argmax by quality, ties to lowest id, losers ranked") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalReps(comps, scored).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(2L) === ((1L, 1, true)))   // 0.9 tie → lower id wins
+    assert(out(3L) === ((1L, 2, false)))
+    assert(out(1L) === ((1L, 3, false)))
+    assert(out(10L) === ((10L, 1, true)))
+    assert(out(11L) === ((10L, 2, false)))
+  }
 }

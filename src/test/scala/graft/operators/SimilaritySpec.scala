@@ -211,4 +211,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"LSH recall $recall vs brute") // approximate, but not useless
   }
+
+  test("embeddingDrift: exact integer cross-multiplication over int8 codes") {
+    import spark.implicits._
+    // codes: (1,0)→(127,0), (0.5,0.5)→(127,127), (-1,0)→(-127,0) — the
+    // ±0.5-then-floor rounding absorbs the 1-ulp wobble of x/scale
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(a, b, "vec_id", "embedding")
+      .orderBy("dim").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // dim 0: sum_a=254 n_a=2, sum_b=-127 n_b=1 → cross=254·1−(−127)·2=508
+    assert(out(0) === ((254L, 2L, -127L, 1L, 508L, 127.0 - -127.0)))
+    // dim 1: sum_a=127, sum_b=0 → cross=127, mean shift 63.5
+    assert(out(1) === ((127L, 2L, 0L, 1L, 127L, 63.5)))
+  }
 }

@@ -197,6 +197,22 @@ class TextAnalysisSpec extends SparkSpec {
     // asked for 5 merges, vocabulary exhausted after 2 → early stop
   }
 
+  test("bpeEncode: rank-order merges, l==r islands branch, vocab reuse across docs") {
+    import spark.implicits._
+    // merge 0 = (a,a): "aaab" → [aa, a, b] (greedy: only even offsets of
+    // the run merge); merge 1 = (aa,b): "aab" → [aab], "aaab" unchanged
+    // (aa followed by a, not b)
+    val docs = Seq(
+      (1L, "aaab aab"),
+      (2L, "aab")  // same word as doc 1's second — one vocab row encodes both
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "b")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) === ((4L, "aa a b aab")))
+    assert(out(2L) === ((1L, "aab")))
+  }
+
   test("tokenHistogram: power-of-two buckets, bounds, cumulative; empty and null text") {
     import spark.implicits._
     val docs = Seq(
@@ -234,5 +250,88 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lift === 6.0 * 24 * 24 / (18.0 * 6 * 6))
     // rare bigrams (each "york tokI" occurs once) pruned by minCount=2
     assert(!out.keySet.exists(_._2.startsWith("tok")))
+  }
+
+  test("epochMix: integer + fractional epochs, zero-factor drop, determinism") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, "a")) ++ (41L to 60L).map(i => (i, "b"))
+      ++ (61L to 70L).map(i => (i, "z"))).toDF("doc_id", "source")
+    def run() = TextAnalysis.epochMix(docs, "doc_id", "source",
+      Map("a" -> 2.5, "z" -> 0.0), defaultEpochs = 1.0)
+    val out = run().collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    // 'a' docs: 2 full epochs + a deterministic half get a third; with 40
+    // docs both outcomes must occur, and epochs are always 0..n-1
+    val aCounts = (1L to 40L).map(i => byDoc(i).length)
+    assert(aCounts.forall(n => n == 2 || n == 3) && aCounts.toSet.size == 2)
+    (1L to 40L).foreach(i => assert(byDoc(i) === (0 until byDoc(i).length)))
+    // default stratum: exactly one epoch
+    assert((41L to 60L).forall(i => byDoc(i) === Seq(0)))
+    // factor 0: dropped entirely
+    assert((61L to 70L).forall(i => !byDoc.contains(i)))
+    // deterministic across invocations
+    assert(run().collect().map(r => (r.getLong(0), r.getInt(3))).sorted
+      === out.map(t => (t._1, t._4)).sorted)
+  }
+
+  test("cmMerge/hllMerge: shard sketches merge losslessly to the whole-corpus sketch") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} shared"))
+      .toDF("doc_id", "text")
+    val whole = TextAnalysis.countMinSketch(docs, "text", depth = 4, width = 32)
+    val merged = TextAnalysis.cmMerge((0 until 3).map(k =>
+      TextAnalysis.countMinSketch(docs.filter($"doc_id" % 3 === k), "text",
+        depth = 4, width = 32)))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    val rWhole = TextAnalysis.hllRegisters(docs, col("text"), p = 6)
+    val rMerged = TextAnalysis.hllMerge((0 until 3).map(k =>
+      TextAnalysis.hllRegisters(docs.filter($"doc_id" % 3 === k), col("text"), p = 6)))
+    assert(rMerged.except(rWhole).isEmpty && rWhole.except(rMerged).isEmpty)
+  }
+
+  test("qualityLogit: hand-computed logit chain, decision boundary, null text nulls") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and dog of the house is here"), // all 4 stopwords hit
+      (2L, ""),                                     // empty → logit = bias
+      (3L, null.asInstanceOf[String]),              // null → null review row
+      (4L, "111 222 333")                           // digit-heavy → rejected
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityLogit(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 36 chars, 9 tokens, 28 non-space chars, no punct/digits —
+    // the same left-to-right IEEE chain the operator builds
+    val logit1 = -1.25 + 1.75 * (36.0 / 500.0) + -2.5 * 0.0 +
+      0.875 * (28.0 / 9.0 / 12.0) + 1.5 * 1.0 + -1.125 * 0.0
+    assert(out(1L).getDouble(6) === logit1 && out(1L).getBoolean(7))
+    // doc 2: every feature 0 → logit = bias weight, below the boundary
+    assert(out(2L).getDouble(6) === -1.25 && !out(2L).getBoolean(7))
+    // doc 3: null text → null features, null logit, null keep
+    assert((1 to 7).forall(out(3L).isNullAt))
+    // doc 4: 9 of 11 chars are digits → digit penalty rejects
+    val logit4 = -1.25 + 1.75 * (11.0 / 500.0) + -2.5 * 0.0 +
+      0.875 * (9.0 / 3.0 / 12.0) + 1.5 * 0.0 + -1.125 * (9.0 / 11.0)
+    assert(out(4L).getDouble(6) === logit4 && !out(4L).getBoolean(7))
+  }
+
+  test("blocklistFilter: whole-token matches only, occurrence counts, sorted distinct terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Slow scan on the scanner"), // case-normalized; "scanner" must NOT match
+      (2L, "all clean here"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "scan scan spill")           // repeated term counts every occurrence
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq("slow", "scan", "spill")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 2 && out(1L).getString(2) === "scan slow"
+      && !out(1L).getBoolean(3))
+    assert(out(2L).getInt(1) === 0 && out(2L).getString(2) === "" && out(2L).getBoolean(3))
+    assert(out(3L).getInt(1) === 0 && out(3L).getBoolean(3))
+    assert((1 to 3).forall(out(4L).isNullAt))
+    assert(out(5L).getInt(1) === 3 && out(5L).getString(2) === "scan spill"
+      && !out(5L).getBoolean(3))
   }
 }

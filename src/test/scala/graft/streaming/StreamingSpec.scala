@@ -152,6 +152,34 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds === Array(1L, 5L))
   }
 
+  test("CorpusStream stats maintenance: folded partials equal the corpus sketch; replay-safe") {
+    import spark.implicits._
+    val corpusDir = tmpDir("corpus_stats")
+    val sigDir = tmpDir("sigidx_stats")
+    val statsDir = tmpDir("cmstats")
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // doc 3 near-dups doc 1 → gated; its tokens must NOT enter the stats
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different prose concerning parquet files and engines"))
+      .toDF("doc_id", "text")
+    def tick(b: org.apache.spark.sql.DataFrame, bid: Long) =
+      CorpusStream.ingestBatch(spark, b, "doc_id", "text",
+        corpusDir, sigDir, 3, 32, 8, 0.5, batchId = Some(bid),
+        statsDir = Some(statsDir), statsDepth = 4, statsWidth = 64)
+    assert(tick(b1, 0L) === 2L)
+    assert(tick(b2, 1L) === 1L)
+    // folded per-tick partials ≡ sketching the read-back corpus directly
+    val folded = CorpusStream.readTokenStats(spark, statsDir)
+    val direct = graft.operators.TextAnalysis.countMinSketch(
+      spark.read.parquet(corpusDir), "text", depth = 4, width = 64)
+    assert(folded.except(direct).isEmpty && direct.except(folded).isEmpty)
+    // committed replay publishes no second stats partial
+    assert(tick(b2, 1L) === 0L)
+    assert(CorpusStream.readTokenStats(spark, statsDir).except(direct).isEmpty)
+  }
+
   test("CorpusStream.ingestBatch: releases only its own caches; null-text docs dedup by id") {
     import spark.implicits._
     val corpusDir = tmpDir("corpus_cache")
