@@ -655,6 +655,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** DATASET CARD — the one-row corpus summary published alongside a
+    * training set: document/token/char volumes, null-text review count,
+    * exact distinct-content count (dup pressure), heuristic-keep count,
+    * and the language distribution as a deterministic sorted string.
+    * Every number is an exact integer (no float accumulation), and the
+    * lang distribution sorts lexicographically so the row is
+    * reproducible across engines and cluster sizes.
+    *
+    * Scale shape: one scan feeding two aggregations — a global agg
+    * (map-side partials) and a lang-keyed agg whose key space is the
+    * language inventory (tiny) — joined as two one-row frames. The
+    * distinct-content count is the one genuine shuffle (exact
+    * distinct on the fingerprint); swap in [[hllRegisters]] when an
+    * estimate suffices at 100 TB. */
+  def datasetCard(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(t.isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(coalesce(tokenCount(t).cast("long"), lit(0L))).as("n_tokens"),
+      sum(coalesce(length(t).cast("long"), lit(0L))).as("n_chars"),
+      countDistinct(fingerprint(t)).as("n_distinct_texts"),
+      sum(when(t.isNotNull && qualityScore(t) >= 0.5, 1L).otherwise(0L))
+        .as("n_quality_keep"))
+    val langs = df.groupBy(coalesce(col(langCol), lit("unk")).as("l"))
+      .agg(count(lit(1)).as("c"))
+      .agg(concat_ws(" ", sort_array(collect_list(
+        concat(col("l"), lit(":"), col("c").cast("string"))))).as("langs"))
+    base.join(langs)
+  }
+
   /** Merge count-min sketches by ADDING cells — the property that makes
     * the sketch a 100 TB citizen: per-shard sketches roll up to the
     * whole-corpus sketch without touching row data (the merged table is
@@ -965,11 +997,10 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row expressions inside one codegen stage,
     * zero shuffle, zero joins — the filter rides the corpus scan. */
-  def qualityLogit(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String,
-      weights: Seq[Double] = QualityWeights): org.apache.spark.sql.DataFrame = {
-    require(weights.length == 6, s"need 6 weights (bias + 5 features), got ${weights.length}")
-    val t = col(textCol)
+  /** The five classifier features over a text Column, in weight order
+    * (length, punctuation, mean-token-length, stopword, digit) — shared
+    * by [[qualityLogit]] and [[qualityLogitExpr]]. */
+  private def qualityFeatures(t: Column): Seq[Column] = {
     val fLen = least(length(t).cast("double") / lit(500.0), lit(1.0))
     val fPunct = punctRatio(t)
     val fMtl = least(meanTokenLen(t) / lit(12.0), lit(1.0))
@@ -980,10 +1011,27 @@ object TextAnalysis {
     val fDigit = when(length(t) === 0, lit(0.0)).otherwise(
       (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
         / length(t).cast("double"))
-    val feats = Seq(fLen, fPunct, fMtl, fStop, fDigit)
+    Seq(fLen, fPunct, fMtl, fStop, fDigit)
+  }
+
+  /** The null-guarded classifier logit as a composable per-row
+    * expression — lets other queries (e.g. the filter-agreement audit)
+    * score the model in the SAME scan as other predicates, no join. */
+  def qualityLogitExpr(t: Column,
+      weights: Seq[Double] = QualityWeights): Column = {
+    require(weights.length == 6, s"need 6 weights (bias + 5 features), got ${weights.length}")
     // fixed-order left fold: w0 + w1*f1 + ... — mirrored verbatim in SQL
-    val logit = feats.zip(weights.tail)
+    val logit = qualityFeatures(t).zip(weights.tail)
       .foldLeft(lit(weights.head): Column) { case (acc, (f, w)) => acc + lit(w) * f }
+    when(t.isNotNull, logit)
+  }
+
+  def qualityLogit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      weights: Seq[Double] = QualityWeights): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val Seq(fLen, fPunct, fMtl, fStop, fDigit) = qualityFeatures(t)
+    val logit = qualityLogitExpr(t, weights)
     df.select(col(idCol).as("id"),
       when(t.isNotNull, fLen).as("f_len"),
       when(t.isNotNull, fPunct).as("f_punct"),

@@ -3018,6 +3018,77 @@ object Registry {
         .orderBy("id"),
       Some(qualityLogitOracle)),
 
+    // Filter-ensembling audit: the 2×2 agreement matrix between the
+    // heuristic gate (quality >= 0.5) and the model gate (logit > 0) —
+    // the calibration table a filter migration reads before swapping.
+    // One scan, both predicates as expressions (qualityLogitExpr), a
+    // 4-key aggregate; the oracle joins its two proven formulations
+    Q("ta_filter_agreement",
+      (s, d) => T(s, d, "documents")
+        .select(
+          (TextAnalysis.qualityScore(col("text")) >= 0.5).as("heuristic_keep"),
+          (TextAnalysis.qualityLogitExpr(col("text")) > 0).as("model_keep"))
+        .groupBy("heuristic_keep", "model_keep")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("heuristic_keep", "model_keep"),
+      Some(s"""WITH ql AS ($qualityLogitOracle),
+                    hq AS (SELECT doc_id,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) >= 0.5E0 AS heuristic_keep
+                           FROM documents)
+               SELECT hq.heuristic_keep, ql.keep AS model_keep,
+                      count(*) AS n_docs
+               FROM ql JOIN hq ON ql.id = hq.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Dataset card: the one-row corpus summary published alongside a
+    // training set — exact-integer volumes, dup pressure (exact distinct
+    // fingerprints), heuristic-keep count, sorted lang distribution.
+    // Two aggregations off one scan; see TextAnalysis.datasetCard for
+    // the 100 TB notes (swap countDistinct for HLL when estimating is ok)
+    Q("ta_dataset_card",
+      (s, d) => TextAnalysis.datasetCard(
+        T(s, d, "documents"), "doc_id", "text", "lang"),
+      Some("""WITH q AS (SELECT doc_id, text, coalesce(lang, 'unk') AS l,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) AS qual
+                         FROM documents),
+                   base AS (SELECT count(*) AS n_docs,
+                              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+                              CAST(sum(CASE WHEN text IS NULL THEN 0
+                                       ELSE (CASE WHEN length(trim(text)) = 0 THEN 0
+                                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END) AS BIGINT) AS n_tokens,
+                              CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+                              count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct_texts,
+                              CAST(sum(CASE WHEN text IS NOT NULL AND qual >= 0.5E0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+                            FROM q),
+                   lg AS (SELECT string_agg(lc, ' ' ORDER BY lc) AS langs
+                          FROM (SELECT l || ':' || CAST(count(*) AS VARCHAR) AS lc
+                                FROM q GROUP BY l))
+              SELECT * FROM base CROSS JOIN lg""")),
+
     // C4-style blocklist gate: whole-token matching (substring matching
     // is the classic "class"/"ass" false-positive trap) as higher-order
     // array expressions — the blocklist is a constant inside the

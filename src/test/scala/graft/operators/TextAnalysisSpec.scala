@@ -314,6 +314,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getDouble(6) === logit4 && !out(4L).getBoolean(7))
   }
 
+  test("datasetCard: exact volumes, dup pressure, sorted lang distribution") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the quick brown fox", "en"),   // exact dup content
+      (3L, "der schnelle fuchs", "de"),
+      (4L, "", "en"),                      // empty ≠ null: counts, quality 0.5
+      (5L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.datasetCard(docs, "doc_id", "text", "lang").collect().head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_null_text") === 1L)
+    assert(r.getAs[Long]("n_tokens") === 11L)         // 4 + 4 + 3 + 0 + 0
+    assert(r.getAs[Long]("n_chars") === 56L)          // 19 + 19 + 18 + 0
+    assert(r.getAs[Long]("n_distinct_texts") === 3L)  // dup collapses; null skipped
+    assert(r.getAs[Long]("n_quality_keep") === 4L)    // "" scores exactly 0.5
+    assert(r.getAs[String]("langs") === "de:1 en:3 unk:1")
+  }
+
+  test("qualityLogitExpr: composable expression path identical to qualityLogit's column") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat and dog"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val viaOp = m(TextAnalysis.qualityLogit(docs, "doc_id", "text")
+      .select(col("id"), col("logit")).collect())
+    val viaExpr = m(docs.select(col("doc_id"),
+      TextAnalysis.qualityLogitExpr(col("text"))).collect())
+    assert(viaOp === viaExpr && viaExpr(3L).isEmpty)
+  }
+
   test("blocklistFilter: whole-token matches only, occurrence counts, sorted distinct terms") {
     import spark.implicits._
     val docs = Seq(
