@@ -762,6 +762,22 @@ object TextAnalysis {
       .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
   }
 
+  /** Merge token-length histograms ([[tokenHistogram]] output) by ADDING
+    * bucket counts — completing the merge trio (count-min: add, HLL:
+    * max, histogram: add). `cum` is a DERIVED column and is recomputed
+    * over the merged ≤64-row result — never add cumulative columns.
+    * `ta_hist_merge` proves the fold against an oracle that histograms
+    * the whole corpus directly. */
+  def histogramMerge(hists: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hists.nonEmpty, "no histograms to merge")
+    hists.map(_.drop("cum")).reduce(_ unionByName _)
+      .groupBy("bucket", "lo", "hi").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("lo"), col("hi"), col("cnt"), col("cum"))
+  }
+
   /** Power-of-two token-length histogram — the mergeable quantile
     * sketch completing the trio (count-min: frequency, HLL:
     * cardinality, this: distribution): docs bucket by

@@ -2934,6 +2934,36 @@ object Registry {
               SELECT rw AS "row", cl AS "col", count(*) AS cnt
               FROM cells GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Histogram shard-merge (the trio's third leg): bucket counts ADD,
+    // the cumulative column is re-derived over the merged ≤64-row result
+    // — Spark merges three doc_id%3 shard histograms, the oracle
+    // histograms the whole corpus directly
+    Q("ta_hist_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.histogramMerge((0 until 3).map(k =>
+          TextAnalysis.tokenHistogram(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text")))
+          .orderBy("bucket")
+      },
+      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                         FROM documents WHERE text IS NOT NULL),
+                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
+                                count(*) AS cnt
+                         FROM n GROUP BY 1),
+                   h AS (SELECT bucket,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
+                           cnt,
+                           sum(cnt) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                         FROM b)
+              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
+              FROM h ORDER BY bucket""")),
+
     // HLL registers merge by per-bucket MAX (associative + idempotent):
     // Spark merges three shard register tables; the oracle computes
     // whole-corpus registers directly — max-merge is exactly lossless

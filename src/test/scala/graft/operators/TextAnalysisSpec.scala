@@ -274,7 +274,7 @@ class TextAnalysisSpec extends SparkSpec {
       === out.map(t => (t._1, t._4)).sorted)
   }
 
-  test("cmMerge/hllMerge: shard sketches merge losslessly to the whole-corpus sketch") {
+  test("cmMerge/hllMerge/histogramMerge: shard sketches merge losslessly to the whole-corpus sketch") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} shared"))
       .toDF("doc_id", "text")
@@ -287,6 +287,13 @@ class TextAnalysisSpec extends SparkSpec {
     val rMerged = TextAnalysis.hllMerge((0 until 3).map(k =>
       TextAnalysis.hllRegisters(docs.filter($"doc_id" % 3 === k), col("text"), p = 6)))
     assert(rMerged.except(rWhole).isEmpty && rWhole.except(rMerged).isEmpty)
+    // histogram: shards span different buckets; counts add, cum re-derives
+    val vdocs = (1L to 30L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val hWhole = TextAnalysis.tokenHistogram(vdocs, "text")
+    val hMerged = TextAnalysis.histogramMerge((0 until 3).map(k =>
+      TextAnalysis.tokenHistogram(vdocs.filter($"doc_id" % 3 === k), "text")))
+    assert(hMerged.except(hWhole).isEmpty && hWhole.except(hMerged).isEmpty)
   }
 
   test("qualityLogit: hand-computed logit chain, decision boundary, null text nulls") {
