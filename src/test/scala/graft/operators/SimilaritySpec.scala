@@ -226,5 +226,10 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0) === ((254L, 2L, -127L, 1L, 508L, 127.0 - -127.0)))
     // dim 1: sum_a=127, sum_b=0 → cross=127, mean shift 63.5
     assert(out(1) === ((127L, 2L, 0L, 1L, 127L, 63.5)))
+    // scale shape enforced: dim-keyed sides meet in a broadcast join
+    // (64-row frames), never a sort-merge shuffle join
+    val plan = Similarity.embeddingDrift(a, b, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"drift join not broadcast:\n$plan")
   }
 }

@@ -321,6 +321,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).getDouble(6) === logit4 && !out(4L).getBoolean(7))
   }
 
+  test("scan-speed operators keep shuffle-free physical plans") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    // PLANS.md claims these ride the corpus scan — enforce it: the
+    // OPERATOR output (no orderBy wrapper) must contain no Exchange
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!planOf(TextAnalysis.blocklistFilter(docs, "doc_id", "text", Seq("a")))
+      .contains("Exchange"))
+    assert(!planOf(TextAnalysis.qualityLogit(docs, "doc_id", "text"))
+      .contains("Exchange"))
+    assert(!planOf(TextAnalysis.epochMix(docs, "doc_id", "source", Map("s" -> 2.0)))
+      .contains("Exchange"))
+    assert(!planOf(TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8))
+      .contains("Exchange"))
+  }
+
   test("datasetCard: exact volumes, dup pressure, sorted lang distribution") {
     import spark.implicits._
     val docs = Seq(
