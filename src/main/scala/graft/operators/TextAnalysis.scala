@@ -527,9 +527,14 @@ object TextAnalysis {
     // drags its punctuation along ("see https://x.org." / "(https://x.org)"
     // → hosts "x.org." / "x.org)") — strip trailing punctuation or the
     // per-domain aggregate fragments and a blocklist on "x.org" misses
-    val host = regexp_replace(
+    val rawHost = regexp_replace(
       lower(regexp_extract(col("url"), "https?://([^/ \\t\\n\\r]+)", 1)),
       "[.,;:)\\]]+$", "")
+    // userinfo ("user@host") and an explicit port ("host:8080") are part
+    // of the URL authority, not the domain — strip both, else
+    // "x.org:8080" and "anon@x.org" fragment away from "x.org" and a
+    // domain blocklist/weight misses them
+    val host = regexp_replace(regexp_replace(rawHost, "^[^@]*@", ""), ":\\d+$", "")
     df.select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("url"))
       .select(col("id"), host.as("domain"))

@@ -97,9 +97,14 @@ object CorpusStream {
     new Path(new Path(corpusDir, "_graft_commits"), s"batch-$batchId")
 
   /** Delete any published files of `batchId` from `dir` (partial-publish
-    * rollback) — batch-prefixed names make them identifiable. */
-  private def rollback(fs: FileSystem, dir: String, batchId: Long): Unit = {
+    * rollback) — batch-prefixed names make them identifiable. Resolves
+    * its own FileSystem from `dir`: corpus/sig/stats dirs may live on
+    * different schemes, and probing one dir through another's FS makes
+    * the rollback a silent no-op (exists=false on the wrong FS). */
+  private def rollback(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, batchId: Long): Unit = {
     val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
     if (fs.exists(d))
       fs.listStatus(d).filter(_.getPath.getName.startsWith(s"batch$batchId-"))
         .foreach(s => fs.delete(s.getPath, false))
@@ -110,8 +115,9 @@ object CorpusStream {
     * staging dirs are invisible to parquet readers mid-write; the moves
     * land whole files, and a replay deletes stale names first
     * ([[rollback]]), so readers never see a duplicate. */
-  private def publish(fs: FileSystem, df: DataFrame, dir: String,
-      batchId: Long): Unit = {
+  private def publish(conf: org.apache.hadoop.conf.Configuration,
+      df: DataFrame, dir: String, batchId: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(conf) // per-dir FS, same reason as rollback
     val tmp = new Path(dir, s"_tmp_batch_$batchId")
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
@@ -144,14 +150,17 @@ object CorpusStream {
       statsDir: Option[String] = None,
       statsDepth: Int = 4, statsWidth: Int = 512): Long = {
     if (batch.isEmpty) return 0L
-    val fs = new Path(corpusDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // this FS serves only the commit marker, which lives under corpusDir;
+    // rollback/publish resolve a FileSystem per target dir
+    val fs = new Path(corpusDir).getFileSystem(conf)
     batchId.foreach { bid =>
       if (fs.exists(commitMarker(corpusDir, bid))) return 0L // committed replay
       // partial-publish rollback BEFORE the index probe: the batch's own
       // orphaned signature rows would otherwise gate its docs out
-      rollback(fs, sigDir, bid)
-      rollback(fs, corpusDir, bid)
-      statsDir.foreach(sd => rollback(fs, sd, bid))
+      rollback(conf, sigDir, bid)
+      rollback(conf, corpusDir, bid)
+      statsDir.foreach(sd => rollback(conf, sd, bid))
     }
     // null-text docs carry no content identity: keep one row per id
     // (never collapse distinct docs on a shared null hash) and skip the
@@ -188,9 +197,9 @@ object CorpusStream {
             statsDepth, statsWidth)))
         batchId match {
           case Some(bid) =>
-            publish(fs, novel, corpusDir, bid)
-            publish(fs, novelSig, sigDir, bid)
-            batchStats.foreach { case (sd, sk) => publish(fs, sk, sd, bid) }
+            publish(conf, novel, corpusDir, bid)
+            publish(conf, novelSig, sigDir, bid)
+            batchStats.foreach { case (sd, sk) => publish(conf, sk, sd, bid) }
           case None =>
             novel.write.mode("append").parquet(corpusDir)
             novelSig.write.mode("append").parquet(sigDir)

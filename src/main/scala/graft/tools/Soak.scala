@@ -45,18 +45,30 @@ object Soak {
     s"tick $t doc $i " + words.mkString(" ")
   }
 
-  /** Rewrite `dir` as one parquet file (between ticks — single writer). */
+  /** Rewrite `dir` as one parquet file (between ticks — single writer).
+    * The swap renames the live dir ASIDE rather than deleting it, so a
+    * crash anywhere in the window leaves a recoverable copy — a
+    * delete-then-rename swap here would silently lose the whole dedup
+    * index on a crash (index read falls back to empty and subsequent
+    * ticks re-ingest duplicates as novel). */
   private def compactDir(spark: SparkSession, dir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "_old")
+    val tmp = new Path(dir + "_compacting")
+    // crash recovery: a leftover _old means a prior compaction died
+    // mid-swap — if the live dir vanished with it, the _old copy IS the
+    // data; if both exist the swap completed and _old is garbage
+    if (fs.exists(old)) { if (fs.exists(live)) fs.delete(old, true) else fs.rename(old, live) }
+    if (!fs.exists(live)) return
     val df = spark.read.parquet(dir).persist()
     df.count()
-    val tmp = dir + "_compacting"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     df.unpersist(blocking = true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    fs.rename(live, old)   // live copy preserved until the new dir is in place
+    fs.rename(tmp, live)
+    fs.delete(old, true)
   }
 
   def main(args: Array[String]): Unit = {

@@ -128,6 +128,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("domainProfile: ports and userinfo fold into the bare domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a http://x.example.org:8080/path b"),
+      (2L, "c https://anon@x.example.org/pub d"),
+      (3L, "e https://x.example.org/plain f"),
+      (4L, "g (http://User@X.example.org:443) h") // userinfo + port + case + wrapping punct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainProfile(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all four authority spellings are one domain
+    assert(out === Map("x.example.org" -> ((4L, 4L))))
+  }
+
   test("countMinSketch/cmEstimate: row mass conservation, est >= exact, unseen token 0") {
     import spark.implicits._
     val df = Seq(
