@@ -658,18 +658,22 @@ object Dedup {
 
   /** Reassemble documents minus the positions covered by `dupWins`
     * (`(id, pos)` window starts, each covering `windowWords` tokens):
-    * the shared tail of the substring-dedup family. The covered-set join
-    * is on id alone against doc-bounded arrays, reusing the postings
-    * distribution. Returns (id, n_tokens, n_kept, clean_text). */
+    * the shared tail of the substring-dedup family. Covered positions
+    * stay EXPLODED as (id, pos) rows and mark tokens via one equi-join
+    * on (id, pos) — per-doc linear in tokens + covered positions, never
+    * the collected-array membership scan (which is O(tokens × covered)
+    * per doc: quadratic for a long fully-duplicated document). Both the
+    * distinct() and the join hash the same (id, pos) key, so the
+    * exchange is reused. Returns (id, n_tokens, n_kept, clean_text). */
   private def dropCovered(posts: DataFrame, dupWins: DataFrame,
       windowWords: Int): DataFrame = {
     val cov = dupWins
       .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("cp"))
+        explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("pos"))
       .distinct()
-      .groupBy("id").agg(collect_set(col("cp")).as("cov"))
-    posts.join(cov, Seq("id"), "left")
-      .withColumn("kept", col("cov").isNull || !array_contains(col("cov"), col("pos")))
+      .withColumn("covered", lit(true))
+    posts.join(cov, Seq("id", "pos"), "left")
+      .withColumn("kept", col("covered").isNull)
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_tokens"),
