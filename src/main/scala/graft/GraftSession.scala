@@ -18,6 +18,12 @@ object GraftSession {
   /** Apply engine-standard confs to a builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Parquet timestamps without isAdjustedToUTC read as instants
+    // (TimestampType), not wall-clocks (TIMESTAMP_NTZ): the engine pins
+    // UTC sessions, so both interpretations denote the same micros, and
+    // instant-typed scans keep range predicates pushable into footers.
+    // [[Tables]] cast-normalizes for foreign sessions without this conf.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

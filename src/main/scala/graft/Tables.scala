@@ -2,15 +2,27 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loader for the driver-generated test tables.
   *
-  * All queries go through here so schema quirks are fixed in one place:
-  * `events.ts` is parquet TIMESTAMP(NANOS); with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a
-  * raw Long which we floor-truncate to microseconds (matching what any
-  * µs-precision consumer of the same file sees).
+  * All queries go through here so physical-encoding quirks are absorbed
+  * in ONE place — the reference takes the same posture (readers tolerate
+  * heterogeneous files: crunch.rs:203-214 `to_supertypes:true`, DuckDB
+  * `union_by_name` on every dashboard query). Whatever parquet encoding
+  * a generator picked for `events.ts`, consumers see `TimestampType`
+  * (µs instants under the engine's pinned-UTC sessions):
+  *
+  *  - TIMESTAMP(NANOS) → raw int64 under
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`, floor-truncated to µs
+  *    (matching any µs-precision reader of the same file);
+  *  - µs/ms without isAdjustedToUTC → TimestampType directly when the
+  *    session sets `parquet.inferTimestampNTZ.enabled=false`
+  *    ([[GraftSession.tune]] — the zero-cost path: predicates stay
+  *    pushable into parquet footers); surfaced as TIMESTAMP_NTZ on a
+  *    foreign session, where we cast — exact micros under UTC, same
+  *    instants the DuckDB oracle sees via its naive TIMESTAMP;
+  *  - µs/ms with isAdjustedToUTC → already TimestampType, pass-through.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -19,12 +31,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType) {
-      // range predicates on the truncated column can't reach the scan on
-      // their own — the pushdown rule derives the raw-nanos bounds
-      graft.plans.NanosRangePushdown.register(spark)
-      // integer div, not `/`: long→double division loses ulps at 1e18 ns
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else df
+    if (name == "events") normalizeEventTs(spark, df) else df
   }
+
+  /** Normalize `ts` to TimestampType regardless of parquet physical
+    * encoding (see object doc). Exposed for the fixture spec. */
+  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // range predicates on the truncated column can't reach the scan on
+        // their own — the pushdown rule derives the raw-nanos bounds
+        graft.plans.NanosRangePushdown.register(spark)
+        // integer div, not `/`: long→double division loses ulps at 1e18 ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // foreign session (inferTimestampNTZ left on): wall-clock → UTC
+        // instant; identity on the stored micros under a UTC session
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 }

@@ -73,12 +73,20 @@ object AsOfJoin {
     require(leftBy.nonEmpty && leftBy.size == rightBy.size, "need matching by-keys")
     val (lt, rt) = (resolve(lp, leftTs), resolve(rp, rightTs))
     // the merge reads ts via getLong: only 8-byte-backed types are safe
-    // (int/date would zero-extend negatives into huge positives)
+    // (int/date would zero-extend negatives into huge positives).
+    // TIMESTAMP_NTZ qualifies — micros-since-epoch-of-wall-clock in a
+    // long, ordered identically — but both sides must agree (an NTZ/LTZ
+    // mix would compare wall-clock against instant micros).
     Seq(lt, rt).foreach { a =>
       require(a.dataType == org.apache.spark.sql.types.TimestampType
+        || a.dataType == org.apache.spark.sql.types.TimestampNTZType
         || a.dataType == org.apache.spark.sql.types.LongType,
-        s"as-of ts column ${a.name} must be TIMESTAMP or BIGINT, got ${a.dataType.catalogString}")
+        s"as-of ts column ${a.name} must be TIMESTAMP, TIMESTAMP_NTZ or BIGINT, got ${a.dataType.catalogString}")
     }
+    require(lt.dataType == rt.dataType
+        || Seq(lt, rt).forall(_.dataType != org.apache.spark.sql.types.TimestampNTZType),
+      s"as-of ts columns must not mix TIMESTAMP_NTZ with an instant type: " +
+        s"${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
     PlanApi.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftBy.map(resolve(lp, _)), rightBy.map(resolve(rp, _)), lt, rt))
   }
