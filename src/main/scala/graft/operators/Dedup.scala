@@ -540,6 +540,72 @@ object Dedup {
         (col("component") === col("id")).as("keep"))
   }
 
+  /** The semantic INDEX a continuously-ingesting pipeline maintains:
+    * every corpus doc's nearest-cell assignment plus its (double-widened)
+    * vector — `(id, cell, vec)`, stored partitioned by `cell` so
+    * incremental probes co-locate. Append each accepted batch's rows
+    * (same computation on the batch) instead of re-running the
+    * corpus×centroid scan — the exact analogue of [[bandIndex]] for the
+    * embedding family. */
+  def semanticIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", -Similarity.cosine(col("vec"), col("centroid")))
+      .groupBy("id") // key is the id alone — the vector rides as a value
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("cell"), col("vec"))
+  }
+
+  /** Incremental SEMANTIC dedup — the batch-vs-corpus form of
+    * [[semanticDedup]], completing the family ([[incrementalDedup]] is
+    * the exact-hash form, [[incrementalNearDup]] the minhash form,
+    * [[incrementalSubstringDedup]] the span form): flag arriving-batch
+    * docs whose MEANING already exists in the accumulated corpus.
+    * `corpusIndex` is the maintained [[semanticIndex]] table; batch docs
+    * are assigned their `nprobe` nearest cells (multi-probe, the IVF
+    * search trick — a near-duplicate sitting just across a cell boundary
+    * is still found by the second-nearest probe), candidates are the
+    * corpus rows of probed cells, and exact cosine ≥ `minCosine`
+    * verifies. Returns (batch_id, corpus_id, cosine).
+    *
+    * Scale shape (mirrors [[incrementalNearDup]]): the batch side rides
+    * broadcasts — centroids (nlist×dim) into the batch assignment, the
+    * probed batch rows into the corpus-index scan — so the corpus-sized
+    * index is scanned ONCE, filtered to probed cells by the broadcast
+    * hash join, and never shuffled. Each corpus doc lives in exactly one
+    * cell, so a (batch, corpus) pair verifies at most once even with
+    * nprobe > 1 — no distinct needed. */
+  def incrementalSemanticDedup(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Double]],
+      minCosine: Double, nprobe: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    val probeRank = Window.partitionBy("batch_id").orderBy(col("d"), col("cell"))
+    val probes = batch
+      .select(col(idCol).as("batch_id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec_b"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", -Similarity.cosine(col("vec_b"), col("centroid")))
+      .withColumn("rn", row_number().over(probeRank))
+      .filter(col("rn") <= nprobe)
+      .select(col("batch_id"), col("cell"), col("vec_b"))
+    corpusIndex
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("batch_id"), col("id").as("corpus_id"), col("cosine"))
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup — the shape a continuously
     * ingesting training pipeline runs: drop new-batch docs whose content
     * fingerprint already exists in the accumulated corpus. The corpus is

@@ -890,6 +890,109 @@ object TextAnalysis {
     merges.toSeq.toDF("it", "lft", "rgt", "cnt")
   }
 
+  /** BATCHED BPE training — the job-count fix for [[bpeTrain]]'s one-
+    * merge-per-round driver loop (a real 32k-merge run is 32k sequential
+    * bounded jobs; this gets `batchSize` merges per round, so the same
+    * vocabulary trains in ~numMerges/batchSize rounds).
+    *
+    * Selection rule (deterministic, engine-portable): rank all pairs
+    * meeting `minPairCount` by (count desc, pair asc); a pair is PICKED
+    * iff no higher-ranked pair shares a symbol with it (conflict-free
+    * prefix — so picks are pairwise symbol-disjoint), capped at
+    * `batchSize` per round. Disjointness is what makes the batch sound:
+    * merging (a,b) only perturbs counts of pairs touching a or b, so
+    * every picked pair's count is exactly what sequential application of
+    * the batch would have seen, and ONE gaps-and-islands rewrite applies
+    * the whole batch (a position starts at most one picked pair;
+    * consecutive starts still only arise from a single l = r pair).
+    * With `batchSize = 1` the rule degenerates to [[bpeTrain]]'s exact
+    * argmax (asserted in spec). The variant trades classic BPE's
+    * "re-rank after every merge" for round-level ranking — merges
+    * CREATED by a round (count ≤ the creating pair's) wait for the next
+    * round's ranking; a documented algorithm difference, not an
+    * approximation of the classic schedule.
+    *
+    * Each round is ONE distributed selection (count → rank → dominance
+    * anti-join over the bounded candidate window) collecting ≤
+    * `batchSize` rows, plus one rewrite/checkpoint — both bounded by
+    * vocabulary, never corpus. A round may overshoot `numMerges` by up
+    * to batchSize−1 picks; the returned table truncates to `numMerges`
+    * (same first-numMerges contract the oracle unrolls). */
+  def bpeTrainBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, batchSize: Int = 8,
+      minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(split(normalize(col(textCol)), " ")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+    var posts = vocab.select(col("wd"), col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("wd"))),
+          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
+      .localCheckpoint(true)
+    val wv = Window.partitionBy("wd").orderBy("pos")
+    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    import org.apache.spark.sql.graftops.PlanApi
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // rank candidates; dominance window is bounded (a pick blocks ≤ 2
+      // symbols, so rank > 2·batchSize+1 can still be picked only if
+      // every higher rank conflicts among themselves — 4·batchSize is a
+      // safe, small window and keeps the self-join candidate set tiny)
+      val window = 4 * batchSize
+      val rk = posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
+        .filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("sym"), col("nxt"))))
+        .filter(col("rn") <= window)
+      val picks = rk.as("a").join(rk.as("b"),
+          col("b.rn") < col("a.rn") &&
+            (col("b.sym") === col("a.sym") || col("b.sym") === col("a.nxt") ||
+             col("b.nxt") === col("a.sym") || col("b.nxt") === col("a.nxt")),
+          "left_anti")
+        .orderBy("rn").limit(batchSize)
+        .select(col("sym"), col("nxt"), col("cnt"), col("rn"))
+        .collect()
+      if (picks.isEmpty) done = true
+      else {
+        val base = merges.size
+        picks.sortBy(_.getInt(3)).zipWithIndex.foreach { case (row, i) =>
+          merges += ((base + i, row.getString(0), row.getString(1), row.getLong(2)))
+        }
+        val pickDf = picks.map(r => (r.getString(0), r.getString(1)))
+          .toSeq.toDF("ml_sym", "mr_sym")
+        val stepped = posts
+          .withColumn("nxt", lead(col("sym"), 1).over(wv))
+          .join(broadcast(pickDf),
+            col("sym") === col("ml_sym") && col("nxt") === col("mr_sym"), "left")
+          .withColumn("start", col("ml_sym").isNotNull)
+          .withColumn("srn", count(when(col("start"), 1)).over(cum))
+          .withColumn("island", when(col("start"), col("pos") - col("srn")))
+          .withColumn("ifirst",
+            min(when(col("start"), col("pos")))
+              .over(Window.partitionBy("wd", "island")))
+          .withColumn("valid", col("start") && (col("pos") - col("ifirst")) % 2 === 0)
+          .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
+          .filter(!col("pvalid"))
+          .withColumn("sym",
+            when(col("valid"), concat(col("ml_sym"), col("mr_sym")))
+              .otherwise(col("sym")))
+          .withColumn("pos", row_number().over(wv) - 1)
+          .select("wd", "freq", "pos", "sym")
+          .localCheckpoint(true)
+        PlanApi.releaseCheckpointBlocks(posts)
+        posts = stepped
+      }
+    }
+    PlanApi.releaseCheckpointBlocks(posts)
+    merges.toSeq.take(numMerges).toDF("it", "lft", "rgt", "cnt")
+  }
+
   /** BPE ENCODING with a pre-trained merge table ([[BpeMerges]] shape) —
     * the other half of the tokenizer: every word splits to characters
     * and each merge applies once, in rank order, as the same greedy
@@ -910,10 +1013,20 @@ object TextAnalysis {
     * chain the same symbol (`l == r`) pay the gaps-and-islands pass,
     * every other merge short-circuits to `valid = start` (consecutive
     * starts are impossible when `l != r`). The corpus pays one word
-    * explode, one broadcast join, one per-doc reassembly groupBy. */
+    * explode, one broadcast join, one per-doc reassembly groupBy.
+    *
+    * `broadcastVocab` caveat: the default broadcasts the encoded-word
+    * table, which is right while the DISTINCT vocabulary fits an
+    * executor (a natural-language vocab does — Heaps' law keeps it in
+    * the millions even at web scale). Corpora whose "words" don't
+    * deduplicate (code identifiers, URLs, noisy OCR) can outgrow a
+    * broadcast: pass `broadcastVocab = false` and the join degrades
+    * gracefully to a shuffle hash join on `wd` — the corpus word stream
+    * shuffles once, still no cartesian anywhere. */
   def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+      merges: Seq[(String, String)],
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df
       .select(col(idCol).as("id"),
@@ -949,7 +1062,12 @@ object TextAnalysis {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("sym")))),
           s => s.getField("sym"))).as("e"))
-    words.join(broadcast(encVocab), Seq("wd"))
+    val joined =
+      if (broadcastVocab) words.join(broadcast(encVocab), Seq("wd"))
+      // SHUFFLE_HASH, not sort-merge: the vocab side is the smaller one
+      // by construction and per-word rows need no order
+      else words.join(encVocab.hint("shuffle_hash"), Seq("wd"))
+    joined
       .groupBy("id")
       .agg(sum(col("n")).as("n_syms"),
         concat_ws(" ", transform(

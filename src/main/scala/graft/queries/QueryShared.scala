@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
+
+/** Shared scaffolding of the query registry: the [[Q]] entry shape, the
+  * canonical table loader, cross-engine numeric/typed helpers, the
+  * fixed-seed model literals (hyperplanes / IVF centroids / PQ
+  * codebooks) rendered as DuckDB VALUES rows, and the generated BPE /
+  * quality-logit oracles. One object so every per-layer query file
+  * ([[RelationalQueries]], [[DedupQueries]], [[AnnQueries]],
+  * [[TextQueries]], [[NemQueries]]) composes from the same source of
+  * truth — split from the monolithic Registry, zero behavior change. */
+private[queries] object QueryShared {
+
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def T(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  /** Exact cent-sum of a 2-decimal double column (bit-stable across engines). */
+  def cents(c: Column): Column = sum(round(c * 100, 0).cast("long"))
+
+  def bucket5m(ts: Column): Column =
+    timestamp_micros((unix_micros(ts) / 300000000L).cast("long") * 300000000L)
+
+  // NOTE on the duckdb side: numeric literals default to DECIMAL; every
+  // constant that participates in double arithmetic is written `x::DOUBLE`.
+
+  /** Quantized-store staging for `ann_topk_int8_stored`: write the int8
+    * codes once per (JVM, sf dir) and let repeated invocations (bench
+    * warm reps) exercise ONLY the read/search path — the production
+    * shape is "quantize at write time, search codes forever after". The
+    * staged dirs are swept on JVM exit. */
+  object Int8StoreCache {
+    private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.values.foreach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val root = Path.of(d)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+    def get(s: SparkSession, sfDir: String, emb: DataFrame): String =
+      dirs.getOrElseUpdate(sfDir, {
+        val store = java.nio.file.Files.createTempDirectory("graft_int8_store")
+        graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(store.toString)
+        store.toString
+      })
+  }
+
+  lazy val planeLiterals: String =
+    Similarity.hyperplanes(16, 64, 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
+      .mkString(", ")
+
+  /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
+    * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */
+  lazy val centroidLiterals: String =
+    graft.operators.IvfQuantizer.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.map(dlit).mkString(", ")}])" }
+      .mkString(", ")
+
+  /** The pre-trained PQ codebooks ([[graft.operators.PqCodebooks]]) as
+    * DuckDB VALUES rows (sub, code, codeword) — same round-trip argument
+    * as [[planeLiterals]]. */
+  lazy val pqLiterals: String =
+    graft.operators.PqCodebooks.books.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, ci) => s"($s, $ci, [${cw.map(dlit).mkString(", ")}])" }
+    }.mkString(", ")
+
+  /** The `ta_bpe_train` oracle: `k` unrolled BPE iterations, each a CTE
+    * block that counts adjacent symbol pairs, takes the deterministic
+    * argmax, and applies the greedy left-to-right merge via the same
+    * gaps-and-islands formulation the Spark operator uses ([[
+    * graft.operators.TextAnalysis.bpeTrain]]) — the oracle DERIVES
+    * every merge, no learned state is embedded. */
+  def bpeOracle(k: Int): String = {
+    val head =
+      """WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |     toks AS (SELECT unnest(string_split(t, ' ')) AS wd FROM d),
+        |     vocab AS (SELECT wd, count(*) AS freq FROM toks WHERE length(wd) > 0 GROUP BY wd),
+        |     p0 AS (SELECT wd, freq, unnest([{'pos': i - 1, 'sym': wd[i]}
+        |                                     for i in range(1, len(wd) + 1)], recursive := true)
+        |            FROM vocab)""".stripMargin
+    val blocks = (0 until k).map { i =>
+      s""",
+         |     pc$i AS (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |              FROM (SELECT wd, freq, sym,
+         |                           lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt
+         |                    FROM p$i)
+         |              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |     best$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |     s$i AS (SELECT p.wd, p.freq, p.pos, p.sym, b.l AS ml, b.r AS mr,
+         |                    (p.sym = b.l AND lead(p.sym) OVER (PARTITION BY p.wd ORDER BY p.pos) = b.r) AS start
+         |             FROM p$i p CROSS JOIN best$i b),
+         |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
+         |                         OVER (PARTITION BY wd ORDER BY pos
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
+         |             FROM s$i),
+         |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
+         |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
+         |                         OVER (PARTITION BY wd, island) AS ifirst
+         |             FROM isl$i),
+         |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i),
+         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
+         |              FROM va$i),
+         |     p${i + 1} AS (SELECT wd, freq,
+         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |                          CASE WHEN valid THEN ml || mr ELSE sym END AS sym
+         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
+    }.mkString
+    val union = (0 until k)
+      .map(i => s"SELECT $i AS it, l AS lft, r AS rgt, cnt FROM best$i")
+      .mkString(" UNION ALL ")
+    s"$head$blocks\n              $union ORDER BY it"
+  }
+
+  /** The `ta_bpe_train_batched` oracle: `rounds` unrolled BATCH rounds
+    * ([[graft.operators.TextAnalysis.bpeTrainBatched]]) — per round, pairs
+    * rank by (count desc, pair asc) within a `window`-deep candidate
+    * list, the conflict-free prefix (no shared symbol with ANY higher
+    * rank) is picked up to `batchSize`, and one gaps-and-islands rewrite
+    * applies the whole (symbol-disjoint) batch. The final select takes
+    * the first `numMerges` picks in (round, rank) order — the same
+    * truncation contract as the operator.
+    *
+    * The per-round CTEs are `AS MATERIALIZED`: DuckDB inlines CTEs by
+    * default, and this oracle references each round's posting table and
+    * candidate ranking more than once (pc + the rewrite join; the
+    * dominance NOT EXISTS reads the ranking twice) — inlined, the
+    * re-evaluation compounds per unrolled round into an exponential
+    * plan; materialized, each round is evaluated once. */
+  def bpeBatchedOracle(numMerges: Int, batchSize: Int): String = {
+    val window = 4 * batchSize
+    val rounds = numMerges // worst case one pick per round
+    val head =
+      """WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |     toks AS (SELECT unnest(string_split(t, ' ')) AS wd FROM d),
+        |     vocab AS (SELECT wd, count(*) AS freq FROM toks WHERE length(wd) > 0 GROUP BY wd),
+        |     p0 AS MATERIALIZED (SELECT wd, freq, unnest([{'pos': i - 1, 'sym': wd[i]}
+        |                                     for i in range(1, len(wd) + 1)], recursive := true)
+        |            FROM vocab)""".stripMargin
+    val blocks = (0 until rounds).map { i =>
+      s""",
+         |     pc$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |              FROM (SELECT wd, freq, sym,
+         |                           lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt
+         |                    FROM p$i)
+         |              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |     rk$i AS MATERIALIZED (SELECT * FROM (SELECT l, r, cnt,
+         |                               row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+         |                             FROM pc$i) WHERE rn <= $window),
+         |     pk$i AS MATERIALIZED (SELECT l, r, cnt, rn FROM rk$i a
+         |              WHERE NOT EXISTS (SELECT 1 FROM rk$i b WHERE b.rn < a.rn
+         |                                AND (b.l IN (a.l, a.r) OR b.r IN (a.l, a.r)))
+         |              ORDER BY rn LIMIT $batchSize),
+         |     s$i AS (SELECT p.wd, p.freq, p.pos, p.sym, k.l AS ml, k.r AS mr,
+         |                    (k.l IS NOT NULL) AS start
+         |             FROM (SELECT *, lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt
+         |                   FROM p$i) p
+         |             LEFT JOIN pk$i k ON p.sym = k.l AND p.nxt = k.r),
+         |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
+         |                         OVER (PARTITION BY wd ORDER BY pos
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
+         |             FROM s$i),
+         |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
+         |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
+         |                         OVER (PARTITION BY wd, island) AS ifirst
+         |             FROM isl$i),
+         |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i),
+         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
+         |              FROM va$i),
+         |     p${i + 1} AS MATERIALIZED (SELECT wd, freq,
+         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |                          CASE WHEN valid THEN ml || mr ELSE sym END AS sym
+         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
+    }.mkString
+    val union = (0 until rounds)
+      .map(i => s"SELECT $i AS round, rn, l AS lft, r AS rgt, cnt FROM pk$i")
+      .mkString(" UNION ALL ")
+    s"""$head$blocks,
+       |     allp AS ($union)
+       |              SELECT CAST(row_number() OVER (ORDER BY round, rn) - 1 AS INTEGER) AS it,
+       |                     lft, rgt, cnt
+       |              FROM allp ORDER BY round, rn LIMIT $numMerges""".stripMargin
+  }
+
+  /** The `ta_bpe_encode` oracle: the merge cascade runs per DISTINCT
+    * word (mirroring the operator's vocab-bounded design), one CTE
+    * block per pre-trained merge (literals from
+    * [[graft.operators.BpeMerges]]); `l != r` merges skip the islands
+    * machinery (consecutive starts impossible), and the encoded-word
+    * table joins back onto the corpus word stream. */
+  def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val head =
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |     wp AS (SELECT doc_id, unnest([{'wpos': i - 1, 'wd': ws[i]}
+        |                                   for i in range(1, len(ws) + 1)], recursive := true)
+        |            FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM d)),
+        |     p0 AS (SELECT wd, unnest([{'pos': i - 1, 'sym': wd[i]}
+        |                               for i in range(1, len(wd) + 1)], recursive := true)
+        |            FROM (SELECT DISTINCT wd FROM wp WHERE length(wd) > 0))""".stripMargin
+    val blocks = merges.zipWithIndex.map { case ((l, r), i) =>
+      val validity =
+        if (l != r)
+          s""",
+             |     va$i AS (SELECT *, start AS valid FROM s$i)""".stripMargin
+        else
+          s""",
+             |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
+             |                         OVER (PARTITION BY wd ORDER BY pos
+             |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
+             |             FROM s$i),
+             |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
+             |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
+             |                         OVER (PARTITION BY wd, island) AS ifirst
+             |             FROM isl$i),
+             |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i)""".stripMargin
+      s""",
+         |     s$i AS (SELECT wd, pos, sym,
+         |                    (sym = '$l' AND lead(sym) OVER (PARTITION BY wd ORDER BY pos) = '$r') AS start
+         |             FROM p$i)$validity,
+         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
+         |              FROM va$i),
+         |     p${i + 1} AS (SELECT wd,
+         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
+         |                          CASE WHEN valid THEN '$l$r' ELSE sym END AS sym
+         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
+    }.mkString
+    s"""$head$blocks,
+       |     encv AS (SELECT wd, count(*) AS n, string_agg(sym, ' ' ORDER BY pos) AS e
+       |              FROM p${merges.size} GROUP BY wd)
+       |              SELECT w.doc_id AS id, CAST(sum(v.n) AS BIGINT) AS n_syms,
+       |                     string_agg(v.e, ' ' ORDER BY w.wpos) AS enc
+       |              FROM wp w JOIN encv v USING (wd)
+       |              GROUP BY w.doc_id ORDER BY id""".stripMargin
+  }
+
+  /** The `ta_quality_logit` oracle: the same fixed-order IEEE chain over
+    * the same exact-count features, weights interpolated from the ONE
+    * source of truth ([[graft.operators.TextAnalysis.QualityWeights]])
+    * via [[dlit]] so both engines parse identical doubles. Null text is
+    * carried as a flag and nulled at the end — DuckDB's `least` ignores
+    * NULL arguments (would turn a null feature into the cap). */
+  def qualityLogitOracle: String = {
+    val w = graft.operators.TextAnalysis.QualityWeights.map(dlit)
+    val ntok = """(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"""
+    s"""WITH f AS (SELECT doc_id, text IS NULL AS tnull,
+       |             least(CAST(length(text) AS DOUBLE) / ${dlit(500.0)}, ${dlit(1.0)}) AS f_len,
+       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
+       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |                        / CAST(length(text) AS DOUBLE) END) AS f_punct,
+       |             least((CASE WHEN $ntok = 0 THEN ${dlit(0.0)}
+       |                    ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+       |                         / CAST($ntok AS DOUBLE) END) / ${dlit(12.0)}, ${dlit(1.0)}) AS f_mtl,
+       |             CAST((CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END)
+       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END) AS DOUBLE)
+       |               / ${dlit(4.0)} AS f_stop,
+       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
+       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                        / CAST(length(text) AS DOUBLE) END) AS f_digit
+       |           FROM documents),
+       |     g AS (SELECT doc_id,
+       |             CASE WHEN tnull THEN NULL ELSE f_len END AS f_len,
+       |             CASE WHEN tnull THEN NULL ELSE f_punct END AS f_punct,
+       |             CASE WHEN tnull THEN NULL ELSE f_mtl END AS f_mtl,
+       |             CASE WHEN tnull THEN NULL ELSE f_stop END AS f_stop,
+       |             CASE WHEN tnull THEN NULL ELSE f_digit END AS f_digit,
+       |             CASE WHEN tnull THEN NULL
+       |                  ELSE ${w(0)} + ${w(1)} * f_len + ${w(2)} * f_punct
+       |                       + ${w(3)} * f_mtl + ${w(4)} * f_stop + ${w(5)} * f_digit END AS logit
+       |           FROM f)
+       |SELECT doc_id AS id, f_len, f_punct, f_mtl, f_stop, f_digit, logit,
+       |       logit > ${dlit(0.0)} AS keep
+       |FROM g ORDER BY id""".stripMargin
+  }
+
+  /** Render a double for a DuckDB VALUES list so it parses as DOUBLE,
+    * not DECIMAL: a plain decimal literal becomes DECIMAL(19,18) and
+    * DuckDB's wide-DECIMAL→DOUBLE conversion is double-rounded (~14% of
+    * the PQ codebook values came back 1 ulp off, which perturbed the PQ
+    * reconstructions — the one literal family whose values feed the
+    * OUTPUT, not just an argmin). E-notation parses via strtod
+    * (correctly rounded, bit-identical to the JVM double); Scala already
+    * emits E-notation for small/large magnitudes, so only plain forms
+    * need the `E0` suffix. */
+  def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+}

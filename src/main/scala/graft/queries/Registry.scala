@@ -8,3256 +8,29 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
 
 /** One named query per implemented operator of SURVEY.md §2 (plus the
   * LLM-pipeline operators), each with ANSI/DuckDB oracle SQL where the
-  * semantics are SQL-expressible.
-  *
-  * Oracle-match rules observed throughout:
+  * semantics are SQL-expressible. The entries live in per-layer files
+  * ([[RelationalQueries]] §2 relational + SQL panels, [[DedupQueries]],
+  * [[AnnQueries]], [[TextQueries]], [[NemQueries]] reference pipeline +
+  * multimodal) and re-merge here; [[QueryShared]] carries the shared
+  * scaffolding and the oracle-match rules all entries observe:
   *  - identical lowercase column aliases on both sides;
   *  - a total ORDER BY with a unique tie-break wherever LIMIT appears;
   *  - money/value sums are computed as exact BIGINT cent-sums
   *    (`CAST(round(x*100) AS BIGINT)`) — float-summation order differs
   *    between engines, integer sums cannot;
-  *  - `events.ts` is TIMESTAMP(NANOS) in parquet; Spark sees µs (via
-  *    [[graft.Tables]]) so every oracle reference uses
-  *    `CAST(ts AS TIMESTAMP)` to match the same truncation.
+  *  - `events.ts` normalizes to µs TIMESTAMP whatever the parquet
+  *    physical encoding (via [[graft.Tables]]), so every oracle
+  *    reference uses `CAST(ts AS TIMESTAMP)` to match.
   */
 object Registry {
 
-  final case class Q(
-      name: String,
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
-
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
-
-  /** Exact cent-sum of a 2-decimal double column (bit-stable across engines). */
-  private def cents(c: Column): Column = sum(round(c * 100, 0).cast("long"))
-
-  private def bucket5m(ts: Column): Column =
-    timestamp_micros((unix_micros(ts) / 300000000L).cast("long") * 300000000L)
-
-  // NOTE on the duckdb side: numeric literals default to DECIMAL; every
-  // constant that participates in double arithmetic is written `x::DOUBLE`.
-
-  /** Quantized-store staging for `ann_topk_int8_stored`: write the int8
-    * codes once per (JVM, sf dir) and let repeated invocations (bench
-    * warm reps) exercise ONLY the read/search path — the production
-    * shape is "quantize at write time, search codes forever after". The
-    * staged dirs are swept on JVM exit. */
-  private[queries] object Int8StoreCache {
-    private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.values.foreach { d =>
-        try {
-          import java.nio.file.{Files, Path}
-          import scala.jdk.CollectionConverters._
-          val root = Path.of(d)
-          if (Files.exists(root))
-            Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        } catch { case _: Throwable => () }
-      }))
-    def get(s: SparkSession, sfDir: String, emb: DataFrame): String =
-      dirs.getOrElseUpdate(sfDir, {
-        val store = java.nio.file.Files.createTempDirectory("graft_int8_store")
-        graft.operators.Similarity.quantizeInt8(emb, "vec_id", "embedding")
-          .write.mode("overwrite").parquet(store.toString)
-        store.toString
-      })
-  }
-
-  val relational: Seq[Q] = Seq(
-
-    // ---------------------------------------------------------- P layer
-    Q("p01_select_alias",
-      (s, d) => T(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice AS price
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
-
-    Q("p02_drop_positional",
-      (s, d) => {
-        val p = T(s, d, "part")
-        p.drop(p.columns.take(2).toIndexedSeq: _*)  // positional: first 2 columns
-          .orderBy("p_brand", "p_type", "p_size", "p_retailprice")
-      },
-      Some("""SELECT p_brand, p_type, p_size, p_retailprice
-              FROM part ORDER BY p_brand, p_type, p_size, p_retailprice""")),
-
-    Q("p03_drop_named",
-      (s, d) => T(s, d, "orders").drop("o_orderpriority", "o_orderstatus")
-        .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-              FROM orders ORDER BY o_orderkey""")),
-
-    Q("p04_filter_eq",
-      (s, d) => T(s, d, "orders").filter(col("o_orderstatus") === "F")
-        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
-              WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
-
-    Q("p05_filter_isin",
-      (s, d) => T(s, d, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .select("event_id", "event_type", "user_id").orderBy("event_id"),
-      Some("""SELECT event_id, event_type, user_id FROM events
-              WHERE event_type IN ('click','purchase') ORDER BY event_id""")),
-
-    Q("p06_filter_range",
-      (s, d) => T(s, d, "lineitem")
-        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
-                                          lit("1996-12-31").cast("timestamp")))
-        .select("l_orderkey", "l_linenumber", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-              WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
-              ORDER BY l_orderkey, l_linenumber""")),
-
-    Q("p07_arithmetic",
-      (s, d) => T(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-            .as("charge"),
-          (-col("l_quantity")).as("neg_qty"))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber,
-                     l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax) AS charge,
-                     -l_quantity AS neg_qty
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
-
-    Q("p08_when_otherwise",
-      (s, d) => T(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          when(col("l_quantity") > 25, lit("high"))
-            .when(col("l_quantity") > 10, lit("mid"))
-            .otherwise(lit("low")).as("band"))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""SELECT l_orderkey, l_linenumber,
-                     CASE WHEN l_quantity > 25 THEN 'high'
-                          WHEN l_quantity > 10 THEN 'mid'
-                          ELSE 'low' END AS band
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
-
-    Q("p09_coalesce_fillnull",
-      (s, d) => T(s, d, "orders")
-        .select(col("o_orderkey"),
-          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_filled"))
-        .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey,
-                     coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_filled
-              FROM orders ORDER BY o_orderkey""")),
-
-    Q("p10_cast",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), col("n_chars").cast("double").as("n_chars_d"),
-          col("doc_id").cast("string").as("doc_id_s"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_d,
-                     CAST(doc_id AS VARCHAR) AS doc_id_s
-              FROM documents ORDER BY doc_id""")),
-
-    Q("p11_trim_quotes",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"),
-          trim(concat(lit("  "), col("source"), lit(" "))).as("trimmed"),
-          regexp_replace(concat(lit("\""), col("source"), lit("\"")), "^\"|\"$", "").as("unquoted"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-                     trim('  ' || source || ' ') AS trimmed,
-                     regexp_replace('"' || source || '"', '^"|"$', '', 'g') AS unquoted
-              FROM documents ORDER BY doc_id""")),
-
-    Q("p12_str_to_double",
-      (s, d) => T(s, d, "events")
-        .select(col("event_id"),
-          regexp_extract(col("props"), "[0-9]+", 0).cast("double").as("k_num"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id,
-                     CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE) AS k_num
-              FROM events ORDER BY event_id""")),
-
-    Q("p13_ts_parse",
-      (s, d) => T(s, d, "orders")
-        .select(col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss").as("ts_str"),
-          to_timestamp(date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"),
-            "yyyy/MM/dd HH:mm:ss").as("ts_rt"))
-        .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey,
-                     strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS ts_str,
-                     strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S') AS ts_rt
-              FROM orders ORDER BY o_orderkey""")),
-
-    Q("p14_filename_date",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"),
-          to_date(regexp_extract(
-            concat(lit("PUBLIC_DAILY_"), upper(col("source")), lit("_20240607_0000000466731056.zip")),
-            "_([0-9]{8})_", 1), "yyyyMMdd").as("file_date"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-                     CAST(strptime(regexp_extract(
-                       'PUBLIC_DAILY_' || upper(source) || '_20240607_0000000466731056.zip',
-                       '_([0-9]{8})_', 1), '%Y%m%d') AS DATE) AS file_date
-              FROM documents ORDER BY doc_id""")),
-
-    Q("p15_date_trunc",
-      (s, d) => T(s, d, "events")
-        .select(col("event_id"), date_trunc("hour", col("ts")).as("ts_hour"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour
-              FROM events ORDER BY event_id""")),
-
-    Q("p16_epoch_ms",
-      (s, d) => T(s, d, "events")
-        .select(col("event_id"), unix_millis(col("ts")).as("epoch_ms"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
-              FROM events ORDER BY event_id""")),
-
-    Q("p17_time_bucket_5m",
-      (s, d) => T(s, d, "events")
-        .groupBy(bucket5m(col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("bucket_shifted", col("bucket") + expr("INTERVAL 5 MINUTES"))
-        .select("bucket", "bucket_shifted", "n")
-        .orderBy("bucket"),
-      Some("""SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bucket,
-                     make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) + INTERVAL 5 MINUTE AS bucket_shifted,
-                     count(*) AS n
-              FROM events GROUP BY 1, 2 ORDER BY bucket""")),
-
-    Q("p18_time_spine",
-      (s, d) => s.range(1).select(explode(sequence(
-          lit("2024-01-01 00:00:00").cast("timestamp"),
-          lit("2024-01-02 00:00:00").cast("timestamp"),
-          expr("INTERVAL 1 HOUR"))).as("spine_ts"))
-        .orderBy("spine_ts"),
-      Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                                            TIMESTAMP '2024-01-02 00:00:00',
-                                            INTERVAL 1 HOUR)) AS spine_ts
-              ORDER BY spine_ts""")),
-
-    // ---------------------------------------------------------- A layer
-    Q("a01_groupby_sum",
-      (s, d) => T(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity")).as("sum_qty"),
-          cents(col("l_extendedprice")).as("sum_price_cents"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-                     sum(l_quantity) AS sum_qty,
-                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
-                     count(*) AS n
-              FROM lineitem GROUP BY l_returnflag, l_linestatus
-              ORDER BY l_returnflag, l_linestatus""")),
-
-    Q("a02_global_agg",
-      (s, d) => T(s, d, "orders")
-        .agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 2).as("min_price"),
-          round(max(col("o_totalprice")), 2).as("max_price"),
-          round(avg(col("o_totalprice")), 4).as("avg_price")),
-      Some("""SELECT count(*) AS n,
-                     round(min(o_totalprice), 2) AS min_price,
-                     round(max(o_totalprice), 2) AS max_price,
-                     round(avg(o_totalprice), 4) AS avg_price
-              FROM orders""")),
-
-    Q("a03_count_ratio",
-      (s, d) => {
-        val o = T(s, d, "orders")
-        val f = o.filter(col("o_orderstatus") === "F").agg(count(lit(1)).as("n_f"))
-        val t = o.agg(count(lit(1)).as("n_all"))
-        f.crossJoin(t).select(col("n_f"), col("n_all"),
-          (col("n_f").cast("double") / col("n_all").cast("double")).as("frac"))
-      },
-      Some("""SELECT (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
-                     (SELECT count(*) FROM orders) AS n_all,
-                     CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS DOUBLE)
-                       / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS frac""")),
-
-    Q("a04_sum_time_buckets",
-      (s, d) => T(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-        .agg(cents(col("value")).as("sum_value_cents"), count(lit(1)).as("n"))
-        .orderBy("h", "event_type"),
-      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
-                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
-                     count(*) AS n
-              FROM events GROUP BY 1, 2 ORDER BY h, event_type""")),
-
-    Q("a05_pivot_filtered",
-      (s, d) => T(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(
-          count(when(col("event_type") === "click", 1)).as("n_click"),
-          count(when(col("event_type") === "view", 1)).as("n_view"),
-          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
-          count(when(col("event_type") === "signup", 1)).as("n_signup"),
-          count(when(col("event_type") === "error", 1)).as("n_error"))
-        .orderBy("day"),
-      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                     count(*) FILTER (WHERE event_type = 'click') AS n_click,
-                     count(*) FILTER (WHERE event_type = 'view') AS n_view,
-                     count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-                     count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-                     count(*) FILTER (WHERE event_type = 'error') AS n_error
-              FROM events GROUP BY 1 ORDER BY day""")),
-
-    Q("a06_distinct",
-      (s, d) => T(s, d, "lineitem")
-        .select("l_returnflag", "l_linestatus").distinct()
-        .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-              ORDER BY l_returnflag, l_linestatus""")),
-
-    Q("a07_keepfirst_dedup",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-        T(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("user_id", "event_id", "event_type")
-          .orderBy("user_id")
-      },
-      Some("""SELECT user_id, event_id, event_type FROM (
-                SELECT user_id, event_id, event_type,
-                       row_number() OVER (PARTITION BY user_id
-                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
-                FROM events) t
-              WHERE rn = 1 ORDER BY user_id""")),
-
-    Q("a08_antijoin_dedup",
-      (s, d) => T(s, d, "part")
-        .join(T(s, d, "lineitem").select(col("l_partkey")),
-          col("p_partkey") === col("l_partkey"), "left_anti")
-        .select("p_partkey", "p_name")
-        .orderBy("p_partkey"),
-      Some("""SELECT p_partkey, p_name FROM part
-              WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-              ORDER BY p_partkey""")),
-
-    // Skew-safe aggregation: two-phase salted count/cent-sum over a
-    // 3-value group key (the shape where one hot key would otherwise pin
-    // a single reducer at corpus scale) — result identical to the direct
-    // GROUP BY, which is exactly what the oracle states
-    Q("a10_salted_agg",
-      (s, d) => graft.operators.Salt.saltedSumCount(
-          T(s, d, "lineitem"), Seq("l_returnflag"),
-          round(col("l_extendedprice") * 100, 0).cast("long"), factor = 16)
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, count(*) AS n,
-                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
-
-    // Semi-structured payloads: JSON path extraction from the events
-    // `props` column (beyond the reference's flat model — the metadata
-    // sidecar every telemetry/training-data table carries). Both engines
-    // parse the same JSON text; the int round-trips exactly.
-    Q("p19_json_extract",
-      (s, d) => T(s, d, "events")
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id"),
-      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-              FROM events ORDER BY event_id""")),
-
-    // Z-order (Morton) key: exact bit-interleave arithmetic, the sort
-    // key behind the multi-dimensional parquet layout (plans/ZOrder.scala;
-    // pruning effect asserted in ZOrderSpec)
-    Q("p20_zorder_key",
-      (s, d) => T(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          pmod(col("l_partkey"), lit(4096)).as("xb"),
-          pmod(col("l_suppkey"), lit(4096)).as("yb"))
-        .withColumn("zv", graft.plans.ZOrder.zValue2(col("xb"), col("yb"), bits = 12))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some {
-        val chain = (0 until 12).map(i =>
-          s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
-          .mkString(" | ")
-        s"""SELECT l_orderkey, l_linenumber, xb, yb, ($chain) AS zv
-            FROM (SELECT l_orderkey, l_linenumber,
-                    l_partkey % 4096 AS xb, l_suppkey % 4096 AS yb
-                  FROM lineitem)
-            ORDER BY l_orderkey, l_linenumber"""
-      }),
-
-    // ---------------------------------------------------------- J layer
-    Q("j01_left_join",
-      (s, d) => T(s, d, "orders")
-        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
-        .select("o_orderkey", "c_name")
-        .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, c_name FROM orders
-              LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""")),
-
-    Q("j02_inner_composite",
-      (s, d) => {
-        val li = T(s, d, "lineitem")
-        val ps = li.groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
-          .agg(count(lit(1)).as("n_ps"))
-        li.join(ps, col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey"))
-          .select("l_orderkey", "l_linenumber", "n_ps")
-          .orderBy("l_orderkey", "l_linenumber")
-      },
-      Some("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey, count(*) AS n_ps
-                          FROM lineitem GROUP BY 1, 2)
-              SELECT l.l_orderkey, l.l_linenumber, ps.n_ps
-              FROM lineitem l JOIN ps ON l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
-              ORDER BY l.l_orderkey, l.l_linenumber""")),
-
-    Q("j03_expr_key_join",
-      (s, d) => {
-        val ev = T(s, d, "events")
-        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n_in_hour"))
-        ev.join(hourly, date_trunc("hour", col("ts")) === col("h"), "left")
-          .select("event_id", "n_in_hour")
-          .orderBy("event_id")
-      },
-      Some("""WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                                     count(*) AS n_in_hour
-                              FROM events GROUP BY 1)
-              SELECT e.event_id, hourly.n_in_hour
-              FROM events e LEFT JOIN hourly
-                ON date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = hourly.h
-              ORDER BY e.event_id""")),
-
-    Q("j04_cross_join",
-      (s, d) => T(s, d, "region").crossJoin(T(s, d, "nation"))
-        .select("r_name", "n_name")
-        .orderBy("r_name", "n_name"),
-      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
-              ORDER BY r_name, n_name""")),
-
-    Q("j05_asof_interp",
-      (s, d) => {
-        val ev = T(s, d, "events")
-        val hourly = ev.groupBy(col("event_type").as("et"),
-            date_trunc("hour", col("ts")).as("h"))
-          .agg(avg(col("value")).as("av"))
-        val prevSide = hourly.select(col("et").as("p_et"), col("h").as("p_h"), col("av").as("av_prev"))
-        val nextSide = hourly.select(col("et").as("n_et"), col("h").as("n_h"), col("av").as("av_next"))
-        ev
-          .withColumn("hour", date_trunc("hour", col("ts")))
-          .join(prevSide, col("event_type") === col("p_et") && col("hour") === col("p_h"), "left")
-          .join(nextSide, col("event_type") === col("n_et")
-            && (col("hour") + expr("INTERVAL 1 HOUR")) === col("n_h"), "left")
-          .withColumn("frac",
-            (unix_millis(col("ts")) - unix_millis(col("hour"))).cast("double") / lit(3600000.0))
-          .withColumn("prev_c", coalesce(col("av_prev"), lit(0.0)))
-          .withColumn("next_c", coalesce(col("av_next"), col("av_prev"), lit(0.0)))
-          .select(col("event_id"),
-            round(col("prev_c") + (col("next_c") - col("prev_c")) * col("frac"), 6).as("interp"))
-          .orderBy("event_id")
-      },
-      Some("""WITH hourly AS (
-                SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                       avg(value) AS av
-                FROM events GROUP BY 1, 2)
-              SELECT e.event_id,
-                     round(
-                       coalesce(p.av, 0.0::DOUBLE)
-                       + (coalesce(n.av, p.av, 0.0::DOUBLE) - coalesce(p.av, 0.0::DOUBLE))
-                         * (CAST(epoch_ms(CAST(e.ts AS TIMESTAMP))
-                                 - epoch_ms(date_trunc('hour', CAST(e.ts AS TIMESTAMP))) AS DOUBLE)
-                            / 3600000.0::DOUBLE), 6) AS interp
-              FROM events e
-              LEFT JOIN hourly p ON e.event_type = p.et
-                AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = p.h
-              LEFT JOIN hourly n ON e.event_type = n.et
-                AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR = n.h
-              ORDER BY e.event_id""")),
-
-    Q("j05b_asof_native",
-      // the custom LogicalPlan+Strategy+SparkPlan as-of join
-      // (graft.plans.AsOfJoin) vs DuckDB's native ASOF LEFT JOIN
-      (s, d) => {
-        val ev = T(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
-        val hourly = T(s, d, "events")
-          .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
-          // exact cent-sum, not round(avg(..)): float-sum order differs
-          // between engines and a 6-decimal round flips at half-ulp
-          // boundaries once the group count grows (seen at sf0.1)
-          .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("av"))
-        graft.plans.AsOfJoin(s, ev, hourly, Seq("event_type"), Seq("et"), "ts", "h")
-          .select(col("event_id"), col("av"))
-          .orderBy("event_id")
-      },
-      Some("""WITH hourly AS (
-                SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS av
-                FROM events GROUP BY 1, 2)
-              SELECT e.event_id, hourly.av
-              FROM events e ASOF LEFT JOIN hourly
-                ON e.event_type = hourly.et AND CAST(e.ts AS TIMESTAMP) >= hourly.h
-              ORDER BY e.event_id""")),
-
-    Q("j06_interval_join",
-      (s, d) => {
-        val spine = s.range(1).select(explode(sequence(
-          lit("2024-01-01 00:00:00").cast("timestamp"),
-          lit("2024-01-31 00:00:00").cast("timestamp"),
-          expr("INTERVAL 1 HOUR"))).as("t"))
-        val sess = T(s, d, "events").groupBy("user_id")
-          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-        spine.join(broadcast(sess), col("t") >= col("st") && col("t") < col("en"), "left")
-          .groupBy("t").agg(count(col("user_id")).as("active"))
-          .orderBy("t")
-      },
-      Some("""WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                                                           TIMESTAMP '2024-01-31 00:00:00',
-                                                           INTERVAL 1 HOUR)) AS t),
-                   sess AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st,
-                                   max(CAST(ts AS TIMESTAMP)) AS en
-                            FROM events GROUP BY user_id)
-              SELECT t, count(user_id) AS active
-              FROM spine LEFT JOIN sess ON t >= st AND t < en
-              GROUP BY t ORDER BY t""")),
-
-    Q("j07_multiway_chain",
-      (s, d) => T(s, d, "orders")
-        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
-        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"), "left")
-        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"), "left")
-        .select("o_orderkey", "c_name", "n_name", "r_name")
-        .orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, c_name, n_name, r_name
-              FROM orders
-              LEFT JOIN customer ON o_custkey = c_custkey
-              LEFT JOIN nation ON c_nationkey = n_nationkey
-              LEFT JOIN region ON n_regionkey = r_regionkey
-              ORDER BY o_orderkey""")),
-
-    // ---------------------------------------------------------- U layer
-    Q("u01_union_supertype",
-      (s, d) => {
-        val a = T(s, d, "nation")
-          .select(col("n_nationkey").as("key"), col("n_name").as("label"))
-        val b = T(s, d, "customer")
-          .select(col("c_custkey").as("key"), col("c_name").as("label"),
-            col("c_acctbal").as("bal"))
-        a.unionByName(b, allowMissingColumns = true)
-          .orderBy(col("key"), col("label"))
-      },
-      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS label,
-                     CAST(NULL AS DOUBLE) AS bal FROM nation
-              UNION ALL
-              SELECT c_custkey AS key, c_name AS label, c_acctbal AS bal FROM customer
-              ORDER BY key, label""")),
-
-    Q("u02_union_all_tagged",
-      (s, d) => T(s, d, "orders").select(lit("orders").as("src"), col("o_orderkey").as("id"))
-        .union(T(s, d, "lineitem").select(lit("lineitem").as("src"), col("l_orderkey").as("id")))
-        .orderBy("src", "id"),
-      Some("""SELECT 'orders' AS src, o_orderkey AS id FROM orders
-              UNION ALL
-              SELECT 'lineitem' AS src, l_orderkey AS id FROM lineitem
-              ORDER BY src, id""")),
-
-    Q("u03_union_distinct",
-      (s, d) => T(s, d, "lineitem").select(col("l_returnflag").as("flag"))
-        .union(T(s, d, "orders").select(col("o_orderstatus").as("flag")))
-        .distinct()
-        .orderBy("flag"),
-      Some("""SELECT l_returnflag AS flag FROM lineitem
-              UNION
-              SELECT o_orderstatus AS flag FROM orders
-              ORDER BY flag""")),
-
-    // ---------------------------------------------------------- W layer
-    Q("w01_ewma",
-      (s, d) => Ewma.withEwma(T(s, d, "events"), "user_id",
-          Seq("ts", "event_id"), "value", alpha = 0.05, outCol = "ewma")
-        // no rounding: the sequential recurrence is bitwise-identical in
-        // both engines (same op order, same constants); DuckDB's float
-        // round() is approximate near boundaries, exact values are safer
-        .select(col("user_id"), col("event_id"), col("ewma"))
-        .orderBy("user_id", "event_id"),
-      Some("""WITH RECURSIVE b AS (
-                SELECT user_id, event_id, value,
-                       row_number() OVER (PARTITION BY user_id
-                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-                FROM events),
-              r(user_id, event_id, rn, state, ewma) AS (
-                SELECT user_id, event_id, rn,
-                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
-                       CASE WHEN value IS NULL THEN NULL
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END
-                FROM b WHERE rn = 1
-                UNION ALL
-                SELECT b.user_id, b.event_id, b.rn,
-                       CASE WHEN b.value IS NULL THEN r.state
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END,
-                       CASE WHEN b.value IS NULL THEN NULL
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END
-                FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-              SELECT user_id, event_id, ewma
-              FROM r ORDER BY user_id, event_id""")),
-
-    Q("w01b_ewma_catalyst",
-      // same semantics as w01_ewma but via the native Catalyst
-      // AggregateWindowFunction (SQL surface); proven bitwise-identical
-      // to the mapPartitions operator in GraftFunctionsSpec
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        T(s, d, "events").createOrReplaceTempView("ewma_events_v")
-        s.sql("""SELECT user_id, event_id,
-                        ewma(value, 0.05) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ewma
-                 FROM ewma_events_v ORDER BY user_id, event_id""")
-      },
-      Some("""WITH RECURSIVE b AS (
-                SELECT user_id, event_id, value,
-                       row_number() OVER (PARTITION BY user_id
-                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-                FROM events),
-              r(user_id, event_id, rn, state, ewma) AS (
-                SELECT user_id, event_id, rn,
-                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
-                       CASE WHEN value IS NULL THEN NULL
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END
-                FROM b WHERE rn = 1
-                UNION ALL
-                SELECT b.user_id, b.event_id, b.rn,
-                       CASE WHEN b.value IS NULL THEN r.state
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END,
-                       CASE WHEN b.value IS NULL THEN NULL
-                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END
-                FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-              SELECT user_id, event_id, ewma
-              FROM r ORDER BY user_id, event_id""")),
-
-    Q("w02_row_number",
-      (s, d) => {
-        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        T(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-          .orderBy("o_custkey", "rn")
-      },
-      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-                SELECT o_custkey, o_orderkey, o_totalprice,
-                       row_number() OVER (PARTITION BY o_custkey
-                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
-                FROM orders) t
-              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
-
-    Q("w03_sort_multi",
-      (s, d) => T(s, d, "lineitem")
-        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
-        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
-        .limit(100),
-      Some("""SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
-              FROM lineitem
-              ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
-              LIMIT 100""")),
-
-    Q("w05_topk",
-      (s, d) => T(s, d, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100),
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
-              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
-
-    Q("w06_spine_densify",
-      (s, d) => {
-        val spine = s.range(1).select(explode(sequence(
-          lit("2024-01-01 00:00:00").cast("timestamp"),
-          lit("2024-01-07 00:00:00").cast("timestamp"),
-          expr("INTERVAL 1 HOUR"))).as("t"))
-        val types = T(s, d, "events").select(col("event_type").as("et")).distinct()
-        val grid = spine.crossJoin(broadcast(types))
-        val actual = T(s, d, "events")
-          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-        grid.join(actual, col("t") === col("h") && col("et") === col("event_type"), "left")
-          .select(col("t"), col("et"), coalesce(col("cnt"), lit(0L)).as("n"))
-          .orderBy("t", "et")
-      },
-      Some("""WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-                                                           TIMESTAMP '2024-01-07 00:00:00',
-                                                           INTERVAL 1 HOUR)) AS t),
-                   types AS (SELECT DISTINCT event_type AS et FROM events),
-                   actual AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
-                                     count(*) AS cnt
-                              FROM events GROUP BY 1, 2)
-              SELECT spine.t, types.et, coalesce(actual.cnt, 0) AS n
-              FROM spine CROSS JOIN types
-              LEFT JOIN actual ON spine.t = actual.h AND types.et = actual.event_type
-              ORDER BY t, et""")),
-
-    // LOCF gap-fill: carry the last observation forward over planted
-    // holes ('view' rows masked to null on both sides — the sensor-dropout
-    // shape). Values pass through unchanged (no arithmetic), hash-exact.
-    Q("w07_locf_gapfill",
-      (s, d) => graft.operators.TimeSeries.locf(
-          T(s, d, "events").withColumn("value",
-            when(col("event_type") === "view", lit(null)).otherwise(col("value"))),
-          "user_id", "ts", "event_id", Seq("value"))
-        .select(col("event_id"), col("user_id"), col("value"))
-        .orderBy("event_id"),
-      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-                      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
-                    FROM events)
-              SELECT event_id, user_id,
-                     last_value(value IGNORE NULLS) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-              FROM e ORDER BY event_id""")),
-
-    // Gap-based sessionization: new session when >30 min from the
-    // previous event of the user — exact integer µs-gap compare + running
-    // sum of session starts (see TimeSeries.sessionize)
-    Q("w08_sessionize",
-      (s, d) => graft.operators.TimeSeries.sessionize(
-          T(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
-        .select(col("event_id"), col("user_id"), col("ts"), col("session_n"))
-        .orderBy("user_id", "ts", "event_id"),
-      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-                   g AS (SELECT *,
-                           CASE WHEN lag(ts) OVER w IS NULL
-                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                                THEN 1 ELSE 0 END AS ns
-                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-              SELECT event_id, user_id, ts,
-                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
-              FROM g ORDER BY user_id, ts, event_id""")),
-
-    // Multi-level aggregate (ROLLUP): per (status, priority), per status,
-    // and grand total in one pass — the OLAP subtotal shape; grouping_id
-    // disambiguates rolled-up nulls from genuine null keys
-    Q("a09_rollup",
-      (s, d) => T(s, d, "orders")
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          cents(col("o_totalprice")).as("sum_price_cents"))
-        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price_cents")
-        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first),
-      Some("""SELECT o_orderstatus, o_orderpriority,
-                     CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-                     count(*) AS n,
-                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
-              FROM orders
-              GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-              ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
-  )
-
-  /** Interactive SQL surface — the reference's dashboard corpus (§3.3)
-    * run as spark.sql over temp views. */
-  val sqlSurface: Seq[Q] = Seq(
-    Q("sql_timeseries_panel",
-      (s, d) => SqlSurface.timeseriesPanel(s, d),
-      Some("""SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bucket,
-                     count(*) AS n,
-                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-              FROM events
-              WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
-              GROUP BY 1 ORDER BY bucket""")),
-
-    Q("sql_pivot_panel",
-      (s, d) => SqlSurface.pivotPanel(s, d),
-      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                     max(event_id) FILTER (WHERE user_id % 4 = 0) AS lane_0,
-                     max(event_id) FILTER (WHERE user_id % 4 = 1) AS lane_1,
-                     max(event_id) FILTER (WHERE user_id % 4 = 2) AS lane_2,
-                     max(event_id) FILTER (WHERE user_id % 4 = 3) AS lane_3
-              FROM events GROUP BY 1 ORDER BY day""")),
-
-    Q("sql_percent_panel",
-      (s, d) => SqlSurface.percentPanel(s, d),
-      Some("""SELECT (SELECT count(*) FROM events WHERE event_type = 'purchase') AS n_done,
-                     (SELECT count(*) FROM events) AS n_all,
-                     CAST((SELECT count(*) FROM events WHERE event_type = 'purchase') AS DOUBLE)
-                       / CAST((SELECT count(*) FROM events) AS DOUBLE) AS frac""")),
-
-    Q("sql_timeline_panel",
-      (s, d) => SqlSurface.timelinePanel(s, d),
-      Some("""SELECT event_id, user_id, event_type
-              FROM events
-              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
-              LIMIT 5000"""))
-  )
-
-  /** LLM-training-data pipeline operators. */
-  /** The dd_embed_neardup hyperplanes (numPlanes=16, dim=64, seed=42) as
-    * DuckDB VALUES rows — Scala's Double.toString round-trips exactly, so
-    * both engines see identical constants. */
-  private lazy val planeLiterals: String =
-    Similarity.hyperplanes(16, 64, 42L).zipWithIndex
-      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
-      .mkString(", ")
-
-  /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
-    * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */
-  private lazy val centroidLiterals: String =
-    graft.operators.IvfQuantizer.centroids.zipWithIndex
-      .map { case (c, i) => s"($i, [${c.map(dlit).mkString(", ")}])" }
-      .mkString(", ")
-
-  /** The pre-trained PQ codebooks ([[graft.operators.PqCodebooks]]) as
-    * DuckDB VALUES rows (sub, code, codeword) — same round-trip argument
-    * as [[planeLiterals]]. */
-  private lazy val pqLiterals: String =
-    graft.operators.PqCodebooks.books.zipWithIndex.flatMap { case (cws, s) =>
-      cws.zipWithIndex.map { case (cw, ci) => s"($s, $ci, [${cw.map(dlit).mkString(", ")}])" }
-    }.mkString(", ")
-
-  /** The `ta_bpe_train` oracle: `k` unrolled BPE iterations, each a CTE
-    * block that counts adjacent symbol pairs, takes the deterministic
-    * argmax, and applies the greedy left-to-right merge via the same
-    * gaps-and-islands formulation the Spark operator uses ([[
-    * graft.operators.TextAnalysis.bpeTrain]]) — the oracle DERIVES
-    * every merge, no learned state is embedded. */
-  private def bpeOracle(k: Int): String = {
-    val head =
-      """WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-        |     toks AS (SELECT unnest(string_split(t, ' ')) AS wd FROM d),
-        |     vocab AS (SELECT wd, count(*) AS freq FROM toks WHERE length(wd) > 0 GROUP BY wd),
-        |     p0 AS (SELECT wd, freq, unnest([{'pos': i - 1, 'sym': wd[i]}
-        |                                     for i in range(1, len(wd) + 1)], recursive := true)
-        |            FROM vocab)""".stripMargin
-    val blocks = (0 until k).map { i =>
-      s""",
-         |     pc$i AS (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
-         |              FROM (SELECT wd, freq, sym,
-         |                           lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nxt
-         |                    FROM p$i)
-         |              WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |     best$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |     s$i AS (SELECT p.wd, p.freq, p.pos, p.sym, b.l AS ml, b.r AS mr,
-         |                    (p.sym = b.l AND lead(p.sym) OVER (PARTITION BY p.wd ORDER BY p.pos) = b.r) AS start
-         |             FROM p$i p CROSS JOIN best$i b),
-         |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
-         |                         OVER (PARTITION BY wd ORDER BY pos
-         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
-         |             FROM s$i),
-         |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
-         |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
-         |                         OVER (PARTITION BY wd, island) AS ifirst
-         |             FROM isl$i),
-         |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i),
-         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
-         |              FROM va$i),
-         |     p${i + 1} AS (SELECT wd, freq,
-         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
-         |                          CASE WHEN valid THEN ml || mr ELSE sym END AS sym
-         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
-    }.mkString
-    val union = (0 until k)
-      .map(i => s"SELECT $i AS it, l AS lft, r AS rgt, cnt FROM best$i")
-      .mkString(" UNION ALL ")
-    s"$head$blocks\n              $union ORDER BY it"
-  }
-
-  /** The `ta_bpe_encode` oracle: the merge cascade runs per DISTINCT
-    * word (mirroring the operator's vocab-bounded design), one CTE
-    * block per pre-trained merge (literals from
-    * [[graft.operators.BpeMerges]]); `l != r` merges skip the islands
-    * machinery (consecutive starts impossible), and the encoded-word
-    * table joins back onto the corpus word stream. */
-  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
-    val head =
-      """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-        |     wp AS (SELECT doc_id, unnest([{'wpos': i - 1, 'wd': ws[i]}
-        |                                   for i in range(1, len(ws) + 1)], recursive := true)
-        |            FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM d)),
-        |     p0 AS (SELECT wd, unnest([{'pos': i - 1, 'sym': wd[i]}
-        |                               for i in range(1, len(wd) + 1)], recursive := true)
-        |            FROM (SELECT DISTINCT wd FROM wp WHERE length(wd) > 0))""".stripMargin
-    val blocks = merges.zipWithIndex.map { case ((l, r), i) =>
-      val validity =
-        if (l != r)
-          s""",
-             |     va$i AS (SELECT *, start AS valid FROM s$i)""".stripMargin
-        else
-          s""",
-             |     v$i AS (SELECT *, count(CASE WHEN start THEN 1 END)
-             |                         OVER (PARTITION BY wd ORDER BY pos
-             |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srn
-             |             FROM s$i),
-             |     isl$i AS (SELECT *, CASE WHEN start THEN pos - srn END AS island FROM v$i),
-             |     f$i AS (SELECT *, min(CASE WHEN start THEN pos END)
-             |                         OVER (PARTITION BY wd, island) AS ifirst
-             |             FROM isl$i),
-             |     va$i AS (SELECT *, (start AND (pos - ifirst) % 2 = 0) AS valid FROM f$i)""".stripMargin
-      s""",
-         |     s$i AS (SELECT wd, pos, sym,
-         |                    (sym = '$l' AND lead(sym) OVER (PARTITION BY wd ORDER BY pos) = '$r') AS start
-         |             FROM p$i)$validity,
-         |     dr$i AS (SELECT *, lag(valid, 1, false) OVER (PARTITION BY wd ORDER BY pos) AS pvalid
-         |              FROM va$i),
-         |     p${i + 1} AS (SELECT wd,
-         |                          row_number() OVER (PARTITION BY wd ORDER BY pos) - 1 AS pos,
-         |                          CASE WHEN valid THEN '$l$r' ELSE sym END AS sym
-         |                   FROM dr$i WHERE NOT pvalid)""".stripMargin
-    }.mkString
-    s"""$head$blocks,
-       |     encv AS (SELECT wd, count(*) AS n, string_agg(sym, ' ' ORDER BY pos) AS e
-       |              FROM p${merges.size} GROUP BY wd)
-       |              SELECT w.doc_id AS id, CAST(sum(v.n) AS BIGINT) AS n_syms,
-       |                     string_agg(v.e, ' ' ORDER BY w.wpos) AS enc
-       |              FROM wp w JOIN encv v USING (wd)
-       |              GROUP BY w.doc_id ORDER BY id""".stripMargin
-  }
-
-  /** The `ta_quality_logit` oracle: the same fixed-order IEEE chain over
-    * the same exact-count features, weights interpolated from the ONE
-    * source of truth ([[graft.operators.TextAnalysis.QualityWeights]])
-    * via [[dlit]] so both engines parse identical doubles. Null text is
-    * carried as a flag and nulled at the end — DuckDB's `least` ignores
-    * NULL arguments (would turn a null feature into the cap). */
-  private def qualityLogitOracle: String = {
-    val w = graft.operators.TextAnalysis.QualityWeights.map(dlit)
-    val ntok = """(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"""
-    s"""WITH f AS (SELECT doc_id, text IS NULL AS tnull,
-       |             least(CAST(length(text) AS DOUBLE) / ${dlit(500.0)}, ${dlit(1.0)}) AS f_len,
-       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
-       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-       |                        / CAST(length(text) AS DOUBLE) END) AS f_punct,
-       |             least((CASE WHEN $ntok = 0 THEN ${dlit(0.0)}
-       |                    ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-       |                         / CAST($ntok AS DOUBLE) END) / ${dlit(12.0)}, ${dlit(1.0)}) AS f_mtl,
-       |             CAST((CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END)
-       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END)
-       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END)
-       |                + (CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END) AS DOUBLE)
-       |               / ${dlit(4.0)} AS f_stop,
-       |             (CASE WHEN length(text) = 0 THEN ${dlit(0.0)}
-       |                   ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-       |                        / CAST(length(text) AS DOUBLE) END) AS f_digit
-       |           FROM documents),
-       |     g AS (SELECT doc_id,
-       |             CASE WHEN tnull THEN NULL ELSE f_len END AS f_len,
-       |             CASE WHEN tnull THEN NULL ELSE f_punct END AS f_punct,
-       |             CASE WHEN tnull THEN NULL ELSE f_mtl END AS f_mtl,
-       |             CASE WHEN tnull THEN NULL ELSE f_stop END AS f_stop,
-       |             CASE WHEN tnull THEN NULL ELSE f_digit END AS f_digit,
-       |             CASE WHEN tnull THEN NULL
-       |                  ELSE ${w(0)} + ${w(1)} * f_len + ${w(2)} * f_punct
-       |                       + ${w(3)} * f_mtl + ${w(4)} * f_stop + ${w(5)} * f_digit END AS logit
-       |           FROM f)
-       |SELECT doc_id AS id, f_len, f_punct, f_mtl, f_stop, f_digit, logit,
-       |       logit > ${dlit(0.0)} AS keep
-       |FROM g ORDER BY id""".stripMargin
-  }
-
-  /** Render a double for a DuckDB VALUES list so it parses as DOUBLE,
-    * not DECIMAL: a plain decimal literal becomes DECIMAL(19,18) and
-    * DuckDB's wide-DECIMAL→DOUBLE conversion is double-rounded (~14% of
-    * the PQ codebook values came back 1 ulp off, which perturbed the PQ
-    * reconstructions — the one literal family whose values feed the
-    * OUTPUT, not just an argmin). E-notation parses via strtod
-    * (correctly rounded, bit-identical to the JVM double); Scala already
-    * emits E-notation for small/large magnitudes, so only plain forms
-    * need the `E0` suffix. */
-  private def dlit(v: Double): String = {
-    val s = v.toString
-    if (s.contains("E") || s.contains("e")) s else s + "E0"
-  }
-
-  val llm: Seq[Q] = Seq(
-
-    Q("dd_exact_groups",
-      (s, d) => Dedup.exactGroups(T(s, d, "documents"), "doc_id", "text")
-        .orderBy("content_hash"),
-      Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-              FROM documents GROUP BY 1 ORDER BY content_hash""")),
-
-    Q("dd_fingerprint",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-              FROM documents ORDER BY doc_id""")),
-
-    Q("ta_tokens",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), length(col("text")).as("n_chars_m"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, length(text) AS n_chars_m,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-              FROM documents ORDER BY doc_id""")),
-
-    Q("ta_tokens_bpe",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-              FROM documents ORDER BY doc_id""")),
-
-    Q("ta_quality",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-                round((
-                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
-                  + (1.0::DOUBLE - least(
-                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
-                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
-                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
-                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-                ) / 3.0::DOUBLE, 6) AS quality
-              FROM documents ORDER BY doc_id""")),
-
-    Q("ta_rolling_fingerprint",
-      // native codegen'd Catalyst expression (RollingHash with doGenCode).
-      // Oracle: DuckDB HUGEINT (128-bit) emulates the wrapping mod-2^64
-      // recurrence exactly — accumulator stays in [0, 2^64) so the
-      // h*1000003+b intermediate (< 2^84) never overflows 128 bits; the
-      // final value converts to Java's signed long by subtracting 2^64
-      // above 2^63. Bytes come from hex(encode(text)) two chars at a
-      // time (UTF-8, same bytes the expression hashes). NULL text guards
-      // to NULL (list_prepend would otherwise turn it into [0] → 0).
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        T(s, d, "documents").createOrReplaceTempView("fp_docs_v")
-        s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM fp_docs_v ORDER BY doc_id")
-      },
-      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
-                   h AS (SELECT doc_id,
-                           CASE WHEN hx IS NULL THEN NULL ELSE
-                             list_reduce(
-                               list_prepend(0::HUGEINT,
-                                 [('0x' || substr(hx, 2*i-1, 2))::BIGINT::HUGEINT
-                                  for i in range(1, length(hx)//2 + 1)]),
-                               (acc, x) -> (acc * 1000003::HUGEINT + x)
-                                             % 18446744073709551616::HUGEINT)
-                           END AS hv
-                         FROM b)
-              SELECT doc_id,
-                     CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
-                               THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS fp
-              FROM h ORDER BY doc_id""")),
-
-    Q("ta_langid",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, lang,
-                CASE
-                  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
-                  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
-                  WHEN es >= fr AND es > 0 THEN 'es'
-                  WHEN fr > 0 THEN 'fr'
-                  ELSE 'unk' END AS lang_guess
-              FROM (
-                SELECT doc_id, lang,
-                  (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END
-                   + CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
-                  (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END
-                   + CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
-                  (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END
-                   + CASE WHEN t LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
-                  (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END
-                   + CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
-                FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents) raw) scored
-              ORDER BY doc_id""")),
-
-    Q("ann_topk_brute",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        // raw double sim across the whole ANN family: cosine is per-row
-        // arithmetic (sequential fold within one row's arrays), bitwise
-        // identical across engines — round(,6) both sides was the exact
-        // half-ulp-fragile pattern that produced r3's one red oracle row
-        Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-          .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
-          .orderBy("probe_id", "rn")
-      },
-      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
-                   scored AS (
-                     SELECT p.probe_id, e.vec_id AS cand_id,
-                            list_sum(list_transform(list_zip(p.pv, e.embedding),
-                              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                            / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-                     FROM p, embeddings e WHERE e.vec_id <> p.probe_id),
-                   ranked AS (
-                     SELECT probe_id, cand_id, sim,
-                            row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                     FROM scored)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // Hybrid retrieval: dense (cosine top-20) and sparse (shared-shingle
-    // top-20) arms fused by reciprocal-rank fusion (k=60) — the standard
-    // calibration-free hybrid-search merge; ranks are integers, each RRF
-    // term one IEEE division, so the fused ORDER is engine-exact.
-    Q("ann_hybrid_rrf",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        val docs = T(s, d, "documents")
-        val dense = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", 20)
-        val sparse = Similarity.lexicalTopK(docs, docs.filter(col("doc_id") < 5),
-          "doc_id", "text", 20)
-        Similarity.rrfFuse(dense, sparse, k = 10).orderBy("probe_id", "rn")
-      },
-      Some("""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
-                   scored AS (
-                     SELECT p.probe_id, e.vec_id AS cand_id,
-                            list_sum(list_transform(list_zip(p.pv, e.embedding),
-                              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                            / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-                     FROM p, embeddings e WHERE e.vec_id <> p.probe_id),
-                   ra AS (SELECT probe_id, cand_id, rn FROM (
-                            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                            FROM scored) WHERE rn <= 20),
-                   d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   ov AS (SELECT pp.doc_id AS probe_id, cp.doc_id AS cand_id, count(*) AS overlap
-                          FROM posts pp JOIN posts cp
-                            ON cp.sg = pp.sg AND cp.doc_id <> pp.doc_id
-                          WHERE pp.doc_id < 5 GROUP BY 1, 2),
-                   rb AS (SELECT probe_id, cand_id, rn FROM (
-                            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY overlap DESC, cand_id) AS rn
-                            FROM ov) WHERE rn <= 20),
-                   fused AS (SELECT coalesce(ra.probe_id, rb.probe_id) AS probe_id,
-                                    coalesce(ra.cand_id, rb.cand_id) AS cand_id,
-                                    ra.rn AS rn_a, rb.rn AS rn_b,
-                                    coalesce(1.0E0 / (60 + ra.rn), 0.0E0)
-                                      + coalesce(1.0E0 / (60 + rb.rn), 0.0E0) AS score
-                             FROM ra FULL OUTER JOIN rb
-                               ON rb.probe_id = ra.probe_id AND rb.cand_id = ra.cand_id),
-                   rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
-                          FROM fused)
-              SELECT probe_id, cand_id, rn_a, rn_b, score, rn
-              FROM rk WHERE rn <= 10 ORDER BY probe_id, rn""")),
-
-    // int8 quantization audit: per-vector scale (IEEE max/divide — exact)
-    // plus integer code checksums. floor(x/scale + 0.5) spells
-    // round-half-up in correctly-rounded ops; round() itself differs
-    // across engines near .5 (Registry header rule)
-    Q("ann_int8_audit",
-      (s, d) => Similarity.quantizeInt8(T(s, d, "embeddings"), "vec_id", "embedding")
-        .select(col("id").as("vec_id"), col("scale"),
-          expr("CAST(aggregate(qvec, 0L, (a, x) -> a + x) AS BIGINT)").as("q_sum"),
-          expr("CAST(aggregate(qvec, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS BIGINT)").as("q_norm2"))
-        .orderBy("vec_id"),
-      Some("""WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                         FROM embeddings),
-                   s AS (SELECT vec_id, vec,
-                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
-                         FROM v),
-                   q AS (SELECT vec_id, scale,
-                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-                         FROM s)
-              SELECT vec_id, scale,
-                     CAST(list_sum(qv) AS BIGINT) AS q_sum,
-                     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
-              FROM q ORDER BY vec_id""")),
-
-    // Embedding-distribution drift: per-dimension int8-code sums compared
-    // across two snapshot halves by integer cross-multiplication — the
-    // vector analogue of ta_vocab_drift, and a mergeable per-shard
-    // summary at 100 TB (raw-float means could never hash-match)
-    Q("ann_embed_drift",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.embeddingDrift(
-          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
-          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
-          "vec_id", "embedding").orderBy("dim")
-      },
-      Some("""WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                         FROM embeddings),
-                   s AS (SELECT vec_id, vec,
-                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
-                         FROM v),
-                   q AS (SELECT vec_id, scale,
-                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-                         FROM s),
-                   e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': qv[i]}
-                                                for i in range(1, len(qv) + 1)], recursive := true)
-                         FROM q),
-                   sa AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_a, count(*) AS n_a
-                          FROM e WHERE vec_id % 2 = 0 GROUP BY dim),
-                   sb AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_b, count(*) AS n_b
-                          FROM e WHERE vec_id % 2 = 1 GROUP BY dim)
-              SELECT sa.dim, sum_a, n_a, sum_b, n_b,
-                     sum_a * n_b - sum_b * n_a AS cross_diff,
-                     CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b AS mean_shift
-              FROM sa JOIN sb USING (dim) ORDER BY dim""")),
-
-    // top-k over the COMPRESSED store: cosine over int8 codes (scales
-    // cancel; integer products sum exactly in doubles, so the score is
-    // unconditionally engine-exact — no summation-order dependence)
-    Q("ann_topk_int8",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-          .orderBy("probe_id", "rn")
-      },
-      Some("""WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                         FROM embeddings),
-                   s AS (SELECT vec_id, vec,
-                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
-                         FROM v),
-                   q AS (SELECT vec_id,
-                           list_transform(vec, x -> floor(x / scale + 0.5)) AS qv
-                         FROM s),
-                   pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 10),
-                   sim AS (SELECT pr.probe_id, c.vec_id AS cand_id,
-                             list_sum(list_transform(list_zip(pr.pq, c.qv),
-                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                             / (sqrt(list_sum(list_transform(pr.pq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                * sqrt(list_sum(list_transform(c.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qsim
-                           FROM pr, q c WHERE c.vec_id <> pr.probe_id),
-                   ranked AS (SELECT probe_id, cand_id, qsim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY qsim DESC, cand_id) AS rn
-                              FROM sim)
-              SELECT probe_id, cand_id, qsim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // The same compressed-store search through a REAL store roundtrip:
-    // codes are written to parquet (tinyint + double survive bit-exactly)
-    // and searched from the re-read table via int8TopKStored — proving
-    // the production shape (quantize once at write time, search codes)
-    // returns the identical result. Oracle = the inline formulation.
-    Q("ann_topk_int8_stored",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        // the store is staged ONCE per (JVM, sf dir) — re-quantizing on
-        // every invocation would fold the write into the "search a
-        // pre-quantized store" timing and leak a temp dir per run
-        val store = Int8StoreCache.get(s, d, emb)
-        Similarity.int8TopKStored(s.read.parquet(store),
-            emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-          .orderBy("probe_id", "rn")
-      },
-      Some("""WITH v AS (SELECT vec_id,
-                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-                         FROM embeddings),
-                   s AS (SELECT vec_id, vec,
-                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
-                         FROM v),
-                   q AS (SELECT vec_id,
-                           list_transform(vec, x -> floor(x / scale + 0.5)) AS qv
-                         FROM s),
-                   pr AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 10),
-                   sim AS (SELECT pr.probe_id, c.vec_id AS cand_id,
-                             list_sum(list_transform(list_zip(pr.pq, c.qv),
-                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                             / (sqrt(list_sum(list_transform(pr.pq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                * sqrt(list_sum(list_transform(c.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS qsim
-                           FROM pr, q c WHERE c.vec_id <> pr.probe_id),
-                   ranked AS (SELECT probe_id, cand_id, qsim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY qsim DESC, cand_id) AS rn
-                              FROM sim)
-              SELECT probe_id, cand_id, qsim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    Q("ann_topk_lsh",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, dim = 64)
-          .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
-          .orderBy("probe_id", "rn")
-      },
-      // same fixed-seed hyperplanes as dd_embed_neardup: sign-bit bands,
-      // shared-band candidates, exact-cosine re-rank — all replicated
-      Some(s"""WITH planes(pi, pv) AS (VALUES $planeLiterals),
-                   bits AS (SELECT v.vec_id, p.pi,
-                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
-                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
-                                   THEN 1 ELSE 0 END AS bit
-                            FROM embeddings v CROSS JOIN planes p),
-                   bands AS (SELECT vec_id, pi // 4 AS band, string_agg(bit, ',' ORDER BY pi) AS bkey
-                             FROM bits GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
-                            FROM bands p JOIN bands c
-                              ON p.band = c.band AND p.bkey = c.bkey
-                            WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
-                   cos AS (SELECT cd.probe_id, cd.cand_id,
-                             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
-                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                             / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-                           FROM cand cd
-                           JOIN embeddings va ON va.vec_id = cd.probe_id
-                           JOIN embeddings vb ON vb.vec_id = cd.cand_id),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM cos)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // NOTE there is deliberately NO declared query for the in-session-
-    // trained ivfTopK (the r5 "ann_topk_ivf" rows-only row). An oracle
-    // for it would need DuckDB to reproduce the Lloyd means bitwise, and
-    // that was measured to be impossible: DuckDB's FLOAT→DECIMAL cast
-    // routes through float32 arithmetic (garbage past ~7 digits) and its
-    // wide-DECIMAL→DOUBLE conversion is double-rounded (~30% of values
-    // off by 1 ulp vs the correctly-rounded result Spark's BigDecimal
-    // path produces) — so no exact-arithmetic training formulation can
-    // hash-match across engines, and centroid literals dumped from one
-    // scale factor would be wrong at every other (the embeddings tables
-    // are not prefix-equal across SFs). Coverage instead: ann_topk_ivf0
-    // below oracle-checks the full in-session path at iters=0 (where
-    // init centroids ARE derivable in SQL), ann_topk_ivf_trained
-    // oracle-checks the Lloyd-trained search path with shared centroid
-    // literals, and SimilaritySpec asserts ivfTopK's recall vs brute
-    // force plus training determinism.
-
-    // IVF search with the PRE-TRAINED quantizer (the production shape:
-    // train offline once, ship centroids as constants, queries only
-    // assign + probe + re-rank). Both engines see the identical centroid
-    // literals, so the Lloyd-trained search path is fully oracle-checked.
-    Q("ann_topk_ivf_trained",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, centroids = graft.operators.IvfQuantizer.centroids, nprobe = 4)
-          .orderBy("probe_id", "rn")
-      },
-      Some(s"""WITH cents(cell, cv) AS (VALUES $centroidLiterals),
-                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id AS cand_id, embedding AS cand_vec, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1),
-                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
-                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                    FROM scored WHERE vec_id < 10)
-                              WHERE rn <= 4),
-                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, c.cand_vec
-                            FROM pcells p JOIN cells c ON c.cell = p.cell
-                            WHERE c.cand_id <> p.probe_id),
-                   sims AS (SELECT probe_id, cand_id,
-                              list_sum(list_transform(list_zip(probe_vec, cand_vec),
-                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                 * sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-                            FROM cand),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM sims)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // Product-quantization search with PRE-TRAINED codebooks (the
-    // compression tier past int8: 8 nibble codes per 64-float vector,
-    // 64x). Corpus vectors are replaced by their codeword
-    // reconstructions (L2 assignment via |c|^2 - 2*sv.c — the |sv|^2
-    // term drops out of the argmin), probes stay full-precision, exact
-    // cosine ranks. Both engines see identical codebook literals, so
-    // codes, reconstructions and scores are engine-exact.
-    Q("ann_topk_pq",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.pqSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, codebooks = graft.operators.PqCodebooks.books)
-          .orderBy("probe_id", "rn")
-      },
-      Some(s"""WITH cb(sub, code, cv) AS (VALUES $pqLiterals),
-                   cbn AS (SELECT sub, code, cv,
-                             list_sum(list_transform(cv, x -> x * x)) AS cv2
-                           FROM cb),
-                   sl AS (SELECT v.vec_id, s.sub,
-                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
-                              x -> CAST(x AS DOUBLE)) AS sv
-                          FROM embeddings v, range(0, 8) s(sub)),
-                   asg AS (SELECT vec_id, sub, code, cv FROM (
-                             SELECT sl.vec_id, sl.sub, c.code, c.cv,
-                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
-                                      ORDER BY c.cv2 - (2.0::DOUBLE) * list_sum(
-                                          list_transform(list_zip(sl.sv, c.cv),
-                                            z -> z[1] * z[2])),
-                                        c.code) AS rn
-                             FROM sl JOIN cbn c USING (sub))
-                           WHERE rn = 1),
-                   recon AS (SELECT vec_id, flatten(list(cv ORDER BY sub)) AS rv
-                             FROM asg GROUP BY vec_id),
-                   pr AS (SELECT vec_id AS probe_id,
-                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
-                          FROM embeddings WHERE vec_id < 10),
-                   sims AS (SELECT p.probe_id, r.vec_id AS cand_id,
-                              list_sum(list_transform(list_zip(p.pv, r.rv), z -> z[1] * z[2]))
-                              / (sqrt(list_sum(list_transform(p.pv, x -> x * x)))
-                                 * sqrt(list_sum(list_transform(r.rv, x -> x * x)))) AS sim
-                            FROM pr p, recon r WHERE r.vec_id <> p.probe_id),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM sims)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // IVF-PQ: the composed production index — the pre-trained coarse
-    // quantizer prunes to nprobe cells, PQ reconstructions stand in for
-    // raw vectors in the re-rank (64x smaller store). Every stage
-    // engine-exact from the two shared literal sets.
-    Q("ann_topk_ivfpq",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.ivfPqSearch(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, centroids = graft.operators.IvfQuantizer.centroids, nprobe = 4,
-            codebooks = graft.operators.PqCodebooks.books)
-          .orderBy("probe_id", "rn")
-      },
-      Some(s"""WITH cents(cell, cvec) AS (VALUES $centroidLiterals),
-                   cb(sub, code, pw) AS (VALUES $pqLiterals),
-                   cbn AS (SELECT sub, code, pw,
-                             list_sum(list_transform(pw, x -> x * x)) AS pw2
-                           FROM cb),
-                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cvec),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id AS cand_id, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1),
-                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
-                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                    FROM scored WHERE vec_id < 10)
-                              WHERE rn <= 4),
-                   sl AS (SELECT v.vec_id, s.sub,
-                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
-                              x -> CAST(x AS DOUBLE)) AS sv
-                          FROM embeddings v, range(0, 8) s(sub)),
-                   asg AS (SELECT vec_id, sub, code, pw FROM (
-                             SELECT sl.vec_id, sl.sub, c.code, c.pw,
-                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
-                                      ORDER BY c.pw2 - (2.0::DOUBLE) * list_sum(
-                                          list_transform(list_zip(sl.sv, c.pw),
-                                            z -> z[1] * z[2])),
-                                        c.code) AS rn
-                             FROM sl JOIN cbn c USING (sub))
-                           WHERE rn = 1),
-                   recon AS (SELECT vec_id, flatten(list(pw ORDER BY sub)) AS rv
-                             FROM asg GROUP BY vec_id),
-                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, r.rv
-                            FROM pcells p
-                            JOIN cells c ON c.cell = p.cell
-                            JOIN recon r ON r.vec_id = c.cand_id
-                            WHERE c.cand_id <> p.probe_id),
-                   sims AS (SELECT probe_id, cand_id,
-                              list_sum(list_transform(list_zip(probe_vec, rv),
-                                z -> CAST(z[1] AS DOUBLE) * z[2]))
-                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                 * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS sim
-                            FROM cand),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM sims)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // IVF search path with iters=0: centroids are then exactly the first
-    // nlist vectors by id, which DuckDB can derive too — oracle-checks
-    // cell assignment (argmin cosine, cell tie-break), nprobe expansion
-    // and the exact-cosine re-rank.
-    Q("ann_topk_ivf0",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 4, iters = 0)
-          .orderBy("probe_id", "rn")
-      },
-      Some("""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                               embedding AS cv
-                             FROM embeddings ORDER BY vec_id LIMIT 16),
-                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id AS cand_id, embedding AS cand_vec, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1),
-                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
-                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                    FROM scored WHERE vec_id < 10)
-                              WHERE rn <= 4),
-                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, c.cand_vec
-                            FROM pcells p JOIN cells c ON c.cell = p.cell
-                            WHERE c.cand_id <> p.probe_id),
-                   sims AS (SELECT probe_id, cand_id,
-                              list_sum(list_transform(list_zip(probe_vec, cand_vec),
-                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                 * sqrt(list_sum(list_transform(cand_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-                            FROM cand),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM sims)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
-
-    // Oracle-gated with the portable (md5-derived 60-bit) hash family so
-    // DuckDB can replicate signatures bit-for-bit; the xxhash64 default
-    // (faster, engine-specific) is exercised by DedupSpec. Band-bucketing
-    // in Spark joins on murmur3(band values) while the oracle joins on the
-    // values themselves — identical output unless a 32-bit hash collision
-    // coincides with a ≥-threshold pair (vanishing, and deterministic per
-    // dataset).
-    Q("dd_minhash_neardup",
-      (s, d) => Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleLen = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
-          hashFamily = Dedup.portableFamily,
-          // explicit: the DuckDB oracle is exact all-pairs, so the query
-          // must never silently switch to rep-star just because a fixture
-          // bucket outgrows DefaultMaxBucket; the guard makes a fixture
-          // that grows a degenerate band bucket fail loudly, not go O(n²)
-          maxBucket = Int.MaxValue,
-          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
-        .orderBy("id_a", "id_b"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                   sigs AS (SELECT doc_id, r.i AS i,
-                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
-                            FROM posts CROSS JOIN range(32) r(i) GROUP BY 1, 2),
-                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
-                             FROM sigs GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                            FROM bands a JOIN bands b
-                              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-                             FROM cand c
-                             JOIN posts a ON a.doc_id = c.id_a
-                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
-                             GROUP BY 1, 2)
-              SELECT i.id_a, i.id_b,
-                     CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.id_a
-              JOIN sizes sb ON sb.doc_id = i.id_b
-              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
-              ORDER BY id_a, id_b""")),
-
-    // Minhash estimator audit: per LSH candidate, the signature-agreement
-    // Jaccard estimate next to the exact value it estimates — the table
-    // that calibrates a 100 TB verify-vs-trust threshold. No threshold
-    // filter: a candidate pair sharing band VALUES but zero shingles
-    // still appears (jaccard 0, LEFT JOIN in the oracle).
-    Q("dd_minhash_estimate",
-      (s, d) => Dedup.minhashEstimatePairs(T(s, d, "documents"), "doc_id", "text",
-          shingleLen = 3, numHashes = 32, bands = 8,
-          hashFamily = Dedup.portableFamily,
-          maxBucket = Int.MaxValue,
-          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
-        .orderBy("id_a", "id_b"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                   sigs AS (SELECT doc_id, r.i AS i,
-                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
-                            FROM posts CROSS JOIN range(32) r(i) GROUP BY 1, 2),
-                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
-                             FROM sigs GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                            FROM bands a JOIN bands b
-                              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-                   agr AS (SELECT c.id_a, c.id_b,
-                             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-                           FROM cand c
-                           JOIN sigs sa ON sa.doc_id = c.id_a
-                           JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-                           GROUP BY 1, 2),
-                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-                             FROM cand c
-                             JOIN posts a ON a.doc_id = c.id_a
-                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
-                             GROUP BY 1, 2)
-              SELECT a.id_a, a.id_b, a.n_agree,
-                     CAST(a.n_agree AS DOUBLE) / 32 AS est_jaccard,
-                     CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
-              FROM agr a
-              LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
-              JOIN sizes sa ON sa.doc_id = a.id_a
-              JOIN sizes sb ON sb.doc_id = a.id_b
-              ORDER BY a.id_a, a.id_b""")),
-
-    // Pairwise split-contamination matrix: distinct shared shingles
-    // between every pair of hash-bucket splits (the same bucketing
-    // ta_split ships) — the train/val/test leakage audit.
-    Q("dd_overlap_matrix",
-      (s, d) => Dedup.splitOverlapMatrix(T(s, d, "documents"), "doc_id", "text",
-          buckets = 3, shingleLen = 3)
-        .orderBy("split_a", "split_b"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   tagged AS (SELECT DISTINCT
-                                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 3 AS split,
-                                unnest(s) AS sg
-                              FROM sh),
-                   totals AS (SELECT split, count(*) AS n FROM tagged GROUP BY split),
-                   shared AS (SELECT a.split AS split_a, b.split AS split_b, count(*) AS shared_shingles
-                              FROM tagged a JOIN tagged b
-                                ON a.sg = b.sg AND a.split < b.split
-                              GROUP BY 1, 2)
-              SELECT s.split_a, s.split_b, s.shared_shingles, ta.n AS n_a, tb.n AS n_b,
-                     CAST(s.shared_shingles AS DOUBLE) / least(ta.n, tb.n) AS containment
-              FROM shared s
-              JOIN totals ta ON ta.split = s.split_a
-              JOIN totals tb ON tb.split = s.split_b
-              ORDER BY split_a, split_b""")),
-
-    // Incremental near-dup: a 10%-of-corpus "arriving batch"
-    // (doc_id ≡ 7 mod 10 — a MODULO split so the batch stays the small
-    // side at every scale factor; a fixed id threshold inverted the
-    // sides at sf0.1 and broadcast the big one) probes the signature
-    // index of the already-ingested 90% — band-key collision candidates,
-    // signature-agreement verify; the corpus-sized tables are scanned
-    // once and never shuffled (both probe joins broadcast the batch
-    // side). Portable hash family so DuckDB replicates signatures, band
-    // keys and the agreement count bit-for-bit.
-    Q("dd_incremental_neardup",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val corpusSig = Dedup.minhashSignature(docs.filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text", shingleLen = 3, numHashes = 16,
-          hashFamily = Dedup.portableFamily)
-        Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 7), corpusSig,
-            "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
-            minAgree = 0.5, hashFamily = Dedup.portableFamily)
-          .orderBy("batch_id", "corpus_id")
-      },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sigs AS (SELECT doc_id, r.i AS i,
-                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
-                            FROM posts CROSS JOIN range(16) r(i) GROUP BY 1, 2),
-                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
-                             FROM sigs GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-                            FROM bands b JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
-                            WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
-                   agree AS (SELECT cd.batch_id, cd.corpus_id,
-                               CAST(sum(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-                             FROM cand cd
-                             JOIN sigs sb ON sb.doc_id = cd.batch_id
-                             JOIN sigs sc ON sc.doc_id = cd.corpus_id AND sc.i = sb.i
-                             GROUP BY 1, 2)
-              SELECT batch_id, corpus_id, n_agree,
-                     CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
-              FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5::DOUBLE
-              ORDER BY batch_id, corpus_id""")),
-
-    Q("dd_simhash_neardup",
-      (s, d) => Dedup.simhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          maxHamming = 6, tokenHash = Dedup.portableHash60(_), bits = 60,
-          maxBucket = Int.MaxValue, // exact all-pairs, matching the oracle
-          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
-        .orderBy("id_a", "id_b"),
-      // full simhash pipeline: token hash → per-bit ±1 sums → sign bits →
-      // maxHamming+1 = 7 disjoint chunk keys (pigeonhole — recall is
-      // EXACT for hamming ≤ 6) → verify hamming ≤ 6. Chunk layout
-      // mirrors Dedup.simhashChunkLayout(60, 6): four 9-bit chunks at
-      // offsets 0/9/18/27, three 8-bit chunks at 36/44/52.
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
-                   h AS (SELECT doc_id, ('0x' || substr(md5(tok), 18, 15))::BIGINT AS h FROM toks),
-                   bits AS (SELECT doc_id, r.i AS i,
-                              sum(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-                            FROM h CROSS JOIN range(60) r(i) GROUP BY 1, 2),
-                   sig AS (SELECT doc_id,
-                             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS sh
-                           FROM bits GROUP BY 1),
-                   chunks(c, off, mask) AS (VALUES (0, 0, 511), (1, 9, 511), (2, 18, 511), (3, 27, 511),
-                                                   (4, 36, 255), (5, 44, 255), (6, 52, 255)),
-                   banded AS (SELECT doc_id, sh, c.c AS c, (sh >> c.off) & c.mask AS ckey
-                              FROM sig CROSS JOIN chunks c),
-                   pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-                             FROM banded a JOIN banded b
-                               ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
-              SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
-              ORDER BY id_a, id_b""")),
-
-    Q("nem_split_roundtrip",
-      (s, _) => graft.sources.NemFixture.splitRoundtrip(s).orderBy("table"),
-      None),
-
-    Q("nem_compact_roundtrip",
-      (s, _) => graft.sources.NemFixture.compactRoundtrip(s).orderBy("table", "partition"),
-      None),
-
-    // Compression study (S10/S11; reference README.md:14-27 chose
-    // brotli-5 — that codec jar isn't bundled with Spark, so the engine
-    // standardizes on zstd; this reports the actual trade-off on real data
-    // the way the reference's study did. Rows-only (sizes are
-    // environment-dependent).
-    Q("nem_compression_study",
-      (s, d) => {
-        import s.implicits._
-        // bounded deterministic sample: the codec RATIO is the result,
-        // writing the full table per codec is just benchmark tax (r3 paid
-        // 26 s for five serial 60 k-row writes). 10 k rows preserve the
-        // ratio; the sample is persisted so each write scans the cache,
-        // and the five writes run CONCURRENTLY — the zstd level rides the
-        // per-write options (newHadoopConfWithOptions copies them into
-        // that job's Hadoop conf), so there is no shared-conf race.
-        // Levels mirror the reference's study (zstd 1/10/15 vs its
-        // brotli-5 production pick, README.md:18-27; the brotli codec jar
-        // is not bundled with Spark — see BASELINE.md).
-        val li = T(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber").limit(10000)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        li.count()
-        val out = java.nio.file.Files.createTempDirectory("graft_codec")
-        val variants = IndexedSeq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
-        val sizes = graft.Par.mapBounded(variants, 5) { case (codec, lvl) =>
-          val label = if (lvl > 0) s"${codec}_l$lvl" else codec
-          val w = li.coalesce(1).write.option("compression", codec)
-          (if (lvl > 0) w.option("parquet.compression.codec.zstd.level", lvl.toString) else w)
-            .parquet(s"$out/$label")
-          val bytes = new java.io.File(s"$out/$label").listFiles()
-            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-          Some((label, bytes))
-        }
-        li.unpersist()
-        sizes.toDF("codec", "bytes").orderBy("codec")
-      },
-      None),
-
-    // FPP settlement tail (calcs.md steps 5-11) with inputs derived
-    // deterministically from the events table so DuckDB can oracle-check
-    // the whole chain: residual sums → DCF fallback → weighted charges.
-    Q("nem_settlement",
-      (s, d) => {
-        val ev = T(s, d, "events")
-        val perfSplit = ev.select(date_trunc("hour", col("ts")).as("ts"),
-          col("value").as("raise_perf"), (-col("value") / lit(2.0)).as("lower_perf"))
-        val hours = ev.select(col("event_type").as("constraintid"),
-          date_trunc("hour", col("ts")).as("ts")).distinct()
-        val cf = hours.withColumn("contribution_factor", lit(0.5))
-        val defCf = hours.withColumn("default_contribution_factor", lit(0.8))
-        val resDcf = hours.filter(col("constraintid") === "click")
-          .withColumn("residual_dcf", lit(0.6))
-        val perfRates = hours.withColumn("fpp_payment_rate", lit(10.0))
-          .withColumn("fpp_recovery_rate", lit(20.0))
-        val resRates = hours.withColumn("fpp", lit(1.0))
-          .withColumn("used_fcas", lit(2.0)).withColumn("unused_fcas", lit(3.0))
-        val (charges, _) = graft.pipeline.Crunch.settlement(
-          perfSplit, cf, defCf, resDcf, perfRates, resRates)
-        charges.select(col("constraintid"), col("ts"),
-            round(col("used_dcf"), 6).as("used_dcf"),
-            round(col("interval_charge"), 4).as("interval_charge"))
-          .orderBy("constraintid", "ts")
-      },
-      Some("""WITH ev AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type, value
-                          FROM events),
-                   rs AS (SELECT h AS ts, sum(value) AS raise_residual_perf,
-                                 sum(-value / 2.0::DOUBLE) AS lower_residual_perf
-                          FROM ev GROUP BY 1),
-                   hours AS (SELECT DISTINCT event_type AS constraintid, h AS ts FROM ev),
-                   wd AS (SELECT hours.constraintid, hours.ts,
-                                 rs.raise_residual_perf, rs.lower_residual_perf,
-                                 CASE WHEN hours.constraintid = 'click' THEN 0.6::DOUBLE
-                                      ELSE 0.8::DOUBLE END AS used_dcf
-                          FROM hours LEFT JOIN rs ON hours.ts = rs.ts)
-              SELECT constraintid, ts, round(used_dcf, 6) AS used_dcf,
-                     round(raise_residual_perf * used_dcf * 10.0::DOUBLE
-                           + lower_residual_perf * used_dcf * 20.0::DOUBLE, 4) AS interval_charge
-              FROM wd ORDER BY constraintid, ts""")),
-
-    // Full crunch pipeline (steps 1-4) over a deterministic in-memory
-    // fixture; the oracle-checked per-step analogs are w01_ewma,
-    // a07_keepfirst_dedup, j05_asof_interp, w06_spine_densify.
-    Q("nem_crunch_pipeline",
-      (s, _) => {
-        import s.implicits._
-        def t(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
-        val freq = Seq(
-          (t("2025-06-07T00:00:00Z"), "NSW1", 0.10, 0.0, 1.0),
-          (t("2025-06-07T00:00:04Z"), "NSW1", -0.05, 0.0, 1.0),
-          (t("2025-06-07T00:00:08Z"), "NSW1", 0.02, 0.0, 1.0))
-          .toDF("MEASUREMENT_DATETIME", "REGIONID", "FREQ_DEVIATION_HZ",
-            "FREQ_MEASURE_HZ", "HZ_QUALITY_FLAG")
-        val preds = Seq(
-          ("D1", t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), "AWEFS_ASEFS", 10.0),
-          ("D1", t("2025-06-07T00:05:00Z"), t("2025-06-07T00:00:00Z"), t("2025-06-07T00:00:00Z"), "AWEFS_ASEFS", 20.0))
-          .toDF("DUID", "INTERVAL_DATETIME", "RUN_DATETIME", "OFFERDATETIME", "ORIGIN", "FORECAST_POE50")
-        val scada = Seq(
-          (t("2025-06-07T00:00:00Z"), "D1", 12.0),
-          (t("2025-06-07T00:00:04Z"), "D1", 9.5),
-          (t("2025-06-07T00:00:08Z"), "D1", 10.1))
-          .toDF("MEASUREMENT_DATETIME", "FPP_UNITID", "MEASURED_MW")
-        val fm = graft.pipeline.Crunch.frequencyMeasure(freq)
-        val traj = graft.pipeline.Crunch.hypotheticalTrajectory(s, preds, "2025-06-07")
-        val dev = graft.pipeline.Crunch.hypotheticalDeviations(traj, scada)
-        graft.pipeline.Crunch.performance(dev, fm)
-          // raw doubles, NOT round(,6): per-row arithmetic is bitwise
-          // identical across engines, while DuckDB's round() on doubles is
-          // approximate near half-ulp (the Registry header rule) — r3's
-          // rounds were the one red oracle row in CORRECTNESS_r03
-          .select(col("ts"), col("duid"), col("deviation"),
-            col("p_lower"), col("p_raise"))
-          .orderBy("ts", "duid")
-      },
-      // same fixture as VALUES literals; EWMA recurrence (state 0.0,
-      // e = (1-α)state + αv, α = 2/9) via recursive CTE, 5-min-bucket
-      // interpolation evaluated at the scada timestamps (the inner join
-      // on ts makes the rest of the 4 s spine unobservable), performance
-      // split replicated with the same op order
-      Some("""WITH RECURSIVE freq(ts, region, dev) AS (VALUES
-                     (TIMESTAMP '2025-06-07 00:00:00', 'NSW1', 0.10::DOUBLE),
-                     (TIMESTAMP '2025-06-07 00:00:04', 'NSW1', -0.05::DOUBLE),
-                     (TIMESTAMP '2025-06-07 00:00:08', 'NSW1', 0.02::DOUBLE)),
-                   fc(iv, poe50) AS (VALUES
-                     (TIMESTAMP '2025-06-07 00:00:00', 10.0::DOUBLE),
-                     (TIMESTAMP '2025-06-07 00:05:00', 20.0::DOUBLE)),
-                   scada(ts, duid, mw) AS (VALUES
-                     (TIMESTAMP '2025-06-07 00:00:00', 'D1', 12.0::DOUBLE),
-                     (TIMESTAMP '2025-06-07 00:00:04', 'D1', 9.5::DOUBLE),
-                     (TIMESTAMP '2025-06-07 00:00:08', 'D1', 10.1::DOUBLE)),
-                   b AS (SELECT ts, region, -dev AS v,
-                           row_number() OVER (PARTITION BY region ORDER BY ts) AS rn
-                         FROM freq),
-                   r(region, ts, rn, fm) AS (
-                     SELECT region, ts, rn,
-                            (1.0::DOUBLE - (2.0::DOUBLE / 9.0::DOUBLE)) * 0.0::DOUBLE
-                              + (2.0::DOUBLE / 9.0::DOUBLE) * v
-                     FROM b WHERE rn = 1
-                     UNION ALL
-                     SELECT b.region, b.ts, b.rn,
-                            (1.0::DOUBLE - (2.0::DOUBLE / 9.0::DOUBLE)) * r.fm
-                              + (2.0::DOUBLE / 9.0::DOUBLE) * b.v
-                     FROM r JOIN b ON b.region = r.region AND b.rn = r.rn + 1),
-                   t5 AS (SELECT ts, duid, mw,
-                            ts - to_milliseconds(epoch_ms(ts) % 300000) AS ts5,
-                            CAST(epoch_ms(ts) % 300000 AS DOUBLE) / 300000.0::DOUBLE AS frac
-                          FROM scada),
-                   traj AS (SELECT t5.ts, t5.duid, t5.mw,
-                              coalesce(p.poe50, 0.0::DOUBLE) AS p0,
-                              coalesce(n.poe50, p.poe50, 0.0::DOUBLE) AS n0, t5.frac
-                            FROM t5
-                            LEFT JOIN fc p ON p.iv = t5.ts5
-                            LEFT JOIN fc n ON n.iv = t5.ts5 + INTERVAL 5 MINUTE),
-                   dev AS (SELECT ts, duid, mw - (p0 + (n0 - p0) * frac) AS deviation
-                           FROM traj),
-                   perf AS (SELECT d.ts, d.duid, d.deviation, r.fm
-                            FROM dev d LEFT JOIN r ON r.ts = d.ts AND r.region = 'NSW1')
-              SELECT ts, duid, deviation,
-                     (CASE WHEN fm < 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_lower,
-                     (CASE WHEN fm > 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_raise
-              FROM perf ORDER BY ts, duid""")),
-
-    Q("dd_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleLen = 3, minJaccard = 0.5)
-        .orderBy("id_a", "id_b"),
-      // the full inverted-index pipeline (normalize → 3-gram shingles →
-      // stop-shingle pruning → shared≥3 prefilter → exact jaccard) is
-      // SQL-expressible, so this dedup variant is oracle-gated
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
-                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
-                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
-                            GROUP BY 1, 2 HAVING count(*) >= 3),
-                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-                             FROM cand c
-                             JOIN posts a ON a.doc_id = c.id_a
-                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
-                             GROUP BY 1, 2)
-              SELECT i.id_a, i.id_b,
-                     CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.id_a
-              JOIN sizes sb ON sb.doc_id = i.id_b
-              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE
-              ORDER BY id_a, id_b""")),
-
-    // PII scrubbing: email/URL redaction with audit counts (RE2-safe
-    // patterns — identical semantics on both engines)
-    Q("ta_scrub_pii",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"),
-          graft.operators.TextAnalysis.emailCount(col("text")).as("n_emails"),
-          graft.operators.TextAnalysis.urlCount(col("text")).as("n_urls"),
-          md5(graft.operators.TextAnalysis.scrubPii(col("text")).cast("binary")).as("scrubbed_digest"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-                     len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-                     len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
-                     md5(regexp_replace(
-                           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-                           'https?://[^ \t\n\r]+', '[URL]', 'g')) AS scrubbed_digest
-              FROM documents ORDER BY doc_id""")),
-
-    // Gopher-style repetition filter: fraction of the text covered by the
-    // most frequent 2-gram — exact integer counts, bitwise-identical
-    // per-row division on both engines
-    Q("ta_repetition",
-      (s, d) => graft.operators.TextAnalysis.repetitionProfile(
-          T(s, d, "documents"), "doc_id", "text", n = 2)
-        .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   g AS (SELECT doc_id,
-                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
-                         FROM w),
-                   cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-                   agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-                             CAST(max(c) AS BIGINT) AS top_gram_count
-                           FROM cnt GROUP BY 1)
-              SELECT doc_id AS id, n_grams, top_gram_count,
-                     CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac
-              FROM agg ORDER BY id""")),
-
-    // sequence packing: deterministic (shard, pack, offset) per doc from
-    // exact integer token sums — concatenate-and-chunk without global sort
-    Q("ta_pack",
-      (s, d) => graft.operators.TextAnalysis.packAssignments(
-          T(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 4)
-        .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id,
-                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
-                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS h
-                   FROM documents)
-              SELECT doc_id, n_tokens, shard, offset_tokens,
-                     CAST(offset_tokens // 512 AS BIGINT) AS pack_id
-              FROM (SELECT doc_id, n_tokens, h % 4 AS shard,
-                      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
-                    FROM t)
-              ORDER BY doc_id""")),
-
-    // deterministic hash split: stable train/val/test sharding from the
-    // id alone (portable hash → replicated in the oracle)
-    Q("ta_split",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), Dedup.hashBucket(col("doc_id"), 10).as("bucket"))
-        // null ids hash to a null bucket → explicit null split (a silent
-        // route into 'test' would leak unidentified rows next to eval)
-        .withColumn("split",
-          when(col("bucket").isNull, lit(null))
-            .when(col("bucket") < 8, "train").when(col("bucket") === 8, "val")
-            .otherwise("test"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, b AS bucket,
-                     CASE WHEN b IS NULL THEN NULL
-                          WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-              FROM (SELECT doc_id,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
-                    FROM documents)
-              ORDER BY doc_id""")),
-
-    // Corpus mixing: sample each language at its own deterministic rate
-    // to hit a target mixture (upsample-by-keeping-more of en/zh here).
-    // Pure per-row hash-threshold predicate — no RNG, no shuffle, scan
-    // speed at 100 TB — and salted so it never correlates with ta_split.
-    Q("ta_stratified_sample",
-      (s, d) => {
-        val rate = when(col("lang") === "en", lit(0.5))
-          .when(col("lang") === "zh", lit(0.35))
-          .otherwise(lit(0.2))
-        T(s, d, "documents")
-          .filter(graft.operators.TextAnalysis.sampleKeep(col("doc_id"), rate))
-          .select(col("doc_id"), col("lang"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id, lang
-              FROM (SELECT doc_id, lang,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
-                        % 1000000 AS h,
-                      CASE WHEN lang = 'en' THEN 0.5::DOUBLE
-                           WHEN lang = 'zh' THEN 0.35::DOUBLE
-                           ELSE 0.2::DOUBLE END AS rate
-                    FROM documents)
-              WHERE h < rate * 1000000
-              ORDER BY doc_id""")),
-
-    // Exact-count stratified sample: exactly 30 docs per language by
-    // salted-hash order — the fixed-size eval-set builder (vs the
-    // rate-based ta_stratified_sample)
-    Q("ta_exact_sample",
-      (s, d) => graft.operators.TextAnalysis.sampleExact(
-          T(s, d, "documents"), "doc_id", "lang", n = 30)
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id, lang FROM (
-                SELECT doc_id, lang,
-                       row_number() OVER (PARTITION BY lang
-                         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#exact'), 18, 15))::BIGINT,
-                                  doc_id) AS rn
-                FROM documents WHERE doc_id IS NOT NULL)
-              WHERE rn <= 30 ORDER BY doc_id""")),
-
-    // Temperature-flattened corpus mix at T=2: weights are floor(√n·10⁶)
-    // integer micro-weights (IEEE sqrt is correctly rounded → engine-
-    // exact; the normalizing sum and the per-stratum target are pure
-    // integer arithmetic), selection by salted-hash order
-    // Epoch-repetition mixing: per-source repeat factors ("2.5 epochs of
-    // src0"), integer part replicated outright, fractional part a
-    // deterministic salted-hash share — scan-speed expressions + a
-    // bounded explode, zero shuffle; factor-0 strata drop out
-    Q("ta_epoch_mix",
-      (s, d) => TextAnalysis.epochMix(
-          T(s, d, "documents"), "doc_id", "source",
-          Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.5, "src3" -> 0.0),
-          defaultEpochs = 1.0)
-        .orderBy("doc_id", "epoch"),
-      Some("""WITH f AS (SELECT doc_id, source AS stratum,
-                           CASE WHEN source = 'src0' THEN 2.5E0
-                                WHEN source = 'src1' THEN 3.0E0
-                                WHEN source = 'src2' THEN 5.0E-1
-                                WHEN source = 'src3' THEN 0.0E0
-                                ELSE 1.0E0 END AS e,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 18, 15))::BIGINT
-                             % 1000000 AS h
-                         FROM documents WHERE doc_id IS NOT NULL),
-                   n AS (SELECT doc_id, stratum,
-                           CAST(floor(e) AS INTEGER)
-                             + CASE WHEN h < (e - floor(e)) * 1000000 THEN 1 ELSE 0 END AS n_epochs
-                         FROM f)
-              SELECT doc_id, stratum, n_epochs, unnest(range(n_epochs)) AS epoch
-              FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""")),
-
-    Q("ta_temperature_mix",
-      (s, d) => TextAnalysis.temperatureMix(
-          T(s, d, "documents"), "doc_id", "source", budget = 120L)
-        .orderBy("id"),
-      Some("""WITH sizes AS (SELECT source AS stratum, count(*) AS n_docs
-                             FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
-                   wq AS (SELECT stratum, n_docs,
-                            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS w_micro
-                          FROM sizes),
-                   tot AS (SELECT sum(w_micro) AS w_total FROM wq),
-                   tgt AS (SELECT stratum, n_docs,
-                            CAST((120 * w_micro) // w_total AS BIGINT) AS target
-                           FROM wq CROSS JOIN tot),
-                   ranked AS (SELECT d.doc_id AS id, d.source AS stratum, t.n_docs, t.target,
-                                row_number() OVER (PARTITION BY d.source
-                                  ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 18, 15))::BIGINT,
-                                           d.doc_id) AS rn
-                              FROM documents d JOIN tgt t ON t.stratum = d.source
-                              WHERE d.doc_id IS NOT NULL)
-              SELECT id, stratum, n_docs, target FROM ranked
-              WHERE rn <= target ORDER BY id""")),
-
-    // Snapshot drift report: rate comparison by exact integer cross-
-    // multiplication (a·tb − b·ta) — no rate division, no float sum;
-    // the report is bit-exact in any engine
-    Q("ta_vocab_drift",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.vocabularyDrift(
-            docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
-            "doc_id", "text", k = 20)
-          .orderBy("rnk")
-      },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
-                   ca AS (SELECT w, count(*) AS n_a FROM wd
-                          WHERE doc_id < 250 AND w <> '' GROUP BY 1),
-                   cb AS (SELECT w, count(*) AS n_b FROM wd
-                          WHERE doc_id >= 250 AND w <> '' GROUP BY 1),
-                   j AS (SELECT coalesce(ca.w, cb.w) AS w,
-                           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
-                           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-                         FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
-                   tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS total_a,
-                                  CAST(sum(n_b) AS BIGINT) AS total_b FROM j),
-                   x AS (SELECT w, n_a, n_b,
-                           n_a * total_b - n_b * total_a AS cross_diff,
-                           abs(n_a * total_b - n_b * total_a) AS drift
-                         FROM j CROSS JOIN tot),
-                   ranked AS (SELECT w AS token, n_a, n_b, cross_diff, drift,
-                                row_number() OVER (ORDER BY drift DESC, w) AS rnk
-                              FROM x)
-              SELECT token, n_a, n_b, cross_diff, drift, rnk
-              FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
-
-    // Long-document chunking: 32-token windows advancing by 24 (8-token
-    // overlap); chunk counts and boundaries are pure integer arithmetic,
-    // chunk text is exact token-slice reassembly — no shuffle anywhere
-    // (per-row expressions only)
-    Q("ta_chunk_docs",
-      (s, d) => TextAnalysis.chunkDocuments(
-          T(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
-        .orderBy("id", "chunk_id"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents
-                         WHERE text IS NOT NULL AND length(trim(text)) > 0),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w,
-                                len(string_split(t, ' ')) AS n FROM d),
-                   nc AS (SELECT doc_id, w, n,
-                            (greatest(n - 32, 0) + 23) // 24 + 1 AS n_chunks FROM w),
-                   ch AS (SELECT doc_id, n, n_chunks,
-                            unnest(range(n_chunks)) AS chunk_id, w FROM nc)
-              SELECT doc_id AS id, chunk_id, n_chunks,
-                     least(32, n - chunk_id * 24) AS chunk_tokens,
-                     array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
-              FROM ch ORDER BY id, chunk_id""")),
-
-    // Per-doc keyword extraction: top-3 terms by exact-integer tf-idf
-    // ordering (raw-ratio idf — IEEE mul/div, no libm log; see
-    // TextAnalysis.tfidfKeywords). maxDfFrac 0.9: the synthetic corpus
-    // is template text over a ~30-word vocabulary with df ≈ 0.6–0.9·n,
-    // so the operator-default 0.5 stopword prune would blank most docs
-    Q("ta_tfidf_keywords",
-      (s, d) => TextAnalysis.tfidfKeywords(
-          T(s, d, "documents"), "doc_id", "text", k = 3, maxDfFrac = 0.9)
-        .orderBy("id", "rn"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
-                   tf AS (SELECT doc_id, w, count(*) AS tf FROM wd WHERE w <> '' GROUP BY 1, 2),
-                   dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-                   nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-                   scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
-                                CAST(tf.tf AS DOUBLE) * nd.n_docs / dfq.df AS score
-                              FROM tf JOIN dfq USING (w) CROSS JOIN nd
-                              WHERE CAST(dfq.df AS DOUBLE) <= nd.n_docs * 0.9::DOUBLE),
-                   ranked AS (SELECT doc_id AS id, w AS term, tf, df, score,
-                                row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY score DESC, w) AS rn
-                              FROM scored)
-              SELECT id, term, tf, df, score, rn FROM ranked
-              WHERE rn <= 3 ORDER BY id, rn""")),
-
-    // Domain-level reference profile. The corpus text carries no URLs, so
-    // the query plants deterministic ones derived from (source, doc_id) —
-    // replicated verbatim in the oracle — and profiles those: the regex
-    // extraction, host reduction and per-domain aggregate are what's
-    // under test
-    Q("ta_domain_profile",
-      (s, d) => {
-        // the %7/%11 plants are pathless sentence-final URLs — the shape
-        // whose host keeps trailing punctuation without the operator's
-        // trim ("(https://press…)" → "press.example.org)"), so the oracle
-        // row would fragment if the trim ever regressed
-        val planted = T(s, d, "documents").withColumn("text_u",
-          concat_ws(" ", col("text"),
-            concat(lit("http://"), col("source"), lit(".example.org/p/"), col("doc_id")),
-            when(col("doc_id") % 10 === 0,
-              concat(lit("https://cdn.example.org/a/"), col("doc_id"))),
-            when(col("doc_id") % 7 === 3, lit("(https://press.example.org)")),
-            when(col("doc_id") % 11 === 5, lit("read https://news.example.org.")),
-            // port / userinfo plants: both must normalize to the SAME
-            // bare domain ("mirror.example.org") or the profile fragments
-            when(col("doc_id") % 13 === 2,
-              concat(lit("http://mirror.example.org:8080/f/"), col("doc_id"))),
-            when(col("doc_id") % 17 === 4, lit("https://anon@mirror.example.org/pub"))))
-        TextAnalysis.domainProfile(planted, "doc_id", "text_u")
-          .orderBy(col("n_refs").desc, col("domain"))
-      },
-      Some("""WITH p AS (SELECT doc_id,
-                           concat_ws(' ', text,
-                             'http://' || source || '.example.org/p/' || doc_id,
-                             CASE WHEN doc_id % 10 = 0
-                                  THEN 'https://cdn.example.org/a/' || doc_id END,
-                             CASE WHEN doc_id % 7 = 3
-                                  THEN '(https://press.example.org)' END,
-                             CASE WHEN doc_id % 11 = 5
-                                  THEN 'read https://news.example.org.' END,
-                             CASE WHEN doc_id % 13 = 2
-                                  THEN 'http://mirror.example.org:8080/f/' || doc_id END,
-                             CASE WHEN doc_id % 17 = 4
-                                  THEN 'https://anon@mirror.example.org/pub' END) AS text_u
-                         FROM documents),
-                   u AS (SELECT doc_id,
-                           unnest(regexp_extract_all(text_u, 'https?://[^ \t\n\r]+')) AS url
-                         FROM p),
-                   h AS (SELECT doc_id,
-                           regexp_replace(regexp_replace(
-                             regexp_replace(
-                               lower(regexp_extract(url, 'https?://([^/ \t\n\r]+)', 1)),
-                               '[.,;:)\]]+$', ''),
-                             '^[^@]*@', ''), ':[0-9]+$', '') AS domain
-                         FROM u)
-              SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
-              FROM h GROUP BY 1 ORDER BY n_refs DESC, domain""")),
-
-    // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
-    // length gate → exact dedup → stratified sample → token budget →
-    // deterministic shuffle → sequence packing, all one oracle-checked
-    // chain. Every CTE below replicates the SQL already proven for the
-    // individual operators (dd_exact_groups, ta_stratified_sample,
-    // ta_token_budget, ta_corpus_shuffle, ta_pack).
-    Q("ta_corpus_pipeline",
-      (s, d) => graft.pipeline.CorpusAssembly.assemble(
-          T(s, d, "documents"), "doc_id", "text",
-          minTokens = 5,
-          langRate = when(col("lang") === "en", lit(0.8))
-            .when(col("lang") === "zh", lit(0.6)).otherwise(lit(0.5)),
-          tokenBudget = 3000L, shuffleShards = 8,
-          packBudget = 512, packShards = 4)
-        .orderBy("doc_id"),
-      Some("""WITH t0 AS (SELECT doc_id, text, lang, source, n_chars,
-                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-                    FROM documents),
-                   t1 AS (SELECT * FROM t0 WHERE n_tokens >= 5),
-                   t2 AS (SELECT * FROM (
-                      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                      FROM t1) WHERE rn = 1),
-                   t3 AS (SELECT * FROM t2
-                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
-                            % 1000000
-                          < (CASE WHEN lang = 'en' THEN 0.8::DOUBLE
-                                  WHEN lang = 'zh' THEN 0.6::DOUBLE
-                                  ELSE 0.5::DOUBLE END) * 1000000),
-                   t4 AS (SELECT * FROM (
-                      SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-                          PARTITION BY source
-                          ORDER BY -n_chars ASC NULLS FIRST, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
-                      FROM t3) WHERE cum_tokens < 3000),
-                   sh AS (SELECT doc_id, lang, source, n_tokens,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS sh_h,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS pk_h
-                    FROM t4),
-                   t5 AS (SELECT *, row_number() OVER (ORDER BY sh_h % 8, sh_h, doc_id) - 1 AS shuffle_pos
-                    FROM sh),
-                   t6 AS (SELECT doc_id, lang, source, n_tokens, shuffle_pos,
-                      pk_h % 4 AS pack_shard,
-                      CAST(coalesce(sum(n_tokens) OVER (
-                          PARTITION BY pk_h % 4 ORDER BY pk_h, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
-                    FROM t5)
-              SELECT doc_id, lang, source, n_tokens, shuffle_pos, pack_shard,
-                     offset_tokens, CAST(offset_tokens // 512 AS BIGINT) AS pack_id
-              FROM t6 ORDER BY doc_id""")),
-
-    // Data selection under a token budget: per source, take docs in
-    // priority order (longest first here) until the budget fills — the
-    // corpus-selection step between filtering and packing. Exact integer
-    // running sums, so fully oracle-checkable.
-    Q("ta_token_budget",
-      (s, d) => graft.operators.TextAnalysis.tokenBudgetSelect(
-          T(s, d, "documents"), "doc_id", "text", "source",
-          tokenBudget = 2000L, priority = -col("n_chars"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("cum_tokens"), col("selected"))
-        .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, source, n_chars,
-                      CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
-                    FROM documents),
-                   c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-                      CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
-                        PARTITION BY source
-                        ORDER BY -n_chars ASC NULLS FIRST, doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
-                    FROM t)
-              SELECT doc_id, source, n_tokens, cum_tokens,
-                     cum_tokens < 2000 AS selected
-              FROM c ORDER BY doc_id""")),
-
-    // Deterministic global shuffle: every doc gets a unique position in a
-    // stable pseudo-random training order. The Spark side composes
-    // per-shard windows + a broadcast prefix-sum of shard counts (no
-    // single-partition global sort); the oracle states the equivalent
-    // global ordering directly.
-    Q("ta_corpus_shuffle",
-      (s, d) => graft.operators.TextAnalysis.shufflePositions(
-          T(s, d, "documents").select("doc_id"), "doc_id", shards = 8)
-        .select(col("doc_id"), col("shard"), col("shuffle_pos"))
-        .orderBy("doc_id"),
-      Some("""WITH b AS (SELECT doc_id,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS h
-                    FROM documents)
-              SELECT doc_id, h % 8 AS shard,
-                     row_number() OVER (ORDER BY h % 8, h, doc_id) - 1 AS shuffle_pos
-              FROM b ORDER BY doc_id""")),
-
-    // benchmark decontamination: flag training docs sharing >= 3 rare
-    // shingles with any doc of the (stand-in) eval set doc_id < 5
-    Q("dd_decontaminate",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        Dedup.contaminationFlags(docs, docs.filter(col("doc_id") < 5), "doc_id", "text",
-            shingleLen = 3, maxDocFreq = 50, minShared = 3)
-          .orderBy("id")
-      },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
-                   evs AS (SELECT DISTINCT sg FROM posts WHERE doc_id < 5),
-                   shared AS (SELECT p.doc_id AS id, count(*) AS n_shared
-                              FROM posts p
-                              JOIN rare ON p.sg = rare.sg
-                              JOIN evs ON p.sg = evs.sg
-                              GROUP BY 1)
-              SELECT d.doc_id AS id, coalesce(s.n_shared, 0) AS n_shared,
-                     coalesce(s.n_shared, 0) >= 3 AS contaminated
-              FROM d LEFT JOIN shared s ON s.id = d.doc_id
-              ORDER BY id""")),
-
-    // Same contamination semantics, 100 TB plan shape: Bloom-prefiltered
-    // scan + broadcast verify, document frequency computed over candidate
-    // postings only (exact — the Bloom never drops an eval-shingle
-    // posting, see Dedup.bloomDecontaminate). The oracle computes df the
-    // straightforward corpus-wide way; equality of the two formulations
-    // is the point of the check.
-    Q("dd_bloom_decontaminate",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") < 8), "doc_id", "text",
-            shingleLen = 3, maxDocFreq = 50, minShared = 2)
-          .orderBy("id")
-      },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
-                   evs AS (SELECT DISTINCT sg FROM posts WHERE doc_id < 8),
-                   shared AS (SELECT p.doc_id AS id, count(*) AS n_shared
-                              FROM posts p
-                              JOIN rare ON p.sg = rare.sg
-                              JOIN evs ON p.sg = evs.sg
-                              GROUP BY 1)
-              SELECT d.doc_id AS id, coalesce(s.n_shared, 0) AS n_shared,
-                     coalesce(s.n_shared, 0) >= 2 AS contaminated
-              FROM d LEFT JOIN shared s ON s.id = d.doc_id
-              ORDER BY id""")),
-
-    // pairs → duplicate GROUPS: min-label connected components over the
-    // verified ngram-jaccard pairs; the oracle computes the same
-    // components via recursive-CTE reachability on the replicated pairs
-    Q("dd_dup_groups",
-      (s, d) => Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-            shingleLen = 3, minJaccard = 0.5))
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-        .orderBy("doc_id"),
-      Some("""WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
-                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
-                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
-                            GROUP BY 1, 2 HAVING count(*) >= 3),
-                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-                             FROM cand c
-                             JOIN posts a ON a.doc_id = c.id_a
-                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
-                             GROUP BY 1, 2),
-                   pairsq AS (SELECT i.id_a, i.id_b
-                              FROM inter i
-                              JOIN sizes sa ON sa.doc_id = i.id_a
-                              JOIN sizes sb ON sb.doc_id = i.id_b
-                              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE),
-                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
-                             UNION SELECT id_b, id_a FROM pairsq),
-                   reach(src, dst) AS (
-                     SELECT src, dst FROM edges
-                     UNION
-                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-              SELECT src AS doc_id, least(src, min(dst)) AS component
-              FROM reach GROUP BY src ORDER BY doc_id""")),
-
-    // Canonical-representative selection: WHICH duplicate to keep — per
-    // dup component, the member with the highest quality score wins
-    // (ties → lowest id); losers keep their rank as the audit trail.
-    // Composes dd_dup_groups' component labeling with ta_quality's
-    // proven-green score; one shuffle on component for the ranking window
-    Q("dd_canonical_rep",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val comps = Dedup.connectedComponents(
-            Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-              shingleLen = 3, minJaccard = 0.5))
-          .select(col("id").as("doc_id"), col("comp").as("component"))
-        val scored = docs.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
-        Dedup.canonicalReps(comps, scored).orderBy("component", "doc_id")
-      },
-      Some("""WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-                   rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 50),
-                   pp AS (SELECT p.doc_id, p.sg FROM posts p JOIN rare USING (sg)),
-                   cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                            FROM pp a JOIN pp b ON a.sg = b.sg AND a.doc_id < b.doc_id
-                            GROUP BY 1, 2 HAVING count(*) >= 3),
-                   inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-                             FROM cand c
-                             JOIN posts a ON a.doc_id = c.id_a
-                             JOIN posts b ON b.doc_id = c.id_b AND a.sg = b.sg
-                             GROUP BY 1, 2),
-                   pairsq AS (SELECT i.id_a, i.id_b
-                              FROM inter i
-                              JOIN sizes sa ON sa.doc_id = i.id_a
-                              JOIN sizes sb ON sb.doc_id = i.id_b
-                              WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5::DOUBLE),
-                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
-                             UNION SELECT id_b, id_a FROM pairsq),
-                   reach(src, dst) AS (
-                     SELECT src, dst FROM edges
-                     UNION
-                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-                   comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-                            FROM reach GROUP BY src),
-                   qual AS (SELECT doc_id,
-                round((
-                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
-                  + (1.0::DOUBLE - least(
-                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
-                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
-                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
-                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-                ) / 3.0::DOUBLE, 6) AS quality
-                           FROM documents),
-                   r AS (SELECT c.component, c.doc_id, q.quality,
-                           row_number() OVER (PARTITION BY c.component
-                                              ORDER BY q.quality DESC, c.doc_id) AS rn
-                         FROM comp c JOIN qual q USING (doc_id))
-              SELECT component, doc_id, quality, rn, rn = 1 AS canonical
-              FROM r ORDER BY component, doc_id""")),
-
-    Q("dd_embed_neardup",
-      // synthetic embeddings top out at pairwise cosine ≈0.51; 0.4 keeps
-      // the candidate-verify path non-trivially exercised
-      (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
-          dim = 64, minCosine = 0.4,
-          // explicit: bkey has only 2^bandBits values per band here, so at
-          // any real scale buckets WOULD exceed DefaultMaxBucket — the
-          // oracle is exact all-pairs and must stay pinned to it. The
-          // guard trips when the fixture outgrows exact all-pairs
-          // (expected around sf≈1 at 4 band bits — the fix then is more
-          // planes/bits, not a bigger cap)
-          maxBucket = Int.MaxValue,
-          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
-        .orderBy("id_a", "id_b"),
-      // the fixed-seed hyperplanes are driver-side literals, so the oracle
-      // embeds the same 16×64 constants and replicates sign-bit banding +
-      // exact-cosine verification end-to-end
-      Some(s"""WITH planes(pi, pv) AS (VALUES $planeLiterals),
-                   bits AS (SELECT v.vec_id, p.pi,
-                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
-                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
-                                   THEN 1 ELSE 0 END AS bit
-                            FROM embeddings v CROSS JOIN planes p),
-                   bands AS (SELECT vec_id, pi // 4 AS band, string_agg(bit, ',' ORDER BY pi) AS bkey
-                             FROM bits GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                            FROM bands a JOIN bands b
-                              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-                   cos AS (SELECT c.id_a, c.id_b,
-                             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
-                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                             / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
-                           FROM cand c
-                           JOIN embeddings va ON va.vec_id = c.id_a
-                           JOIN embeddings vb ON vb.vec_id = c.id_b)
-              SELECT id_a, id_b, cosine
-              FROM cos WHERE cosine >= 0.4::DOUBLE
-              ORDER BY id_a, id_b""")),
-
-    // SemDeDup: cluster-then-dedup in embedding space — the pre-trained
-    // coarse quantizer bounds candidate pairs to within-cell equi-joins,
-    // exact cosine verifies, connected groups keep their min-id rep.
-    // Both quantizer and threshold are literals, so cell assignment,
-    // pair verification, and the component labels all oracle-check.
-    Q("dd_semantic",
-      (s, d) => Dedup.semanticDedup(T(s, d, "embeddings"), "vec_id", "embedding",
-          graft.operators.IvfQuantizer.centroids, minCosine = 0.4,
-          // oracle is exact all-pairs-within-cell: pin it, guard loudly
-          // (cells at the sf0.1 fixture hold ~125 vecs; the guard trips
-          // when a cell outgrows exact pairing — the fix is more cells)
-          maxBucket = Int.MaxValue,
-          bucketGuard = Some(Dedup.ExactPairsBucketGuard))
-        .orderBy("id"),
-      Some(s"""WITH RECURSIVE cents(cell, cv) AS (VALUES $centroidLiterals),
-                   scored AS (SELECT v.vec_id, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1),
-                   cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                            FROM cells a JOIN cells b
-                              ON a.cell = b.cell AND a.vec_id < b.vec_id),
-                   pairsq AS (SELECT c.id_a, c.id_b
-                              FROM cand c
-                              JOIN embeddings va ON va.vec_id = c.id_a
-                              JOIN embeddings vb ON vb.vec_id = c.id_b
-                              WHERE list_sum(list_transform(list_zip(va.embedding, vb.embedding),
-                                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                    / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                       * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-                                    >= 0.4::DOUBLE),
-                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
-                             UNION SELECT id_b, id_a FROM pairsq),
-                   reach(src, dst) AS (
-                     SELECT src, dst FROM edges
-                     UNION
-                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-                   comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
-                            FROM reach GROUP BY src)
-              SELECT c.vec_id AS id, c.cell,
-                     coalesce(p.component, c.vec_id) AS component,
-                     coalesce(p.component, c.vec_id) = c.vec_id AS keep
-              FROM cells c LEFT JOIN comp p USING (vec_id)
-              ORDER BY id""")),
-
-    // Incremental ingest-cycle dedup: new batch (doc_id % 10 = 0) vs the
-    // accumulated corpus (the rest). The plan never shuffles the corpus —
-    // batch fingerprints broadcast into the corpus scan, the hit-set
-    // broadcasts back as an anti-join (see Dedup.incrementalDedup).
-    Q("dd_incremental",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        Dedup.incrementalDedup(
-            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "text")
-          .select(col("doc_id"), col("fp"))
-          .orderBy("doc_id")
-      },
-      // NOT EXISTS, not NOT IN: a null corpus fingerprint must not wipe
-      // the result, and null-fp batch rows survive in both engines
-      Some("""WITH fps AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-                           FROM documents),
-                   batch AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
-                   corpus AS (SELECT fp FROM fps WHERE doc_id % 10 <> 0)
-              SELECT b.doc_id, b.fp FROM batch b
-              WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
-              ORDER BY doc_id""")),
-
-    // Corpus length-distribution audit: per-language doc counts and exact
-    // DISCRETE token-length quantiles — rank arithmetic is pure integer
-    // (ceil(p·n) = (num·n+den−1) div den), so the picked values hash-match
-    Q("ta_length_profile",
-      (s, d) => graft.operators.TextAnalysis.lengthProfile(
-          T(s, d, "documents"), "text", "lang")
-        .orderBy(col("stratum").asc_nulls_first),
-      Some("""WITH t AS (SELECT lang AS stratum,
-                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-                    FROM documents),
-                   r AS (SELECT stratum, n_tokens,
-                      row_number() OVER (PARTITION BY stratum ORDER BY n_tokens ASC NULLS FIRST) AS rn,
-                      count(*) OVER (PARTITION BY stratum) AS n
-                    FROM t)
-              SELECT stratum, count(*) AS n_docs,
-                     min(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
-                     min(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
-                     min(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tokens END) AS p99_tokens
-              FROM r GROUP BY stratum ORDER BY stratum NULLS FIRST""")),
-
-    // Per-doc n-gram novelty: sum/mean of corpus-wide shingle document
-    // frequency — "repeats the corpus" (boilerplate), the complement of
-    // ta_repetition's "repeats itself". Exact integer counts; the mean is
-    // one int/int division (bitwise-identical, Registry header rule).
-    Q("ta_novelty",
-      (s, d) => graft.operators.TextAnalysis.noveltyProfile(
-          T(s, d, "documents"), "doc_id", "text", n = 3)
-        .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   dfreq AS (SELECT sg, count(*) AS df_s FROM posts GROUP BY sg)
-              SELECT p.doc_id AS id, count(*) AS n_shingles,
-                     CAST(sum(f.df_s) AS BIGINT) AS df_sum,
-                     CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
-              FROM posts p JOIN dfreq f ON p.sg = f.sg
-              GROUP BY 1 ORDER BY id""")),
-
-    // The per-doc QUALITY REPORT CARD — third flagship composition next
-    // to nem_crunch_pipeline and ta_corpus_pipeline: one wide feature
-    // table (tokens, quality, language, PII counts, within-doc repetition,
-    // cross-corpus novelty) plus the keep/drop decision a filtering
-    // pipeline materializes before corpus assembly. Every column reuses an
-    // individually-proven operator; null-text docs keep their row with
-    // null features (keep = null, three-valued AND on both engines).
-    Q("ta_quality_report",
-      (s, d) => TextAnalysis.qualityReport(T(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
-      Some("""WITH base AS (SELECT doc_id,
-                      CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-                      round((
-                        least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
-                        + (1.0::DOUBLE - least(
-                            (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-                                  ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                                       / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
-                        + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
-                             ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                                  / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-                                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
-                             BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-                      ) / 3.0::DOUBLE, 6) AS quality,
-                      CASE
-                        WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
-                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
-                        WHEN es >= fr AND es > 0 THEN 'es'
-                        WHEN fr > 0 THEN 'fr'
-                        ELSE 'unk' END AS lang_guess,
-                      len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-                      len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls
-                    FROM (SELECT doc_id, text,
-                            (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END
-                             + CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
-                            (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END
-                             + CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
-                            (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END
-                             + CASE WHEN t LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
-                            (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END
-                             + CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
-                          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents) raw) scored),
-                   nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w2 AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
-                   g2 AS (SELECT doc_id,
-                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
-                         FROM w2),
-                   cnt2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-                   rep AS (SELECT doc_id,
-                             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
-                           FROM cnt2 GROUP BY 1),
-                   sh3 AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w2),
-                   posts3 AS (SELECT doc_id, unnest(s) AS sg FROM sh3),
-                   dfq3 AS (SELECT sg, count(*) AS df_s FROM posts3 GROUP BY sg),
-                   nov AS (SELECT p.doc_id, CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
-                           FROM posts3 p JOIN dfq3 f ON p.sg = f.sg GROUP BY 1)
-              SELECT b.doc_id, b.n_tokens, b.quality, b.lang_guess, b.n_emails, b.n_urls,
-                     rep.top_gram_frac, nov.mean_df,
-                     (b.n_tokens >= 5 AND b.quality >= 0.5::DOUBLE
-                      AND rep.top_gram_frac <= 0.5::DOUBLE AND b.n_emails = 0) AS keep
-              FROM base b
-              LEFT JOIN rep ON rep.doc_id = b.doc_id
-              LEFT JOIN nov ON nov.doc_id = b.doc_id
-              ORDER BY b.doc_id""")),
-
-    // Sub-document span dedup: repeated 20-word blocks keep only their
-    // first (doc, position) occurrence; docs reassemble from survivors —
-    // exact string semantics end-to-end, no hashing
-    Q("dd_span_dedup",
-      (s, d) => Dedup.spanDedup(T(s, d, "documents"), "doc_id", "text", blockWords = 20)
-        .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-                   b0 AS (SELECT doc_id,
-                            [{'blk': i - 1,
-                              'btext': array_to_string(ws[(i-1)*20+1 : (i-1)*20+20], ' ')}
-                             for i in range(1, (len(ws) + 19) // 20 + 1)] AS bs
-                          FROM w),
-                   bl AS (SELECT doc_id, unnest(bs, recursive := true) FROM b0),
-                   flag AS (SELECT doc_id, blk, btext,
-                              row_number() OVER (PARTITION BY btext ORDER BY doc_id, blk) AS rn
-                            FROM bl)
-              SELECT doc_id AS id, count(*) AS n_blocks,
-                     CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                     coalesce(string_agg(CASE WHEN rn = 1 THEN btext END, ' ' ORDER BY blk), '') AS clean_text
-              FROM flag GROUP BY doc_id ORDER BY id""")),
-
-    // Suffix-window exact substring dedup: stride-1 windows catch a
-    // duplicated passage at ANY word offset (dd_span_dedup's fixed
-    // 20-word blocks only catch block-aligned repeats). Both engines key
-    // windows by md5 of the window text — equality structure, not the
-    // rendered digests, is what the result depends on.
-    Q("dd_substring_dedup",
-      (s, d) => Dedup.substringDedup(T(s, d, "documents"), "doc_id", "text",
-          windowWords = 12)
-        .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-                   tok AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
-                                                  for i in range(1, len(ws) + 1)], recursive := true)
-                           FROM w),
-                   win AS (SELECT doc_id, unnest([{'wpos': i - 1,
-                                                   'wkey': md5(array_to_string(ws[i:i+11], ' '))}
-                                                  for i in range(1, len(ws) - 12 + 2)], recursive := true)
-                           FROM w),
-                   flag AS (SELECT doc_id, wpos,
-                              row_number() OVER (PARTITION BY wkey ORDER BY doc_id, wpos) AS rn
-                            FROM win),
-                   cov AS (SELECT DISTINCT doc_id, wpos + j AS cp
-                           FROM flag, range(0, 12) r(j)
-                           WHERE rn > 1),
-                   kept AS (SELECT t.doc_id, t.pos, t.w, c.cp
-                            FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos)
-              SELECT doc_id AS id, count(*) AS n_tokens,
-                     CAST(sum(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                     coalesce(string_agg(CASE WHEN cp IS NULL THEN w END, ' ' ORDER BY pos), '') AS clean_text
-              FROM kept GROUP BY doc_id ORDER BY id""")),
-
-    // Incremental substring dedup: a 10%-of-corpus arriving batch
-    // (modulo split — stays the small side at every SF) probes the
-    // window-fingerprint index of the already-ingested 90%; any
-    // >=12-word passage already indexed strips from the batch. Batch
-    // keys broadcast into the index scan — the index is never shuffled.
-    Q("dd_incremental_substring",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val idx = Dedup.windowFingerprints(
-          docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", windowWords = 12)
-        Dedup.incrementalSubstringDedup(
-            docs.filter(col("doc_id") % 10 === 7), idx, "doc_id", "text",
-            windowWords = 12)
-          .orderBy("id")
-      },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-                   win AS (SELECT doc_id, unnest([{'wpos': i - 1,
-                                                   'wkey': md5(array_to_string(ws[i:i+11], ' '))}
-                                                  for i in range(1, len(ws) - 12 + 2)], recursive := true)
-                           FROM w),
-                   idx AS (SELECT DISTINCT wkey FROM win WHERE doc_id % 10 <> 7),
-                   tok AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
-                                                  for i in range(1, len(ws) + 1)], recursive := true)
-                           FROM w WHERE doc_id % 10 = 7),
-                   cov AS (SELECT DISTINCT b.doc_id, b.wpos + j AS cp
-                           FROM win b, range(0, 12) r(j)
-                           WHERE b.doc_id % 10 = 7
-                             AND b.wkey IN (SELECT wkey FROM idx)),
-                   kept AS (SELECT t.doc_id, t.pos, t.w, c.cp
-                            FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos)
-              SELECT doc_id AS id, count(*) AS n_tokens,
-                     CAST(sum(CASE WHEN cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                     coalesce(string_agg(CASE WHEN cp IS NULL THEN w END, ' ' ORDER BY pos), '') AS clean_text
-              FROM kept GROUP BY doc_id ORDER BY id""")),
-
-    // Vocabulary induction: top-50 tokens by document frequency — the
-    // seed list for tokenizer training / stopword + maxDocFreq pruning
-    Q("ta_vocab",
-      (s, d) => graft.operators.TextAnalysis.vocabulary(
-          T(s, d, "documents"), "doc_id", "text", k = 50)
-        .orderBy("rnk"),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   tk AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
-                   dfq AS (SELECT tok, count(*) AS doc_freq FROM tk GROUP BY tok),
-                   ranked AS (SELECT tok, doc_freq,
-                                row_number() OVER (ORDER BY doc_freq DESC, tok) AS rnk
-                              FROM dfq)
-              SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
-
-    // HyperLogLog cardinality sketch over corpus shingles: 256 one-byte
-    // registers replace the corpus-wide DISTINCT shuffle. Registers,
-    // zero-count, and the integer harmonic denominator are exact; the
-    // raw estimate is a single literal-arithmetic chain mirrored
-    // verbatim (no small/large-range correction — that needs ln, which
-    // is libm-dependent; v_zero ships so a caller can apply it).
-    Q("ta_hll_distinct",
-      (s, d) => {
-        val sh = graft.operators.TextAnalysis.shingleStream(
-          T(s, d, "documents"), "text", 3)
-        val regs = graft.operators.TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
-        val est = regs.agg(
-          count(lit(1)).as("m"),
-          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
-          .withColumn("est_raw", expr(
-            "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
-        val exact = sh.agg(countDistinct(col("sg")).as("n_exact"))
-        est.join(exact)
-          .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
-                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
-                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
-                          FROM w),
-                   keys AS (SELECT unnest(s) AS sg FROM sh),
-                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
-                          FROM keys WHERE sg IS NOT NULL),
-                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
-                   regs0 AS (SELECT bucket,
-                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
-                             FROM br GROUP BY bucket),
-                   regs AS (SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
-                            FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range),
-                   agg AS (SELECT count(*) AS m,
-                                  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-                                  CAST(sum(1::BIGINT << CAST(54 - rho AS INTEGER)) AS BIGINT) AS denom
-                           FROM regs),
-                   ex AS (SELECT count(DISTINCT sg) AS n_exact FROM keys WHERE sg IS NOT NULL)
-              SELECT m, v_zero, denom,
-                     0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE) AS est_raw,
-                     n_exact
-              FROM agg CROSS JOIN ex""")),
-
-    // Power-of-two token-length histogram: the mergeable distribution
-    // sketch (≤64 integer buckets, map-side-collapsing, shards merge by
-    // adding counts) next to the exact-quantile lengthProfile.
-    Q("ta_token_histogram",
-      (s, d) => graft.operators.TextAnalysis.tokenHistogram(
-        T(s, d, "documents"), "text").orderBy("bucket"),
-      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-                         FROM documents WHERE text IS NOT NULL),
-                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
-                                count(*) AS cnt
-                         FROM n GROUP BY 1),
-                   h AS (SELECT bucket,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
-                           cnt,
-                           sum(cnt) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                         FROM b)
-              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
-              FROM h ORDER BY bucket""")),
-
-    // Count-min heavy hitters: a 4×64-cell mergeable frequency sketch
-    // point-estimates the top-20 tokens; estimates are provably ≥ exact
-    // (overcount column). Sketch cells, estimates, and exact counts are
-    // all integer → hash-exact.
-    Q("ta_heavy_hitters",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val sketch = graft.operators.TextAnalysis.countMinSketch(docs, "text",
-          depth = 4, width = 64)
-        val toks = docs.select(explode(split(
-            graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
-          .filter(length(col("tok")) > 0)
-        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-        graft.operators.TextAnalysis.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
-          .join(top, Seq("tok"))
-          .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
-            (col("cm_est") - col("exact_cnt")).as("overcount"))
-          .orderBy(col("exact_cnt").desc, col("token"))
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
-                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
-                   cells AS (SELECT r.range AS rw,
-                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                             FROM tk CROSS JOIN range(0, 4) r),
-                   sketch AS (SELECT rw, cl, count(*) AS cnt FROM cells GROUP BY rw, cl),
-                   exact AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok),
-                   top AS (SELECT tok, exact_cnt
-                           FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rn FROM exact)
-                           WHERE rn <= 20),
-                   kcells AS (SELECT t.tok, r.range AS rw,
-                                ('0x' || substr(md5(t.tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                              FROM top t CROSS JOIN range(0, 4) r),
-                   est AS (SELECT k.tok, min(coalesce(s.cnt, 0)) AS cm_est
-                           FROM kcells k LEFT JOIN sketch s ON s.rw = k.rw AND s.cl = k.cl
-                           GROUP BY k.tok)
-              SELECT t.tok AS token, t.exact_cnt, e.cm_est, e.cm_est - t.exact_cnt AS overcount
-              FROM top t JOIN est e USING (tok)
-              ORDER BY exact_cnt DESC, token""")),
-
-    // Sketch MERGEABILITY proven cross-engine: Spark sketches three
-    // doc_id%3 shards separately and merges by ADDING cells
-    // (TextAnalysis.cmMerge); the oracle sketches the whole corpus in one
-    // pass. Hash-equality IS the lossless-merge property that lets
-    // per-shard sketches roll up at 100 TB without touching row data
-    Q("ta_cm_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.cmMerge((0 until 3).map(k =>
-          TextAnalysis.countMinSketch(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
-            depth = 4, width = 64)))
-          .orderBy("row", "col")
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
-                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
-                   cells AS (SELECT r.range AS rw,
-                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                             FROM tk CROSS JOIN range(0, 4) r)
-              SELECT rw AS "row", cl AS "col", count(*) AS cnt
-              FROM cells GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Histogram shard-merge (the trio's third leg): bucket counts ADD,
-    // the cumulative column is re-derived over the merged ≤64-row result
-    // — Spark merges three doc_id%3 shard histograms, the oracle
-    // histograms the whole corpus directly
-    Q("ta_hist_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.histogramMerge((0 until 3).map(k =>
-          TextAnalysis.tokenHistogram(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text")))
-          .orderBy("bucket")
-      },
-      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-                         FROM documents WHERE text IS NOT NULL),
-                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
-                                count(*) AS cnt
-                         FROM n GROUP BY 1),
-                   h AS (SELECT bucket,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
-                           cnt,
-                           sum(cnt) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                         FROM b)
-              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
-              FROM h ORDER BY bucket""")),
-
-    // HLL registers merge by per-bucket MAX (associative + idempotent):
-    // Spark merges three shard register tables; the oracle computes
-    // whole-corpus registers directly — max-merge is exactly lossless
-    Q("ta_hll_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.hllMerge((0 until 3).map { k =>
-          val sh = TextAnalysis.shingleStream(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text", 3)
-          TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
-        }).orderBy("bucket")
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
-                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
-                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
-                          FROM w),
-                   keys AS (SELECT unnest(s) AS sg FROM sh),
-                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
-                          FROM keys WHERE sg IS NOT NULL),
-                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
-                   regs0 AS (SELECT bucket,
-                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
-                             FROM br GROUP BY bucket)
-              SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
-              FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range
-              ORDER BY bucket""")),
-
-    // PMI collocations: top-20 bigrams by lift (the monotone exponential
-    // of PMI — log is libm-dependent, the ratio is one IEEE division, so
-    // both the ranking and the score hash-match).
-    Q("ta_pmi_bigrams",
-      (s, d) => graft.operators.TextAnalysis.pmiBigrams(
-        T(s, d, "documents"), "doc_id", "text", topK = 20, minCount = 5L),
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-                   posts AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
-                                                    for i in range(1, len(ws) + 1)], recursive := true)
-                             FROM w),
-                   bi AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM posts),
-                   bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
-                   uni AS (SELECT w, count(*) AS c FROM posts GROUP BY w),
-                   n1 AS (SELECT count(*) AS n_uni FROM posts),
-                   n2 AS (SELECT count(*) AS n_bi FROM bi2),
-                   bg AS (SELECT w1, w2, count(*) AS c_xy FROM bi2 GROUP BY w1, w2 HAVING count(*) >= 5),
-                   sc AS (SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
-                            CAST(b.c_xy AS DOUBLE) * n1.n_uni * n1.n_uni
-                              / (CAST(n2.n_bi AS DOUBLE) * ux.c * uy.c) AS lift
-                          FROM bg b
-                          JOIN uni ux ON ux.w = b.w1
-                          JOIN uni uy ON uy.w = b.w2
-                          CROSS JOIN n1 CROSS JOIN n2)
-              SELECT w1, w2, c_xy, c_x, c_y, lift
-              FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20""")),
-
-    // BPE tokenizer training: k merge iterations, each DERIVED by the
-    // oracle itself (pair-count → argmax → gaps-and-islands greedy
-    // merge, one unrolled CTE block per iteration) — nothing about the
-    // learned merges is smuggled in as a literal. Counts are integer,
-    // tie-breaks lexicographic, so the merge sequence is engine-exact.
-    Q("ta_bpe_train",
-      (s, d) => graft.operators.TextAnalysis.bpeTrain(
-        T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
-      Some(bpeOracle(8))),
-
-    // BPE encoding with the pre-trained merge table (constants, the
-    // production artifact shape): every merge stage rides ONE Exchange
-    // as stacked windows; word boundaries partition merges apart.
-    Q("ta_bpe_encode",
-      (s, d) => graft.operators.TextAnalysis.bpeEncode(
-        T(s, d, "documents"), "doc_id", "text",
-        graft.operators.BpeMerges.merges).orderBy("id"),
-      Some(bpeEncodeOracle(graft.operators.BpeMerges.merges))),
-
-    // Model-based quality filtering: a FROZEN linear classifier (the
-    // CCNet/DataComp stage that replaces hand heuristics) scored at scan
-    // speed — literal weights, per-row features, zero shuffle. Output is
-    // the logit (sigmoid is libm, not engine-exact); keep = logit > 0 is
-    // the same decision boundary
-    Q("ta_quality_logit",
-      (s, d) => TextAnalysis.qualityLogit(T(s, d, "documents"), "doc_id", "text")
-        .orderBy("id"),
-      Some(qualityLogitOracle)),
-
-    // Filter-ensembling audit: the 2×2 agreement matrix between the
-    // heuristic gate (quality >= 0.5) and the model gate (logit > 0) —
-    // the calibration table a filter migration reads before swapping.
-    // One scan, both predicates as expressions (qualityLogitExpr), a
-    // 4-key aggregate; the oracle joins its two proven formulations
-    Q("ta_filter_agreement",
-      (s, d) => T(s, d, "documents")
-        .select(
-          (TextAnalysis.qualityScore(col("text")) >= 0.5).as("heuristic_keep"),
-          (TextAnalysis.qualityLogitExpr(col("text")) > 0).as("model_keep"))
-        .groupBy("heuristic_keep", "model_keep")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("heuristic_keep", "model_keep"),
-      Some(s"""WITH ql AS ($qualityLogitOracle),
-                    hq AS (SELECT doc_id,
-                round((
-                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
-                  + (1.0::DOUBLE - least(
-                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
-                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0::DOUBLE
-                       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS DOUBLE) END)
-                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-                ) / 3.0::DOUBLE, 6) >= 0.5E0 AS heuristic_keep
-                           FROM documents)
-               SELECT hq.heuristic_keep, ql.keep AS model_keep,
-                      count(*) AS n_docs
-               FROM ql JOIN hq ON ql.id = hq.doc_id
-               GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Dataset card: the one-row corpus summary published alongside a
-    // training set — exact-integer volumes, dup pressure (exact distinct
-    // fingerprints), heuristic-keep count, sorted lang distribution.
-    // Two aggregations off one scan; see TextAnalysis.datasetCard for
-    // the 100 TB notes (swap countDistinct for HLL when estimating is ok)
-    Q("ta_dataset_card",
-      (s, d) => TextAnalysis.datasetCard(
-        T(s, d, "documents"), "doc_id", "text", "lang"),
-      Some("""WITH q AS (SELECT doc_id, text, coalesce(lang, 'unk') AS l,
-                round((
-                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
-                  + (1.0::DOUBLE - least(
-                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
-                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
-                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
-                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
-                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
-                ) / 3.0::DOUBLE, 6) AS qual
-                         FROM documents),
-                   base AS (SELECT count(*) AS n_docs,
-                              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
-                              CAST(sum(CASE WHEN text IS NULL THEN 0
-                                       ELSE (CASE WHEN length(trim(text)) = 0 THEN 0
-                                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END) AS BIGINT) AS n_tokens,
-                              CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
-                              count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct_texts,
-                              CAST(sum(CASE WHEN text IS NOT NULL AND qual >= 0.5E0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
-                            FROM q),
-                   lg AS (SELECT string_agg(lc, ' ' ORDER BY lc) AS langs
-                          FROM (SELECT l || ':' || CAST(count(*) AS VARCHAR) AS lc
-                                FROM q GROUP BY l))
-              SELECT * FROM base CROSS JOIN lg""")),
-
-    // C4-style blocklist gate: whole-token matching (substring matching
-    // is the classic "class"/"ass" false-positive trap) as higher-order
-    // array expressions — the blocklist is a constant inside the
-    // codegen'd expression, zero shuffle, zero joins. Oracle nit: DuckDB's
-    // sort/join chain yields NULL for an empty list where Spark's
-    // array_join yields '' — coalesced in the SQL. (No `--` comments in
-    // oracle SQL: the dump flattens newlines.)
-    Q("ta_blocklist",
-      (s, d) => TextAnalysis.blocklistFilter(
-          T(s, d, "documents"), "doc_id", "text", Seq("slow", "scan", "spill"))
-        .orderBy("id"),
-      Some("""WITH d AS (SELECT doc_id, text IS NULL AS tnull,
-                           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-                         FROM documents),
-                   m AS (SELECT doc_id, tnull,
-                           list_filter(toks, x -> list_contains(['slow', 'scan', 'spill'], x)) AS bad
-                         FROM d)
-              SELECT doc_id AS id,
-                     CASE WHEN tnull THEN NULL ELSE len(bad) END AS n_hits,
-                     CASE WHEN tnull THEN NULL
-                          ELSE coalesce(array_to_string(list_sort(list_distinct(bad)), ' '), '') END AS hit_terms,
-                     CASE WHEN tnull THEN NULL ELSE len(bad) = 0 END AS keep
-              FROM m ORDER BY id""")),
-
-    // Corpus diversity audit: per-cluster membership under the pre-trained
-    // IVF quantizer (same argmin-cosine assignment the oracle replicates
-    // for ann_topk_ivf_trained, aggregated instead of searched)
-    Q("ann_cluster_profile",
-      (s, d) => Similarity.clusterProfile(T(s, d, "embeddings"), "vec_id", "embedding",
-          graft.operators.IvfQuantizer.centroids)
-        .orderBy("cell"),
-      Some(s"""WITH cents(cell, cv) AS (VALUES $centroidLiterals),
-                   scored AS (SELECT v.vec_id, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cv),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1)
-              SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id, max(vec_id) AS max_id
-              FROM cells GROUP BY cell ORDER BY cell""")),
-
-    // Multimodal: binary payload metadata via pure expressions. The
-    // payload is text-bytes + a fake 16-byte header; n_bytes and digest
-    // are oracle-checkable because both engines hash the same utf8 bytes.
-    Q("mm_binary_meta",
-      (s, d) => {
-        val withBin = graft.multimodal.Multimodal.attachBinary(
-          T(s, d, "documents"), "text")
-        graft.multimodal.Multimodal.extractMeta(withBin, "payload")
-          .select(col("doc_id"), col("n_bytes"), col("magic"),
-            md5(col("text").cast("binary")).as("text_digest"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id, octet_length(encode(text)) + 16 AS n_bytes,
-                     'IMG0' AS magic, md5(text) AS text_digest
-              FROM documents ORDER BY doc_id""")),
-
-    // Multimodal decode → frame-sample → feature pipeline (stub codec,
-    // real plumbing: mapPartitions decode, posexplode fan-out). The stub
-    // codec is deterministic 32-bit arithmetic over the 16-byte fake
-    // header (Java Arrays.hashCode fold), so the oracle replicates it
-    // with wrap-around modular math and checks the whole pipeline.
-    Q("mm_decode_frames",
-      (s, d) => {
-        import graft.multimodal.Multimodal._
-        val decoded = decode(
-          extractMeta(attachBinary(T(s, d, "documents"), "text"), "payload"), "payload")
-        featureStub(frameSample(decoded, 3))
-          .groupBy("doc_id")
-          .agg(first(col("width")).as("width"), first(col("height")).as("height"),
-            count(lit(1)).as("n_sampled_frames"), first(size(col("features"))).as("feat_dim"))
-          .orderBy("doc_id")
-      },
-      // header = 'IMG0' + first 12 hex chars of sha256(text); h = Java
-      // Arrays.hashCode over the 17-element [1 seeded] fold with int32
-      // wrap ((x+2^31) floor-mod 2^32 - 2^31); dims/frames from h exactly
-      // as FakeCodec.decode; n_sampled_frames = min(3, frames)
-      Some("""WITH hdr AS (SELECT doc_id, substr(sha256(text), 1, 12) AS hx FROM documents),
-                   bytes AS (SELECT doc_id,
-                               list_transform([73, 77, 71, 48] ||
-                                 list_transform(range(1, 13), i -> ascii(substr(hx, CAST(i AS INTEGER), 1))),
-                                 x -> CAST(x AS BIGINT)) AS bs
-                             FROM hdr),
-                   hv AS (SELECT doc_id,
-                            list_reduce([CAST(1 AS BIGINT)] || bs,
-                              (a, b) -> CAST((((a * 31 + b + 2147483648) % 4294967296 + 4294967296) % 4294967296)
-                                             - 2147483648 AS BIGINT)) AS h
-                          FROM bytes),
-                   dims AS (SELECT doc_id,
-                              64 + abs(h % 1024) AS width,
-                              64 + abs(CAST(trunc(h / 1024.0) AS BIGINT) % 1024) AS height,
-                              1 + abs(h % 8) AS frames
-                            FROM hv)
-              SELECT doc_id, width, height,
-                     least(frames, 3) AS n_sampled_frames, 8 AS feat_dim
-              FROM dims ORDER BY doc_id"""))
-  )
+  type Q = QueryShared.Q
+  val Q = QueryShared.Q
+
+  val relational: Seq[Q] = RelationalQueries.relational
+  val sqlSurface: Seq[Q] = RelationalQueries.sqlSurface
+  val llm: Seq[Q] =
+    DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++ NemQueries.all
 
   val all: Seq[Q] = relational ++ sqlSurface ++ llm
 

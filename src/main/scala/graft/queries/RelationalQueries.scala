@@ -1,0 +1,741 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
+import QueryShared._
+
+/** SURVEY.md §2 relational surface: projections/filters (P), aggregates
+  * (A), joins (J), unions (U), window/sort (W) — plus the dashboard SQL
+  * panel corpus. Entries split from the monolithic Registry verbatim. */
+private[queries] object RelationalQueries {
+
+  val relational: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- P layer
+    Q("p01_select_alias",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("p02_drop_positional",
+      (s, d) => {
+        val p = T(s, d, "part")
+        p.drop(p.columns.take(2).toIndexedSeq: _*)  // positional: first 2 columns
+          .orderBy("p_brand", "p_type", "p_size", "p_retailprice")
+      },
+      Some("""SELECT p_brand, p_type, p_size, p_retailprice
+              FROM part ORDER BY p_brand, p_type, p_size, p_retailprice""")),
+
+    Q("p03_drop_named",
+      (s, d) => T(s, d, "orders").drop("o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("p04_filter_eq",
+      (s, d) => T(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_orderstatus = 'F' ORDER BY o_orderkey""")),
+
+    Q("p05_filter_isin",
+      (s, d) => T(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type", "user_id").orderBy("event_id"),
+      Some("""SELECT event_id, event_type, user_id FROM events
+              WHERE event_type IN ('click','purchase') ORDER BY event_id""")),
+
+    Q("p06_filter_range",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+                                          lit("1996-12-31").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+              WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("p07_arithmetic",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("charge"),
+          (-col("l_quantity")).as("neg_qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax) AS charge,
+                     -l_quantity AS neg_qty
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("p08_when_otherwise",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 25, lit("high"))
+            .when(col("l_quantity") > 10, lit("mid"))
+            .otherwise(lit("low")).as("band"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_quantity > 25 THEN 'high'
+                          WHEN l_quantity > 10 THEN 'mid'
+                          ELSE 'low' END AS band
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("p09_coalesce_fillnull",
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_filled"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_filled
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("p10_cast",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("double").as("n_chars_d"),
+          col("doc_id").cast("string").as("doc_id_s"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars_d,
+                     CAST(doc_id AS VARCHAR) AS doc_id_s
+              FROM documents ORDER BY doc_id""")),
+
+    Q("p11_trim_quotes",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          trim(concat(lit("  "), col("source"), lit(" "))).as("trimmed"),
+          regexp_replace(concat(lit("\""), col("source"), lit("\"")), "^\"|\"$", "").as("unquoted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     trim('  ' || source || ' ') AS trimmed,
+                     regexp_replace('"' || source || '"', '^"|"$', '', 'g') AS unquoted
+              FROM documents ORDER BY doc_id""")),
+
+    Q("p12_str_to_double",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("double").as("k_num"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE) AS k_num
+              FROM events ORDER BY event_id""")),
+
+    Q("p13_ts_parse",
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss").as("ts_str"),
+          to_timestamp(date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss"),
+            "yyyy/MM/dd HH:mm:ss").as("ts_rt"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS ts_str,
+                     strptime(strftime(o_orderdate, '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S') AS ts_rt
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("p14_filename_date",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          to_date(regexp_extract(
+            concat(lit("PUBLIC_DAILY_"), upper(col("source")), lit("_20240607_0000000466731056.zip")),
+            "_([0-9]{8})_", 1), "yyyyMMdd").as("file_date"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(strptime(regexp_extract(
+                       'PUBLIC_DAILY_' || upper(source) || '_20240607_0000000466731056.zip',
+                       '_([0-9]{8})_', 1), '%Y%m%d') AS DATE) AS file_date
+              FROM documents ORDER BY doc_id""")),
+
+    Q("p15_date_trunc",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), date_trunc("hour", col("ts")).as("ts_hour"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour
+              FROM events ORDER BY event_id""")),
+
+    Q("p16_epoch_ms",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("epoch_ms"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
+              FROM events ORDER BY event_id""")),
+
+    Q("p17_time_bucket_5m",
+      (s, d) => T(s, d, "events")
+        .groupBy(bucket5m(col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bucket_shifted", col("bucket") + expr("INTERVAL 5 MINUTES"))
+        .select("bucket", "bucket_shifted", "n")
+        .orderBy("bucket"),
+      Some("""SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bucket,
+                     make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) + INTERVAL 5 MINUTE AS bucket_shifted,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2 ORDER BY bucket""")),
+
+    Q("p18_time_spine",
+      (s, d) => s.range(1).select(explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-02 00:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("spine_ts"))
+        .orderBy("spine_ts"),
+      Some("""SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-02 00:00:00',
+                                            INTERVAL 1 HOUR)) AS spine_ts
+              ORDER BY spine_ts""")),
+
+    // ---------------------------------------------------------- A layer
+    Q("a01_groupby_sum",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          cents(col("l_extendedprice")).as("sum_price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("a02_global_agg",
+      (s, d) => T(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price")),
+      Some("""SELECT count(*) AS n,
+                     round(min(o_totalprice), 2) AS min_price,
+                     round(max(o_totalprice), 2) AS max_price,
+                     round(avg(o_totalprice), 4) AS avg_price
+              FROM orders""")),
+
+    Q("a03_count_ratio",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").agg(count(lit(1)).as("n_f"))
+        val t = o.agg(count(lit(1)).as("n_all"))
+        f.crossJoin(t).select(col("n_f"), col("n_all"),
+          (col("n_f").cast("double") / col("n_all").cast("double")).as("frac"))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
+                     (SELECT count(*) FROM orders) AS n_all,
+                     CAST((SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS DOUBLE)
+                       / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS frac""")),
+
+    Q("a04_sum_time_buckets",
+      (s, d) => T(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(cents(col("value")).as("sum_value_cents"), count(lit(1)).as("n"))
+        .orderBy("h", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2 ORDER BY h, event_type""")),
+
+    Q("a05_pivot_filtered",
+      (s, d) => T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+        .orderBy("day"),
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                     count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                     count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                     count(*) FILTER (WHERE event_type = 'error') AS n_error
+              FROM events GROUP BY 1 ORDER BY day""")),
+
+    Q("a06_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("a07_keepfirst_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                FROM events) t
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    Q("a08_antijoin_dedup",
+      (s, d) => T(s, d, "part")
+        .join(T(s, d, "lineitem").select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+              ORDER BY p_partkey""")),
+
+    // Skew-safe aggregation: two-phase salted count/cent-sum over a
+    // 3-value group key (the shape where one hot key would otherwise pin
+    // a single reducer at corpus scale) — result identical to the direct
+    // GROUP BY, which is exactly what the oracle states
+    Q("a10_salted_agg",
+      (s, d) => graft.operators.Salt.saltedSumCount(
+          T(s, d, "lineitem"), Seq("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long"), factor = 16)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Semi-structured payloads: JSON path extraction from the events
+    // `props` column (beyond the reference's flat model — the metadata
+    // sidecar every telemetry/training-data table carries). Both engines
+    // parse the same JSON text; the int round-trips exactly.
+    Q("p19_json_extract",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id""")),
+
+    // Z-order (Morton) key: exact bit-interleave arithmetic, the sort
+    // key behind the multi-dimensional parquet layout (plans/ZOrder.scala;
+    // pruning effect asserted in ZOrderSpec)
+    Q("p20_zorder_key",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(4096)).as("xb"),
+          pmod(col("l_suppkey"), lit(4096)).as("yb"))
+        .withColumn("zv", graft.plans.ZOrder.zValue2(col("xb"), col("yb"), bits = 12))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some {
+        val chain = (0 until 12).map(i =>
+          s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber, xb, yb, ($chain) AS zv
+            FROM (SELECT l_orderkey, l_linenumber,
+                    l_partkey % 4096 AS xb, l_suppkey % 4096 AS yb
+                  FROM lineitem)
+            ORDER BY l_orderkey, l_linenumber"""
+      }),
+
+    // ---------------------------------------------------------- J layer
+    Q("j01_left_join",
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name FROM orders
+              LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""")),
+
+    Q("j02_inner_composite",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val ps = li.groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("n_ps"))
+        li.join(ps, col("l_partkey") === col("partkey") && col("l_suppkey") === col("suppkey"))
+          .select("l_orderkey", "l_linenumber", "n_ps")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey, count(*) AS n_ps
+                          FROM lineitem GROUP BY 1, 2)
+              SELECT l.l_orderkey, l.l_linenumber, ps.n_ps
+              FROM lineitem l JOIN ps ON l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+              ORDER BY l.l_orderkey, l.l_linenumber""")),
+
+    Q("j03_expr_key_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_in_hour"))
+        ev.join(hourly, date_trunc("hour", col("ts")) === col("h"), "left")
+          .select("event_id", "n_in_hour")
+          .orderBy("event_id")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                                     count(*) AS n_in_hour
+                              FROM events GROUP BY 1)
+              SELECT e.event_id, hourly.n_in_hour
+              FROM events e LEFT JOIN hourly
+                ON date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = hourly.h
+              ORDER BY e.event_id""")),
+
+    Q("j04_cross_join",
+      (s, d) => T(s, d, "region").crossJoin(T(s, d, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+
+    Q("j05_asof_interp",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val hourly = ev.groupBy(col("event_type").as("et"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(avg(col("value")).as("av"))
+        val prevSide = hourly.select(col("et").as("p_et"), col("h").as("p_h"), col("av").as("av_prev"))
+        val nextSide = hourly.select(col("et").as("n_et"), col("h").as("n_h"), col("av").as("av_next"))
+        ev
+          .withColumn("hour", date_trunc("hour", col("ts")))
+          .join(prevSide, col("event_type") === col("p_et") && col("hour") === col("p_h"), "left")
+          .join(nextSide, col("event_type") === col("n_et")
+            && (col("hour") + expr("INTERVAL 1 HOUR")) === col("n_h"), "left")
+          .withColumn("frac",
+            (unix_millis(col("ts")) - unix_millis(col("hour"))).cast("double") / lit(3600000.0))
+          .withColumn("prev_c", coalesce(col("av_prev"), lit(0.0)))
+          .withColumn("next_c", coalesce(col("av_next"), col("av_prev"), lit(0.0)))
+          .select(col("event_id"),
+            round(col("prev_c") + (col("next_c") - col("prev_c")) * col("frac"), 6).as("interp"))
+          .orderBy("event_id")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       avg(value) AS av
+                FROM events GROUP BY 1, 2)
+              SELECT e.event_id,
+                     round(
+                       coalesce(p.av, 0.0::DOUBLE)
+                       + (coalesce(n.av, p.av, 0.0::DOUBLE) - coalesce(p.av, 0.0::DOUBLE))
+                         * (CAST(epoch_ms(CAST(e.ts AS TIMESTAMP))
+                                 - epoch_ms(date_trunc('hour', CAST(e.ts AS TIMESTAMP))) AS DOUBLE)
+                            / 3600000.0::DOUBLE), 6) AS interp
+              FROM events e
+              LEFT JOIN hourly p ON e.event_type = p.et
+                AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) = p.h
+              LEFT JOIN hourly n ON e.event_type = n.et
+                AND date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR = n.h
+              ORDER BY e.event_id""")),
+
+    Q("j05b_asof_native",
+      // the custom LogicalPlan+Strategy+SparkPlan as-of join
+      // (graft.plans.AsOfJoin) vs DuckDB's native ASOF LEFT JOIN
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
+        val hourly = T(s, d, "events")
+          .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+          // exact cent-sum, not round(avg(..)): float-sum order differs
+          // between engines and a 6-decimal round flips at half-ulp
+          // boundaries once the group count grows (seen at sf0.1)
+          .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("av"))
+        graft.plans.AsOfJoin(s, ev, hourly, Seq("event_type"), Seq("et"), "ts", "h")
+          .select(col("event_id"), col("av"))
+          .orderBy("event_id")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type AS et, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS av
+                FROM events GROUP BY 1, 2)
+              SELECT e.event_id, hourly.av
+              FROM events e ASOF LEFT JOIN hourly
+                ON e.event_type = hourly.et AND CAST(e.ts AS TIMESTAMP) >= hourly.h
+              ORDER BY e.event_id""")),
+
+    Q("j06_interval_join",
+      (s, d) => {
+        val spine = s.range(1).select(explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-31 00:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("t"))
+        val sess = T(s, d, "events").groupBy("user_id")
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        spine.join(broadcast(sess), col("t") >= col("st") && col("t") < col("en"), "left")
+          .groupBy("t").agg(count(col("user_id")).as("active"))
+          .orderBy("t")
+      },
+      Some("""WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                           TIMESTAMP '2024-01-31 00:00:00',
+                                                           INTERVAL 1 HOUR)) AS t),
+                   sess AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st,
+                                   max(CAST(ts AS TIMESTAMP)) AS en
+                            FROM events GROUP BY user_id)
+              SELECT t, count(user_id) AS active
+              FROM spine LEFT JOIN sess ON t >= st AND t < en
+              GROUP BY t ORDER BY t""")),
+
+    Q("j07_multiway_chain",
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
+        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"), "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, n_name, r_name
+              FROM orders
+              LEFT JOIN customer ON o_custkey = c_custkey
+              LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+              ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------- U layer
+    Q("u01_union_supertype",
+      (s, d) => {
+        val a = T(s, d, "nation")
+          .select(col("n_nationkey").as("key"), col("n_name").as("label"))
+        val b = T(s, d, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("label"),
+            col("c_acctbal").as("bal"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("key"), col("label"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS label,
+                     CAST(NULL AS DOUBLE) AS bal FROM nation
+              UNION ALL
+              SELECT c_custkey AS key, c_name AS label, c_acctbal AS bal FROM customer
+              ORDER BY key, label""")),
+
+    Q("u02_union_all_tagged",
+      (s, d) => T(s, d, "orders").select(lit("orders").as("src"), col("o_orderkey").as("id"))
+        .union(T(s, d, "lineitem").select(lit("lineitem").as("src"), col("l_orderkey").as("id")))
+        .orderBy("src", "id"),
+      Some("""SELECT 'orders' AS src, o_orderkey AS id FROM orders
+              UNION ALL
+              SELECT 'lineitem' AS src, l_orderkey AS id FROM lineitem
+              ORDER BY src, id""")),
+
+    Q("u03_union_distinct",
+      (s, d) => T(s, d, "lineitem").select(col("l_returnflag").as("flag"))
+        .union(T(s, d, "orders").select(col("o_orderstatus").as("flag")))
+        .distinct()
+        .orderBy("flag"),
+      Some("""SELECT l_returnflag AS flag FROM lineitem
+              UNION
+              SELECT o_orderstatus AS flag FROM orders
+              ORDER BY flag""")),
+
+    // ---------------------------------------------------------- W layer
+    Q("w01_ewma",
+      (s, d) => Ewma.withEwma(T(s, d, "events"), "user_id",
+          Seq("ts", "event_id"), "value", alpha = 0.05, outCol = "ewma")
+        // no rounding: the sequential recurrence is bitwise-identical in
+        // both engines (same op order, same constants); DuckDB's float
+        // round() is approximate near boundaries, exact values are safer
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE b AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              r(user_id, event_id, rn, state, ewma) AS (
+                SELECT user_id, event_id, rn,
+                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
+                       CASE WHEN value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.event_id, b.rn,
+                       CASE WHEN b.value IS NULL THEN r.state
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END,
+                       CASE WHEN b.value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END
+                FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+              SELECT user_id, event_id, ewma
+              FROM r ORDER BY user_id, event_id""")),
+
+    Q("w01b_ewma_catalyst",
+      // same semantics as w01_ewma but via the native Catalyst
+      // AggregateWindowFunction (SQL surface); proven bitwise-identical
+      // to the mapPartitions operator in GraftFunctionsSpec
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "events").createOrReplaceTempView("ewma_events_v")
+        s.sql("""SELECT user_id, event_id,
+                        ewma(value, 0.05) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ewma
+                 FROM ewma_events_v ORDER BY user_id, event_id""")
+      },
+      Some("""WITH RECURSIVE b AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              r(user_id, event_id, rn, state, ewma) AS (
+                SELECT user_id, event_id, rn,
+                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
+                       CASE WHEN value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.event_id, b.rn,
+                       CASE WHEN b.value IS NULL THEN r.state
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END,
+                       CASE WHEN b.value IS NULL THEN NULL
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * r.state + 0.05::DOUBLE * b.value END
+                FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+              SELECT user_id, event_id, ewma
+              FROM r ORDER BY user_id, event_id""")),
+
+    Q("w02_row_number",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Q("w03_sort_multi",
+      (s, d) => T(s, d, "lineitem")
+        .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(100),
+      Some("""SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
+              FROM lineitem
+              ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber
+              LIMIT 100""")),
+
+    Q("w05_topk",
+      (s, d) => T(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    Q("w06_spine_densify",
+      (s, d) => {
+        val spine = s.range(1).select(explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-07 00:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("t"))
+        val types = T(s, d, "events").select(col("event_type").as("et")).distinct()
+        val grid = spine.crossJoin(broadcast(types))
+        val actual = T(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        grid.join(actual, col("t") === col("h") && col("et") === col("event_type"), "left")
+          .select(col("t"), col("et"), coalesce(col("cnt"), lit(0L)).as("n"))
+          .orderBy("t", "et")
+      },
+      Some("""WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                           TIMESTAMP '2024-01-07 00:00:00',
+                                                           INTERVAL 1 HOUR)) AS t),
+                   types AS (SELECT DISTINCT event_type AS et FROM events),
+                   actual AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+                                     count(*) AS cnt
+                              FROM events GROUP BY 1, 2)
+              SELECT spine.t, types.et, coalesce(actual.cnt, 0) AS n
+              FROM spine CROSS JOIN types
+              LEFT JOIN actual ON spine.t = actual.h AND types.et = actual.event_type
+              ORDER BY t, et""")),
+
+    // LOCF gap-fill: carry the last observation forward over planted
+    // holes ('view' rows masked to null on both sides — the sensor-dropout
+    // shape). Values pass through unchanged (no arithmetic), hash-exact.
+    Q("w07_locf_gapfill",
+      (s, d) => graft.operators.TimeSeries.locf(
+          T(s, d, "events").withColumn("value",
+            when(col("event_type") === "view", lit(null)).otherwise(col("value"))),
+          "user_id", "ts", "event_id", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+                    FROM events)
+              SELECT event_id, user_id,
+                     last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              FROM e ORDER BY event_id""")),
+
+    // Gap-based sessionization: new session when >30 min from the
+    // previous event of the user — exact integer µs-gap compare + running
+    // sum of session starts (see TimeSeries.sessionize)
+    Q("w08_sessionize",
+      (s, d) => graft.operators.TimeSeries.sessionize(
+          T(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_n"))
+        .orderBy("user_id", "ts", "event_id"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+                   g AS (SELECT *,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                                THEN 1 ELSE 0 END AS ns
+                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT event_id, user_id, ts,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+              FROM g ORDER BY user_id, ts, event_id""")),
+
+    // Multi-level aggregate (ROLLUP): per (status, priority), per status,
+    // and grand total in one pass — the OLAP subtotal shape; grouping_id
+    // disambiguates rolled-up nulls from genuine null keys
+    Q("a09_rollup",
+      (s, d) => T(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("sum_price_cents"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price_cents")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+                     CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+              FROM orders
+              GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+  )
+
+  /** Interactive SQL surface — the reference's dashboard corpus (§3.3)
+    * run as spark.sql over temp views. */
+  val sqlSurface: Seq[Q] = Seq(
+    Q("sql_timeseries_panel",
+      (s, d) => SqlSurface.timeseriesPanel(s, d),
+      Some("""SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 * 300000000) AS bucket,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+              FROM events
+              WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+              GROUP BY 1 ORDER BY bucket""")),
+
+    Q("sql_pivot_panel",
+      (s, d) => SqlSurface.pivotPanel(s, d),
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                     max(event_id) FILTER (WHERE user_id % 4 = 0) AS lane_0,
+                     max(event_id) FILTER (WHERE user_id % 4 = 1) AS lane_1,
+                     max(event_id) FILTER (WHERE user_id % 4 = 2) AS lane_2,
+                     max(event_id) FILTER (WHERE user_id % 4 = 3) AS lane_3
+              FROM events GROUP BY 1 ORDER BY day""")),
+
+    Q("sql_percent_panel",
+      (s, d) => SqlSurface.percentPanel(s, d),
+      Some("""SELECT (SELECT count(*) FROM events WHERE event_type = 'purchase') AS n_done,
+                     (SELECT count(*) FROM events) AS n_all,
+                     CAST((SELECT count(*) FROM events WHERE event_type = 'purchase') AS DOUBLE)
+                       / CAST((SELECT count(*) FROM events) AS DOUBLE) AS frac""")),
+
+    Q("sql_timeline_panel",
+      (s, d) => SqlSurface.timelinePanel(s, d),
+      Some("""SELECT event_id, user_id, event_type
+              FROM events
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+              LIMIT 5000"""))
+  )
+
+  /** LLM-training-data pipeline operators. */
+  /** The dd_embed_neardup hyperplanes (numPlanes=16, dim=64, seed=42) as
+    * DuckDB VALUES rows — Scala's Double.toString round-trips exactly, so
+    * both engines see identical constants. */
+}

@@ -1,0 +1,1028 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
+import QueryShared._
+
+/** Text-analysis / corpus-pipeline family: tokenization, quality,
+  * langid, PII scrub, sampling and mixes, sketches (CM / HLL /
+  * histogram), BPE train/encode, tf-idf, PMI, packing, chunking.
+  * Entries split from the monolithic Registry verbatim. */
+private[queries] object TextQueries {
+
+  val all: Seq[Q] = Seq(
+
+
+    Q("ta_tokens",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars_m,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents ORDER BY doc_id""")),
+
+
+    Q("ta_tokens_bpe",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+
+    Q("ta_quality",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) AS quality
+              FROM documents ORDER BY doc_id""")),
+
+
+    Q("ta_rolling_fingerprint",
+      // native codegen'd Catalyst expression (RollingHash with doGenCode).
+      // Oracle: DuckDB HUGEINT (128-bit) emulates the wrapping mod-2^64
+      // recurrence exactly — accumulator stays in [0, 2^64) so the
+      // h*1000003+b intermediate (< 2^84) never overflows 128 bits; the
+      // final value converts to Java's signed long by subtracting 2^64
+      // above 2^63. Bytes come from hex(encode(text)) two chars at a
+      // time (UTF-8, same bytes the expression hashes). NULL text guards
+      // to NULL (list_prepend would otherwise turn it into [0] → 0).
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "documents").createOrReplaceTempView("fp_docs_v")
+        s.sql("SELECT doc_id, rolling_hash(text) AS fp FROM fp_docs_v ORDER BY doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+                   h AS (SELECT doc_id,
+                           CASE WHEN hx IS NULL THEN NULL ELSE
+                             list_reduce(
+                               list_prepend(0::HUGEINT,
+                                 [('0x' || substr(hx, 2*i-1, 2))::BIGINT::HUGEINT
+                                  for i in range(1, length(hx)//2 + 1)]),
+                               (acc, x) -> (acc * 1000003::HUGEINT + x)
+                                             % 18446744073709551616::HUGEINT)
+                           END AS hv
+                         FROM b)
+              SELECT doc_id,
+                     CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                               THEN hv - 18446744073709551616::HUGEINT ELSE hv END AS BIGINT) AS fp
+              FROM h ORDER BY doc_id""")),
+
+
+    Q("ta_langid",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+                CASE
+                  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'unk' END AS lang_guess
+              FROM (
+                SELECT doc_id, lang,
+                  (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END
+                   + CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+                  (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END
+                   + CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+                  (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END
+                   + CASE WHEN t LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+                  (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END
+                   + CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
+                FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents) raw) scored
+              ORDER BY doc_id""")),
+
+
+    // PII scrubbing: email/URL redaction with audit counts (RE2-safe
+    // patterns — identical semantics on both engines)
+    Q("ta_scrub_pii",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.emailCount(col("text")).as("n_emails"),
+          graft.operators.TextAnalysis.urlCount(col("text")).as("n_urls"),
+          md5(graft.operators.TextAnalysis.scrubPii(col("text")).cast("binary")).as("scrubbed_digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls,
+                     md5(regexp_replace(
+                           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                           'https?://[^ \t\n\r]+', '[URL]', 'g')) AS scrubbed_digest
+              FROM documents ORDER BY doc_id""")),
+
+
+    // Gopher-style repetition filter: fraction of the text covered by the
+    // most frequent 2-gram — exact integer counts, bitwise-identical
+    // per-row division on both engines
+    Q("ta_repetition",
+      (s, d) => graft.operators.TextAnalysis.repetitionProfile(
+          T(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   g AS (SELECT doc_id,
+                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
+                         FROM w),
+                   cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+                   agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                             CAST(max(c) AS BIGINT) AS top_gram_count
+                           FROM cnt GROUP BY 1)
+              SELECT doc_id AS id, n_grams, top_gram_count,
+                     CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac
+              FROM agg ORDER BY id""")),
+
+
+    // sequence packing: deterministic (shard, pack, offset) per doc from
+    // exact integer token sums — concatenate-and-chunk without global sort
+    Q("ta_pack",
+      (s, d) => graft.operators.TextAnalysis.packAssignments(
+          T(s, d, "documents"), "doc_id", "text", tokenBudget = 512, shards = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS h
+                   FROM documents)
+              SELECT doc_id, n_tokens, shard, offset_tokens,
+                     CAST(offset_tokens // 512 AS BIGINT) AS pack_id
+              FROM (SELECT doc_id, n_tokens, h % 4 AS shard,
+                      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+                    FROM t)
+              ORDER BY doc_id""")),
+
+
+    // deterministic hash split: stable train/val/test sharding from the
+    // id alone (portable hash → replicated in the oracle)
+    Q("ta_split",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), Dedup.hashBucket(col("doc_id"), 10).as("bucket"))
+        // null ids hash to a null bucket → explicit null split (a silent
+        // route into 'test' would leak unidentified rows next to eval)
+        .withColumn("split",
+          when(col("bucket").isNull, lit(null))
+            .when(col("bucket") < 8, "train").when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, b AS bucket,
+                     CASE WHEN b IS NULL THEN NULL
+                          WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+
+    // Corpus mixing: sample each language at its own deterministic rate
+    // to hit a target mixture (upsample-by-keeping-more of en/zh here).
+    // Pure per-row hash-threshold predicate — no RNG, no shuffle, scan
+    // speed at 100 TB — and salted so it never correlates with ta_split.
+    Q("ta_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", lit(0.5))
+          .when(col("lang") === "zh", lit(0.35))
+          .otherwise(lit(0.2))
+        T(s, d, "documents")
+          .filter(graft.operators.TextAnalysis.sampleKeep(col("doc_id"), rate))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang
+              FROM (SELECT doc_id, lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
+                        % 1000000 AS h,
+                      CASE WHEN lang = 'en' THEN 0.5::DOUBLE
+                           WHEN lang = 'zh' THEN 0.35::DOUBLE
+                           ELSE 0.2::DOUBLE END AS rate
+                    FROM documents)
+              WHERE h < rate * 1000000
+              ORDER BY doc_id""")),
+
+
+    // Exact-count stratified sample: exactly 30 docs per language by
+    // salted-hash order — the fixed-size eval-set builder (vs the
+    // rate-based ta_stratified_sample)
+    Q("ta_exact_sample",
+      (s, d) => graft.operators.TextAnalysis.sampleExact(
+          T(s, d, "documents"), "doc_id", "lang", n = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#exact'), 18, 15))::BIGINT,
+                                  doc_id) AS rn
+                FROM documents WHERE doc_id IS NOT NULL)
+              WHERE rn <= 30 ORDER BY doc_id""")),
+
+
+    // Temperature-flattened corpus mix at T=2: weights are floor(√n·10⁶)
+    // integer micro-weights (IEEE sqrt is correctly rounded → engine-
+    // exact; the normalizing sum and the per-stratum target are pure
+    // integer arithmetic), selection by salted-hash order
+    // Epoch-repetition mixing: per-source repeat factors ("2.5 epochs of
+    // src0"), integer part replicated outright, fractional part a
+    // deterministic salted-hash share — scan-speed expressions + a
+    // bounded explode, zero shuffle; factor-0 strata drop out
+    Q("ta_epoch_mix",
+      (s, d) => TextAnalysis.epochMix(
+          T(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.5, "src3" -> 0.0),
+          defaultEpochs = 1.0)
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH f AS (SELECT doc_id, source AS stratum,
+                           CASE WHEN source = 'src0' THEN 2.5E0
+                                WHEN source = 'src1' THEN 3.0E0
+                                WHEN source = 'src2' THEN 5.0E-1
+                                WHEN source = 'src3' THEN 0.0E0
+                                ELSE 1.0E0 END AS e,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 18, 15))::BIGINT
+                             % 1000000 AS h
+                         FROM documents WHERE doc_id IS NOT NULL),
+                   n AS (SELECT doc_id, stratum,
+                           CAST(floor(e) AS INTEGER)
+                             + CASE WHEN h < (e - floor(e)) * 1000000 THEN 1 ELSE 0 END AS n_epochs
+                         FROM f)
+              SELECT doc_id, stratum, n_epochs, unnest(range(n_epochs)) AS epoch
+              FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""")),
+
+
+    Q("ta_temperature_mix",
+      (s, d) => TextAnalysis.temperatureMix(
+          T(s, d, "documents"), "doc_id", "source", budget = 120L)
+        .orderBy("id"),
+      Some("""WITH sizes AS (SELECT source AS stratum, count(*) AS n_docs
+                             FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+                   wq AS (SELECT stratum, n_docs,
+                            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS w_micro
+                          FROM sizes),
+                   tot AS (SELECT sum(w_micro) AS w_total FROM wq),
+                   tgt AS (SELECT stratum, n_docs,
+                            CAST((120 * w_micro) // w_total AS BIGINT) AS target
+                           FROM wq CROSS JOIN tot),
+                   ranked AS (SELECT d.doc_id AS id, d.source AS stratum, t.n_docs, t.target,
+                                row_number() OVER (PARTITION BY d.source
+                                  ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 18, 15))::BIGINT,
+                                           d.doc_id) AS rn
+                              FROM documents d JOIN tgt t ON t.stratum = d.source
+                              WHERE d.doc_id IS NOT NULL)
+              SELECT id, stratum, n_docs, target FROM ranked
+              WHERE rn <= target ORDER BY id""")),
+
+
+    // Snapshot drift report: rate comparison by exact integer cross-
+    // multiplication (a·tb − b·ta) — no rate division, no float sum;
+    // the report is bit-exact in any engine
+    Q("ta_vocab_drift",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.vocabularyDrift(
+            docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+            "doc_id", "text", k = 20)
+          .orderBy("rnk")
+      },
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+                   ca AS (SELECT w, count(*) AS n_a FROM wd
+                          WHERE doc_id < 250 AND w <> '' GROUP BY 1),
+                   cb AS (SELECT w, count(*) AS n_b FROM wd
+                          WHERE doc_id >= 250 AND w <> '' GROUP BY 1),
+                   j AS (SELECT coalesce(ca.w, cb.w) AS w,
+                           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+                         FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+                   tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS total_a,
+                                  CAST(sum(n_b) AS BIGINT) AS total_b FROM j),
+                   x AS (SELECT w, n_a, n_b,
+                           n_a * total_b - n_b * total_a AS cross_diff,
+                           abs(n_a * total_b - n_b * total_a) AS drift
+                         FROM j CROSS JOIN tot),
+                   ranked AS (SELECT w AS token, n_a, n_b, cross_diff, drift,
+                                row_number() OVER (ORDER BY drift DESC, w) AS rnk
+                              FROM x)
+              SELECT token, n_a, n_b, cross_diff, drift, rnk
+              FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
+
+
+    // Long-document chunking: 32-token windows advancing by 24 (8-token
+    // overlap); chunk counts and boundaries are pure integer arithmetic,
+    // chunk text is exact token-slice reassembly — no shuffle anywhere
+    // (per-row expressions only)
+    Q("ta_chunk_docs",
+      (s, d) => TextAnalysis.chunkDocuments(
+          T(s, d, "documents"), "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .orderBy("id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents
+                         WHERE text IS NOT NULL AND length(trim(text)) > 0),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w,
+                                len(string_split(t, ' ')) AS n FROM d),
+                   nc AS (SELECT doc_id, w, n,
+                            (greatest(n - 32, 0) + 23) // 24 + 1 AS n_chunks FROM w),
+                   ch AS (SELECT doc_id, n, n_chunks,
+                            unnest(range(n_chunks)) AS chunk_id, w FROM nc)
+              SELECT doc_id AS id, chunk_id, n_chunks,
+                     least(32, n - chunk_id * 24) AS chunk_tokens,
+                     array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+              FROM ch ORDER BY id, chunk_id""")),
+
+
+    // Per-doc keyword extraction: top-3 terms by exact-integer tf-idf
+    // ordering (raw-ratio idf — IEEE mul/div, no libm log; see
+    // TextAnalysis.tfidfKeywords). maxDfFrac 0.9: the synthetic corpus
+    // is template text over a ~30-word vocabulary with df ≈ 0.6–0.9·n,
+    // so the operator-default 0.5 stopword prune would blank most docs
+    Q("ta_tfidf_keywords",
+      (s, d) => TextAnalysis.tfidfKeywords(
+          T(s, d, "documents"), "doc_id", "text", k = 3, maxDfFrac = 0.9)
+        .orderBy("id", "rn"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   wd AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+                   tf AS (SELECT doc_id, w, count(*) AS tf FROM wd WHERE w <> '' GROUP BY 1, 2),
+                   dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+                   nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+                   scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                                CAST(tf.tf AS DOUBLE) * nd.n_docs / dfq.df AS score
+                              FROM tf JOIN dfq USING (w) CROSS JOIN nd
+                              WHERE CAST(dfq.df AS DOUBLE) <= nd.n_docs * 0.9::DOUBLE),
+                   ranked AS (SELECT doc_id AS id, w AS term, tf, df, score,
+                                row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS rn
+                              FROM scored)
+              SELECT id, term, tf, df, score, rn FROM ranked
+              WHERE rn <= 3 ORDER BY id, rn""")),
+
+
+    // Domain-level reference profile. The corpus text carries no URLs, so
+    // the query plants deterministic ones derived from (source, doc_id) —
+    // replicated verbatim in the oracle — and profiles those: the regex
+    // extraction, host reduction and per-domain aggregate are what's
+    // under test
+    Q("ta_domain_profile",
+      (s, d) => {
+        // the %7/%11 plants are pathless sentence-final URLs — the shape
+        // whose host keeps trailing punctuation without the operator's
+        // trim ("(https://press…)" → "press.example.org)"), so the oracle
+        // row would fragment if the trim ever regressed
+        val planted = T(s, d, "documents").withColumn("text_u",
+          concat_ws(" ", col("text"),
+            concat(lit("http://"), col("source"), lit(".example.org/p/"), col("doc_id")),
+            when(col("doc_id") % 10 === 0,
+              concat(lit("https://cdn.example.org/a/"), col("doc_id"))),
+            when(col("doc_id") % 7 === 3, lit("(https://press.example.org)")),
+            when(col("doc_id") % 11 === 5, lit("read https://news.example.org.")),
+            // port / userinfo plants: both must normalize to the SAME
+            // bare domain ("mirror.example.org") or the profile fragments
+            when(col("doc_id") % 13 === 2,
+              concat(lit("http://mirror.example.org:8080/f/"), col("doc_id"))),
+            when(col("doc_id") % 17 === 4, lit("https://anon@mirror.example.org/pub"))))
+        TextAnalysis.domainProfile(planted, "doc_id", "text_u")
+          .orderBy(col("n_refs").desc, col("domain"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                           concat_ws(' ', text,
+                             'http://' || source || '.example.org/p/' || doc_id,
+                             CASE WHEN doc_id % 10 = 0
+                                  THEN 'https://cdn.example.org/a/' || doc_id END,
+                             CASE WHEN doc_id % 7 = 3
+                                  THEN '(https://press.example.org)' END,
+                             CASE WHEN doc_id % 11 = 5
+                                  THEN 'read https://news.example.org.' END,
+                             CASE WHEN doc_id % 13 = 2
+                                  THEN 'http://mirror.example.org:8080/f/' || doc_id END,
+                             CASE WHEN doc_id % 17 = 4
+                                  THEN 'https://anon@mirror.example.org/pub' END) AS text_u
+                         FROM documents),
+                   u AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text_u, 'https?://[^ \t\n\r]+')) AS url
+                         FROM p),
+                   h AS (SELECT doc_id,
+                           regexp_replace(regexp_replace(
+                             regexp_replace(
+                               lower(regexp_extract(url, 'https?://([^/ \t\n\r]+)', 1)),
+                               '[.,;:)\]]+$', ''),
+                             '^[^@]*@', ''), ':[0-9]+$', '') AS domain
+                         FROM u)
+              SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
+              FROM h GROUP BY 1 ORDER BY n_refs DESC, domain""")),
+
+
+    // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
+    // length gate → exact dedup → stratified sample → token budget →
+    // deterministic shuffle → sequence packing, all one oracle-checked
+    // chain. Every CTE below replicates the SQL already proven for the
+    // individual operators (dd_exact_groups, ta_stratified_sample,
+    // ta_token_budget, ta_corpus_shuffle, ta_pack).
+    Q("ta_corpus_pipeline",
+      (s, d) => graft.pipeline.CorpusAssembly.assemble(
+          T(s, d, "documents"), "doc_id", "text",
+          minTokens = 5,
+          langRate = when(col("lang") === "en", lit(0.8))
+            .when(col("lang") === "zh", lit(0.6)).otherwise(lit(0.5)),
+          tokenBudget = 3000L, shuffleShards = 8,
+          packBudget = 512, packShards = 4)
+        .orderBy("doc_id"),
+      Some("""WITH t0 AS (SELECT doc_id, text, lang, source, n_chars,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                    FROM documents),
+                   t1 AS (SELECT * FROM t0 WHERE n_tokens >= 5),
+                   t2 AS (SELECT * FROM (
+                      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                      FROM t1) WHERE rn = 1),
+                   t3 AS (SELECT * FROM t2
+                    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 18, 15))::BIGINT
+                            % 1000000
+                          < (CASE WHEN lang = 'en' THEN 0.8::DOUBLE
+                                  WHEN lang = 'zh' THEN 0.6::DOUBLE
+                                  ELSE 0.5::DOUBLE END) * 1000000),
+                   t4 AS (SELECT * FROM (
+                      SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY source
+                          ORDER BY -n_chars ASC NULLS FIRST, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+                      FROM t3) WHERE cum_tokens < 3000),
+                   sh AS (SELECT doc_id, lang, source, n_tokens,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS sh_h,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT AS pk_h
+                    FROM t4),
+                   t5 AS (SELECT *, row_number() OVER (ORDER BY sh_h % 8, sh_h, doc_id) - 1 AS shuffle_pos
+                    FROM sh),
+                   t6 AS (SELECT doc_id, lang, source, n_tokens, shuffle_pos,
+                      pk_h % 4 AS pack_shard,
+                      CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY pk_h % 4 ORDER BY pk_h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
+                    FROM t5)
+              SELECT doc_id, lang, source, n_tokens, shuffle_pos, pack_shard,
+                     offset_tokens, CAST(offset_tokens // 512 AS BIGINT) AS pack_id
+              FROM t6 ORDER BY doc_id""")),
+
+
+    // Data selection under a token budget: per source, take docs in
+    // priority order (longest first here) until the budget fills — the
+    // corpus-selection step between filtering and packing. Exact integer
+    // running sums, so fully oracle-checkable.
+    Q("ta_token_budget",
+      (s, d) => graft.operators.TextAnalysis.tokenBudgetSelect(
+          T(s, d, "documents"), "doc_id", "text", "source",
+          tokenBudget = 2000L, priority = -col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("selected"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, n_chars,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+                    FROM documents),
+                   c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                        PARTITION BY source
+                        ORDER BY -n_chars ASC NULLS FIRST, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tokens
+                    FROM t)
+              SELECT doc_id, source, n_tokens, cum_tokens,
+                     cum_tokens < 2000 AS selected
+              FROM c ORDER BY doc_id""")),
+
+
+    // Deterministic global shuffle: every doc gets a unique position in a
+    // stable pseudo-random training order. The Spark side composes
+    // per-shard windows + a broadcast prefix-sum of shard counts (no
+    // single-partition global sort); the oracle states the equivalent
+    // global ordering directly.
+    Q("ta_corpus_shuffle",
+      (s, d) => graft.operators.TextAnalysis.shufflePositions(
+          T(s, d, "documents").select("doc_id"), "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'), 18, 15))::BIGINT AS h
+                    FROM documents)
+              SELECT doc_id, h % 8 AS shard,
+                     row_number() OVER (ORDER BY h % 8, h, doc_id) - 1 AS shuffle_pos
+              FROM b ORDER BY doc_id""")),
+
+
+    // Corpus length-distribution audit: per-language doc counts and exact
+    // DISCRETE token-length quantiles — rank arithmetic is pure integer
+    // (ceil(p·n) = (num·n+den−1) div den), so the picked values hash-match
+    Q("ta_length_profile",
+      (s, d) => graft.operators.TextAnalysis.lengthProfile(
+          T(s, d, "documents"), "text", "lang")
+        .orderBy(col("stratum").asc_nulls_first),
+      Some("""WITH t AS (SELECT lang AS stratum,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                    FROM documents),
+                   r AS (SELECT stratum, n_tokens,
+                      row_number() OVER (PARTITION BY stratum ORDER BY n_tokens ASC NULLS FIRST) AS rn,
+                      count(*) OVER (PARTITION BY stratum) AS n
+                    FROM t)
+              SELECT stratum, count(*) AS n_docs,
+                     min(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+                     min(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
+                     min(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tokens END) AS p99_tokens
+              FROM r GROUP BY stratum ORDER BY stratum NULLS FIRST""")),
+
+
+    // Per-doc n-gram novelty: sum/mean of corpus-wide shingle document
+    // frequency — "repeats the corpus" (boilerplate), the complement of
+    // ta_repetition's "repeats itself". Exact integer counts; the mean is
+    // one int/int division (bitwise-identical, Registry header rule).
+    Q("ta_novelty",
+      (s, d) => graft.operators.TextAnalysis.noveltyProfile(
+          T(s, d, "documents"), "doc_id", "text", n = 3)
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   dfreq AS (SELECT sg, count(*) AS df_s FROM posts GROUP BY sg)
+              SELECT p.doc_id AS id, count(*) AS n_shingles,
+                     CAST(sum(f.df_s) AS BIGINT) AS df_sum,
+                     CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
+              FROM posts p JOIN dfreq f ON p.sg = f.sg
+              GROUP BY 1 ORDER BY id""")),
+
+
+    // The per-doc QUALITY REPORT CARD — third flagship composition next
+    // to nem_crunch_pipeline and ta_corpus_pipeline: one wide feature
+    // table (tokens, quality, language, PII counts, within-doc repetition,
+    // cross-corpus novelty) plus the keep/drop decision a filtering
+    // pipeline materializes before corpus assembly. Every column reuses an
+    // individually-proven operator; null-text docs keep their row with
+    // null features (keep = null, three-valued AND on both engines).
+    Q("ta_quality_report",
+      (s, d) => TextAnalysis.qualityReport(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                      round((
+                        least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                        + (1.0::DOUBLE - least(
+                            (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                                  ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                       / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                        + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                             ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                                  / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                             BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                      ) / 3.0::DOUBLE, 6) AS quality,
+                      CASE
+                        WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'unk' END AS lang_guess,
+                      len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                      len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')) AS n_urls
+                    FROM (SELECT doc_id, text,
+                            (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+                            (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+                            (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+                            (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END
+                             + CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
+                          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents) raw) scored),
+                   nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w2 AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+                   g2 AS (SELECT doc_id,
+                           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                                  ELSE [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] END) AS g
+                         FROM w2),
+                   cnt2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+                   rep AS (SELECT doc_id,
+                             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
+                           FROM cnt2 GROUP BY 1),
+                   sh3 AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w2),
+                   posts3 AS (SELECT doc_id, unnest(s) AS sg FROM sh3),
+                   dfq3 AS (SELECT sg, count(*) AS df_s FROM posts3 GROUP BY sg),
+                   nov AS (SELECT p.doc_id, CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
+                           FROM posts3 p JOIN dfq3 f ON p.sg = f.sg GROUP BY 1)
+              SELECT b.doc_id, b.n_tokens, b.quality, b.lang_guess, b.n_emails, b.n_urls,
+                     rep.top_gram_frac, nov.mean_df,
+                     (b.n_tokens >= 5 AND b.quality >= 0.5::DOUBLE
+                      AND rep.top_gram_frac <= 0.5::DOUBLE AND b.n_emails = 0) AS keep
+              FROM base b
+              LEFT JOIN rep ON rep.doc_id = b.doc_id
+              LEFT JOIN nov ON nov.doc_id = b.doc_id
+              ORDER BY b.doc_id""")),
+
+
+    // Vocabulary induction: top-50 tokens by document frequency — the
+    // seed list for tokenizer training / stopword + maxDocFreq pruning
+    Q("ta_vocab",
+      (s, d) => graft.operators.TextAnalysis.vocabulary(
+          T(s, d, "documents"), "doc_id", "text", k = 50)
+        .orderBy("rnk"),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   tk AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM d),
+                   dfq AS (SELECT tok, count(*) AS doc_freq FROM tk GROUP BY tok),
+                   ranked AS (SELECT tok, doc_freq,
+                                row_number() OVER (ORDER BY doc_freq DESC, tok) AS rnk
+                              FROM dfq)
+              SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
+
+
+    // HyperLogLog cardinality sketch over corpus shingles: 256 one-byte
+    // registers replace the corpus-wide DISTINCT shuffle. Registers,
+    // zero-count, and the integer harmonic denominator are exact; the
+    // raw estimate is a single literal-arithmetic chain mirrored
+    // verbatim (no small/large-range correction — that needs ln, which
+    // is libm-dependent; v_zero ships so a caller can apply it).
+    Q("ta_hll_distinct",
+      (s, d) => {
+        val sh = graft.operators.TextAnalysis.shingleStream(
+          T(s, d, "documents"), "text", 3)
+        val regs = graft.operators.TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+        val est = regs.agg(
+          count(lit(1)).as("m"),
+          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
+          .withColumn("est_raw", expr(
+            "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
+        val exact = sh.agg(countDistinct(col("sg")).as("n_exact"))
+        est.join(exact)
+          .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
+                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
+                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
+                          FROM w),
+                   keys AS (SELECT unnest(s) AS sg FROM sh),
+                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
+                          FROM keys WHERE sg IS NOT NULL),
+                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
+                   regs0 AS (SELECT bucket,
+                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
+                             FROM br GROUP BY bucket),
+                   regs AS (SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
+                            FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range),
+                   agg AS (SELECT count(*) AS m,
+                                  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                                  CAST(sum(1::BIGINT << CAST(54 - rho AS INTEGER)) AS BIGINT) AS denom
+                           FROM regs),
+                   ex AS (SELECT count(DISTINCT sg) AS n_exact FROM keys WHERE sg IS NOT NULL)
+              SELECT m, v_zero, denom,
+                     0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE) AS est_raw,
+                     n_exact
+              FROM agg CROSS JOIN ex""")),
+
+
+    // Power-of-two token-length histogram: the mergeable distribution
+    // sketch (≤64 integer buckets, map-side-collapsing, shards merge by
+    // adding counts) next to the exact-quantile lengthProfile.
+    Q("ta_token_histogram",
+      (s, d) => graft.operators.TextAnalysis.tokenHistogram(
+        T(s, d, "documents"), "text").orderBy("bucket"),
+      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                         FROM documents WHERE text IS NOT NULL),
+                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
+                                count(*) AS cnt
+                         FROM n GROUP BY 1),
+                   h AS (SELECT bucket,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
+                           cnt,
+                           sum(cnt) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                         FROM b)
+              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
+              FROM h ORDER BY bucket""")),
+
+
+    // Count-min heavy hitters: a 4×64-cell mergeable frequency sketch
+    // point-estimates the top-20 tokens; estimates are provably ≥ exact
+    // (overcount column). Sketch cells, estimates, and exact counts are
+    // all integer → hash-exact.
+    Q("ta_heavy_hitters",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sketch = graft.operators.TextAnalysis.countMinSketch(docs, "text",
+          depth = 4, width = 64)
+        val toks = docs.select(explode(split(
+            graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        graft.operators.TextAnalysis.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
+          .join(top, Seq("tok"))
+          .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
+            (col("cm_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("token"))
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
+                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+                   cells AS (SELECT r.range AS rw,
+                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                             FROM tk CROSS JOIN range(0, 4) r),
+                   sketch AS (SELECT rw, cl, count(*) AS cnt FROM cells GROUP BY rw, cl),
+                   exact AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok),
+                   top AS (SELECT tok, exact_cnt
+                           FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rn FROM exact)
+                           WHERE rn <= 20),
+                   kcells AS (SELECT t.tok, r.range AS rw,
+                                ('0x' || substr(md5(t.tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                              FROM top t CROSS JOIN range(0, 4) r),
+                   est AS (SELECT k.tok, min(coalesce(s.cnt, 0)) AS cm_est
+                           FROM kcells k LEFT JOIN sketch s ON s.rw = k.rw AND s.cl = k.cl
+                           GROUP BY k.tok)
+              SELECT t.tok AS token, t.exact_cnt, e.cm_est, e.cm_est - t.exact_cnt AS overcount
+              FROM top t JOIN est e USING (tok)
+              ORDER BY exact_cnt DESC, token""")),
+
+
+    // Sketch MERGEABILITY proven cross-engine: Spark sketches three
+    // doc_id%3 shards separately and merges by ADDING cells
+    // (TextAnalysis.cmMerge); the oracle sketches the whole corpus in one
+    // pass. Hash-equality IS the lossless-merge property that lets
+    // per-shard sketches roll up at 100 TB without touching row data
+    Q("ta_cm_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.cmMerge((0 until 3).map(k =>
+          TextAnalysis.countMinSketch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
+            depth = 4, width = 64)))
+          .orderBy("row", "col")
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
+                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+                   cells AS (SELECT r.range AS rw,
+                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
+                             FROM tk CROSS JOIN range(0, 4) r)
+              SELECT rw AS "row", cl AS "col", count(*) AS cnt
+              FROM cells GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+
+    // Histogram shard-merge (the trio's third leg): bucket counts ADD,
+    // the cumulative column is re-derived over the merged ≤64-row result
+    // — Spark merges three doc_id%3 shard histograms, the oracle
+    // histograms the whole corpus directly
+    Q("ta_hist_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.histogramMerge((0 until 3).map(k =>
+          TextAnalysis.tokenHistogram(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text")))
+          .orderBy("bucket")
+      },
+      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+                         FROM documents WHERE text IS NOT NULL),
+                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
+                                count(*) AS cnt
+                         FROM n GROUP BY 1),
+                   h AS (SELECT bucket,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
+                           CASE WHEN bucket = 0 THEN 0
+                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
+                           cnt,
+                           sum(cnt) OVER (ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                         FROM b)
+              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
+              FROM h ORDER BY bucket""")),
+
+
+    // HLL registers merge by per-bucket MAX (associative + idempotent):
+    // Spark merges three shard register tables; the oracle computes
+    // whole-corpus registers directly — max-merge is exactly lossless
+    Q("ta_hll_merge",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        TextAnalysis.hllMerge((0 until 3).map { k =>
+          val sh = TextAnalysis.shingleStream(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text", 3)
+          TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+        }).orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
+                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
+                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
+                          FROM w),
+                   keys AS (SELECT unnest(s) AS sg FROM sh),
+                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
+                          FROM keys WHERE sg IS NOT NULL),
+                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
+                   regs0 AS (SELECT bucket,
+                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
+                             FROM br GROUP BY bucket)
+              SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
+              FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range
+              ORDER BY bucket""")),
+
+
+    // PMI collocations: top-20 bigrams by lift (the monotone exponential
+    // of PMI — log is libm-dependent, the ratio is one IEEE division, so
+    // both the ranking and the score hash-match).
+    Q("ta_pmi_bigrams",
+      (s, d) => graft.operators.TextAnalysis.pmiBigrams(
+        T(s, d, "documents"), "doc_id", "text", topK = 20, minCount = 5L),
+      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+                   posts AS (SELECT doc_id, unnest([{'pos': i - 1, 'w': ws[i]}
+                                                    for i in range(1, len(ws) + 1)], recursive := true)
+                             FROM w),
+                   bi AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM posts),
+                   bi2 AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL),
+                   uni AS (SELECT w, count(*) AS c FROM posts GROUP BY w),
+                   n1 AS (SELECT count(*) AS n_uni FROM posts),
+                   n2 AS (SELECT count(*) AS n_bi FROM bi2),
+                   bg AS (SELECT w1, w2, count(*) AS c_xy FROM bi2 GROUP BY w1, w2 HAVING count(*) >= 5),
+                   sc AS (SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+                            CAST(b.c_xy AS DOUBLE) * n1.n_uni * n1.n_uni
+                              / (CAST(n2.n_bi AS DOUBLE) * ux.c * uy.c) AS lift
+                          FROM bg b
+                          JOIN uni ux ON ux.w = b.w1
+                          JOIN uni uy ON uy.w = b.w2
+                          CROSS JOIN n1 CROSS JOIN n2)
+              SELECT w1, w2, c_xy, c_x, c_y, lift
+              FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20""")),
+
+
+    // BPE tokenizer training: k merge iterations, each DERIVED by the
+    // oracle itself (pair-count → argmax → gaps-and-islands greedy
+    // merge, one unrolled CTE block per iteration) — nothing about the
+    // learned merges is smuggled in as a literal. Counts are integer,
+    // tie-breaks lexicographic, so the merge sequence is engine-exact.
+    Q("ta_bpe_train",
+      (s, d) => graft.operators.TextAnalysis.bpeTrain(
+        T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
+      Some(bpeOracle(8))),
+
+
+    // Batched BPE training: batchSize symbol-disjoint merges per round
+    // (conflict-free prefix of the rank order) — same merge quality,
+    // ~1/batchSize the driver round-trips; the 32k-merge scale fix.
+    Q("ta_bpe_train_batched",
+      (s, d) => graft.operators.TextAnalysis.bpeTrainBatched(
+        T(s, d, "documents"), "text", numMerges = 8, batchSize = 4)
+        .orderBy("it"),
+      Some(bpeBatchedOracle(numMerges = 8, batchSize = 4))),
+
+
+    // BPE encoding with the pre-trained merge table (constants, the
+    // production artifact shape): every merge stage rides ONE Exchange
+    // as stacked windows; word boundaries partition merges apart.
+    Q("ta_bpe_encode",
+      (s, d) => graft.operators.TextAnalysis.bpeEncode(
+        T(s, d, "documents"), "doc_id", "text",
+        graft.operators.BpeMerges.merges).orderBy("id"),
+      Some(bpeEncodeOracle(graft.operators.BpeMerges.merges))),
+
+
+    // Model-based quality filtering: a FROZEN linear classifier (the
+    // CCNet/DataComp stage that replaces hand heuristics) scored at scan
+    // speed — literal weights, per-row features, zero shuffle. Output is
+    // the logit (sigmoid is libm, not engine-exact); keep = logit > 0 is
+    // the same decision boundary
+    Q("ta_quality_logit",
+      (s, d) => TextAnalysis.qualityLogit(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      Some(qualityLogitOracle)),
+
+
+    // Filter-ensembling audit: the 2×2 agreement matrix between the
+    // heuristic gate (quality >= 0.5) and the model gate (logit > 0) —
+    // the calibration table a filter migration reads before swapping.
+    // One scan, both predicates as expressions (qualityLogitExpr), a
+    // 4-key aggregate; the oracle joins its two proven formulations
+    Q("ta_filter_agreement",
+      (s, d) => T(s, d, "documents")
+        .select(
+          (TextAnalysis.qualityScore(col("text")) >= 0.5).as("heuristic_keep"),
+          (TextAnalysis.qualityLogitExpr(col("text")) > 0).as("model_keep"))
+        .groupBy("heuristic_keep", "model_keep")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("heuristic_keep", "model_keep"),
+      Some(s"""WITH ql AS ($qualityLogitOracle),
+                    hq AS (SELECT doc_id,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) >= 0.5E0 AS heuristic_keep
+                           FROM documents)
+               SELECT hq.heuristic_keep, ql.keep AS model_keep,
+                      count(*) AS n_docs
+               FROM ql JOIN hq ON ql.id = hq.doc_id
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+
+    // Dataset card: the one-row corpus summary published alongside a
+    // training set — exact-integer volumes, dup pressure (exact distinct
+    // fingerprints), heuristic-keep count, sorted lang distribution.
+    // Two aggregations off one scan; see TextAnalysis.datasetCard for
+    // the 100 TB notes (swap countDistinct for HLL when estimating is ok)
+    Q("ta_dataset_card",
+      (s, d) => TextAnalysis.datasetCard(
+        T(s, d, "documents"), "doc_id", "text", "lang"),
+      Some("""WITH q AS (SELECT doc_id, text, coalesce(lang, 'unk') AS l,
+                round((
+                  least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)
+                  + (1.0::DOUBLE - least(
+                      (CASE WHEN length(text) = 0 THEN 0.0::DOUBLE
+                            ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE) END) * 4.0::DOUBLE, 1.0::DOUBLE))
+                  + (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0::DOUBLE
+                       ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                            / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE) END)
+                       BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                ) / 3.0::DOUBLE, 6) AS qual
+                         FROM documents),
+                   base AS (SELECT count(*) AS n_docs,
+                              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+                              CAST(sum(CASE WHEN text IS NULL THEN 0
+                                       ELSE (CASE WHEN length(trim(text)) = 0 THEN 0
+                                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END) AS BIGINT) AS n_tokens,
+                              CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+                              count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct_texts,
+                              CAST(sum(CASE WHEN text IS NOT NULL AND qual >= 0.5E0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep
+                            FROM q),
+                   lg AS (SELECT string_agg(lc, ' ' ORDER BY lc) AS langs
+                          FROM (SELECT l || ':' || CAST(count(*) AS VARCHAR) AS lc
+                                FROM q GROUP BY l))
+              SELECT * FROM base CROSS JOIN lg""")),
+
+
+    // C4-style blocklist gate: whole-token matching (substring matching
+    // is the classic "class"/"ass" false-positive trap) as higher-order
+    // array expressions — the blocklist is a constant inside the
+    // codegen'd expression, zero shuffle, zero joins. Oracle nit: DuckDB's
+    // sort/join chain yields NULL for an empty list where Spark's
+    // array_join yields '' — coalesced in the SQL. (No `--` comments in
+    // oracle SQL: the dump flattens newlines.)
+    Q("ta_blocklist",
+      (s, d) => TextAnalysis.blocklistFilter(
+          T(s, d, "documents"), "doc_id", "text", Seq("slow", "scan", "spill"))
+        .orderBy("id"),
+      Some("""WITH d AS (SELECT doc_id, text IS NULL AS tnull,
+                           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+                         FROM documents),
+                   m AS (SELECT doc_id, tnull,
+                           list_filter(toks, x -> list_contains(['slow', 'scan', 'spill'], x)) AS bad
+                         FROM d)
+              SELECT doc_id AS id,
+                     CASE WHEN tnull THEN NULL ELSE len(bad) END AS n_hits,
+                     CASE WHEN tnull THEN NULL
+                          ELSE coalesce(array_to_string(list_sort(list_distinct(bad)), ' '), '') END AS hit_terms,
+                     CASE WHEN tnull THEN NULL ELSE len(bad) = 0 END AS keep
+              FROM m ORDER BY id"""))
+  )
+}

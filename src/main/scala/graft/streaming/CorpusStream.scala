@@ -67,14 +67,16 @@ object CorpusStream {
       shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minAgree: Double = 0.8,
       statsDir: Option[String] = None,
-      statsDepth: Int = 4, statsWidth: Int = 512): StreamingQuery = {
+      statsDepth: Int = 4, statsWidth: Int = 512,
+      statsHllP: Int = 12): StreamingQuery = {
     // explicit Unit-typed function pins the Scala overload of
     // foreachBatch (the Java VoidFunction2 alternative makes an inline
     // lambda ambiguous)
     val tick: (DataFrame, Long) => Unit = (batch, batchId) => {
       ingestBatch(spark, batch, idCol, textCol, corpusDir, sigDir,
         shingleLen, numHashes, bands, minAgree, batchId = Some(batchId),
-        statsDir = statsDir, statsDepth = statsDepth, statsWidth = statsWidth)
+        statsDir = statsDir, statsDepth = statsDepth, statsWidth = statsWidth,
+        statsHllP = statsHllP)
       ()
     }
     docs.writeStream
@@ -89,9 +91,39 @@ object CorpusStream {
     * the stream pays one fixed-grid aggregation per tick; readers fold
     * `ticks × depth·width` partial rows and never rescan the corpus.
     * Identical to sketching the corpus directly (lossless add-merge —
-    * the `ta_cm_merge` property), which StreamingSpec asserts. */
+    * the `ta_cm_merge` property), which StreamingSpec asserts.
+    * Layout: `statsDir/cm` holds the count-min partials, `statsDir/hll`
+    * the HLL register partials ([[readTokenCardinality]]). */
   def readTokenStats(spark: SparkSession, statsDir: String): DataFrame =
-    graft.operators.TextAnalysis.cmMerge(Seq(spark.read.parquet(statsDir)))
+    graft.operators.TextAnalysis.cmMerge(Seq(spark.read.parquet(s"$statsDir/cm")))
+
+  /** Distinct-token cardinality from the accumulated HLL register
+    * partials — the companion read to [[readTokenStats]]: registers
+    * merge by per-bucket max ([[graft.operators.TextAnalysis.hllMerge]]
+    * — max is associative AND idempotent, so a replayed tick's partial
+    * cannot inflate the fold the way a replayed count row would), and
+    * the one-row summary carries the exact register state (m, v_zero,
+    * denom) plus the raw HLL estimate — same estimator surface as the
+    * `ta_hll_distinct` query. Cost: `ticks × 2^p` register rows folded;
+    * the corpus is never rescanned. */
+  def readTokenCardinality(spark: SparkSession, statsDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val regs = graft.operators.TextAnalysis.hllMerge(
+      Seq(spark.read.parquet(s"$statsDir/hll")))
+    val m = regs.count() // 2^p, densified by hllRegisters' spine join
+    val p = java.lang.Long.numberOfTrailingZeros(m)
+    // scale exponent x = 62−p: keeps the all-zero-register worst case
+    // (denom = m·2^x = 2^62) inside BIGINT for any p, and x − max rho =
+    // 62−p − (61−p) = 1 > 0 so every shift is non-negative
+    val x = 62 - p
+    regs.agg(
+        count(lit(1)).as("m"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $x - rho)")).as("denom"))
+      .withColumn("est_raw",
+        lit(0.7213 / (1.0 + 1.079 / m)) * lit(m.toDouble * m.toDouble) *
+          lit(math.pow(2.0, x)) / col("denom").cast("double"))
+  }
 
   private def commitMarker(corpusDir: String, batchId: Long): Path =
     new Path(new Path(corpusDir, "_graft_commits"), s"batch-$batchId")
@@ -148,7 +180,8 @@ object CorpusStream {
       shingleLen: Int, numHashes: Int, bands: Int,
       minAgree: Double, batchId: Option[Long] = None,
       statsDir: Option[String] = None,
-      statsDepth: Int = 4, statsWidth: Int = 512): Long = {
+      statsDepth: Int = 4, statsWidth: Int = 512,
+      statsHllP: Int = 12): Long = {
     if (batch.isEmpty) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
     // this FS serves only the commit marker, which lives under corpusDir;
@@ -160,7 +193,10 @@ object CorpusStream {
       // orphaned signature rows would otherwise gate its docs out
       rollback(conf, sigDir, bid)
       rollback(conf, corpusDir, bid)
-      statsDir.foreach(sd => rollback(conf, sd, bid))
+      statsDir.foreach { sd =>
+        rollback(conf, s"$sd/cm", bid)
+        rollback(conf, s"$sd/hll", bid)
+      }
     }
     // null-text docs carry no content identity: keep one row per id
     // (never collapse distinct docs on a shared null hash) and skip the
@@ -188,23 +224,36 @@ object CorpusStream {
       if (n > 0) {
         val novelSig = batchSig.join(novel.select(col(idCol)), Seq(idCol), "left_semi")
         // streaming statistics maintenance: each tick appends the NOVEL
-        // docs' partial count-min sketch (fixed-grid rows, corpus-size-
-        // independent) under the same batch-prefixed commit protocol —
-        // readers fold partials with cmMerge ([[readTokenStats]]) and
-        // never rescan the corpus
-        val batchStats = statsDir.map(sd => (sd,
-          graft.operators.TextAnalysis.countMinSketch(novel, textCol,
-            statsDepth, statsWidth)))
+        // docs' partial count-min sketch AND HLL register partial (both
+        // fixed-grid, corpus-size-independent) under the same batch-
+        // prefixed commit protocol — readers fold partials
+        // ([[readTokenStats]]/[[readTokenCardinality]]) and never rescan
+        // the corpus. HLL merge is idempotent max, so even a re-published
+        // partial could never inflate the cardinality.
+        val batchStats = statsDir.map { sd =>
+          val toks = novel.select(explode(split(
+            graft.operators.TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+            .filter(length(col("tok")) > 0)
+          (sd,
+            graft.operators.TextAnalysis.countMinSketch(novel, textCol,
+              statsDepth, statsWidth),
+            graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), statsHllP))
+        }
         batchId match {
           case Some(bid) =>
             publish(conf, novel, corpusDir, bid)
             publish(conf, novelSig, sigDir, bid)
-            batchStats.foreach { case (sd, sk) => publish(conf, sk, sd, bid) }
+            batchStats.foreach { case (sd, cm, hll) =>
+              publish(conf, cm, s"$sd/cm", bid)
+              publish(conf, hll, s"$sd/hll", bid)
+            }
           case None =>
             novel.write.mode("append").parquet(corpusDir)
             novelSig.write.mode("append").parquet(sigDir)
-            batchStats.foreach { case (sd, sk) =>
-              sk.write.mode("append").parquet(sd) }
+            batchStats.foreach { case (sd, cm, hll) =>
+              cm.write.mode("append").parquet(s"$sd/cm")
+              hll.write.mode("append").parquet(s"$sd/hll")
+            }
         }
       }
       batchId.foreach { bid =>

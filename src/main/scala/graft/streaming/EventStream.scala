@@ -108,6 +108,60 @@ object EventStream {
       }
   }
 
+  /** EVENT-TIME watermarked sessionization — the late-data-bounded form
+    * of [[streamingSessionize]]: the input carries
+    * `withWatermark("ts", lateness)`, the state uses EventTimeTimeout,
+    * and Spark's stateful operator then FILTERS input rows older than
+    * the current watermark (late beyond `lateness` → dropped, never
+    * misnumbered into a closed session) and expires per-key state once
+    * the watermark passes `lastTs + gap` — state lifetime is bounded by
+    * EVENT time, the semantically right clock for sessions (a processing
+    * -time timeout [[streamingSessionize]] uses can evict keys of a
+    * paused-but-replaying source mid-session; an event-time timeout
+    * cannot). An event arriving after its key's state expired starts a
+    * new session numbered from that key's last counter only if the state
+    * survived — after expiry it restarts at 1, which is exactly the
+    * gap-semantics answer (the watermark passing lastTs + gap PROVES the
+    * session closed).
+    *
+    * The watermark also makes the drop deterministic and testable: late
+    * rows within `lateness` are accepted and fold by event-time order
+    * within their micro-batch; rows older than the watermark established
+    * by PRIOR batches never reach the fold (StreamingSpec asserts both
+    * sides). */
+  def streamingSessionizeEventTime(events: Dataset[Ev], gapSeconds: Long,
+      lateness: String): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastTs, n) = state.getOption
+              .map(s => (s.lastTsMicros, s.sessionN)).getOrElse((Long.MinValue, 0L))
+            def micros(t: java.sql.Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val out = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id)).map { r =>
+              val tsMicros = micros(r.ts)
+              if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
+                n += 1
+              lastTs = tsMicros
+              SessOut(uid, r.event_id, r.ts, n)
+            }
+            state.update(SessState(lastTs, n))
+            // expire once the watermark proves the gap elapsed — event-time
+            // state bound; ms precision is what the timeout API offers
+            state.setTimeoutTimestamp(lastTs / 1000L + gapSeconds * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
   final case class EwmaOut(key: String, ts: java.sql.Timestamp, ewma: Double)
   final case class EwmaState(ewma: Double)
@@ -138,6 +192,42 @@ object EventStream {
       .groupByKey(_.key)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append(), timeoutConf)(ewmaTick(alpha, idleTimeout))
+  }
+
+  /** EVENT-TIME watermarked EWMA — the late-data-bounded form of
+    * [[streamingEwma]] (same pattern as [[streamingSessionizeEventTime]]):
+    * `withWatermark` + EventTimeTimeout makes the stateful operator drop
+    * rows older than the watermark (a late point can no longer rewrite a
+    * smoothed history that downstream already consumed) and expires a
+    * key's state once the watermark passes `lastTs + horizonSeconds` —
+    * the smoothing memory of a series silent that long SHOULD reset
+    * (cold-start re-seeds from 0.0, the documented convention). */
+  def streamingEwmaEventTime(points: Dataset[Point], alpha: Double,
+      lateness: String, horizonSeconds: Long): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    points
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.map(_.ewma).getOrElse(0.0)
+            var lastMs = Long.MinValue
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+              cur = (1.0 - alpha) * cur + alpha * p.value
+              lastMs = math.max(lastMs, p.ts.getTime)
+              EwmaOut(key, p.ts, cur)
+            }
+            state.update(EwmaState(cur))
+            if (lastMs != Long.MinValue)
+              state.setTimeoutTimestamp(lastMs + horizonSeconds * 1000L)
+            out.iterator
+          }
+      }
   }
 
   /** The per-group fold behind [[streamingEwma]], exposed so the

@@ -195,6 +195,57 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((6L, 0L, "")))         // nothing left
   }
 
+  test("substringDedup: a long fully-duplicated doc dedups linearly (no array membership scan)") {
+    import spark.implicits._
+    // r8 task #7 guard: a ~30k-token doc whose EVERY position is covered
+    // by dup windows is the case where the old collected-array
+    // `array_contains` membership scan went O(tokens × covered) —
+    // quadratic, ~9·10^8 comparisons here. The linear (id, pos) equi-join
+    // must (a) keep that shape in the plan and (b) finish comfortably.
+    val n = 30000
+    val longText = (0 until n).map(i => s"t$i").mkString(" ") // unique tokens:
+    // doc 1 has no within-doc repeats, so it must survive intact
+    val docs = Seq((1L, longText), (2L, longText)).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", windowWords = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_contains"),
+      s"covered-set membership regressed to an array scan:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) === ((n.toLong, n.toLong))) // first owner keeps all
+    assert(rows(2L) === ((n.toLong, 0L)))       // full copy strips to nothing
+  }
+
+  test("incrementalSemanticDedup: multi-probe finds a cross-cell near-dup; corpus rides broadcasts") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)),  // cell 0
+      (2L, Array(0.05f, 1.0f)),  // cell 1
+      (3L, Array(0.72f, 0.70f))  // near the boundary, lands in cell 0
+    ).toDF("vec_id", "embedding")
+    val idx = Dedup.semanticIndex(corpus, "vec_id", "embedding", cents)
+    assert(idx.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      === Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // batch 10 sits in cell 0 next to corpus 1; batch 11 is a near-dup of
+    // corpus 3 but its NEAREST cell is 1 (0.73 > 0.69) — only the second
+    // probe reaches 3's cell
+    val batch = Seq(
+      (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0.69f, 0.73f))
+    ).toDF("vec_id", "embedding")
+    def pairs(nprobe: Int) = Dedup.incrementalSemanticDedup(
+        batch, idx, "vec_id", "embedding", cents, minCosine = 0.95, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1) === Set((10L, 1L))) // single probe misses the boundary dup
+    assert(pairs(2) === Set((10L, 1L), (11L, 3L))) // multi-probe finds it
+    // the corpus-index join is a broadcast of the batch side — never a
+    // shuffle of the index, never a cartesian against it
+    val plan = Dedup.incrementalSemanticDedup(
+      batch, idx, "vec_id", "embedding", cents, minCosine = 0.95, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"index probe not broadcast:\n$plan")
+  }
+
   test("incrementalSubstringDedup: batch passages in the index strip; index never shuffles") {
     import spark.implicits._
     val corpus = Seq(

@@ -211,6 +211,40 @@ class TextAnalysisSpec extends SparkSpec {
     // asked for 5 merges, vocabulary exhausted after 2 → early stop
   }
 
+  test("bpeTrainBatched: batchSize=1 ≡ classic argmax; a disjoint batch trains in one round") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // degenerate equivalence: batchSize=1 must reproduce bpeTrain exactly,
+    // including the (an,a)-vs-(b,an) count tie broken lexicographically
+    val docs = Seq((1L, "banana banana banana"), (2L, "bandana bandana"))
+      .toDF("doc_id", "text")
+    assert(rows(TextAnalysis.bpeTrainBatched(docs, "text", numMerges = 3, batchSize = 1))
+      === rows(TextAnalysis.bpeTrain(docs, "text", numMerges = 3)))
+    // 8 pairwise-disjoint top pairs (16 distinct symbols, counts 16..9):
+    // the conflict-free prefix takes all 8 in ONE round, and because
+    // disjoint merges don't perturb each other's counts the merge table
+    // is identical to the sequential schedule — in a fraction of the jobs
+    val corpus = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op").zipWithIndex
+      .map { case (w, i) => (i.toLong, Seq.fill(16 - i)(w).mkString(" ")) }
+      .toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe_seq", "sequential train")
+    val seq = rows(TextAnalysis.bpeTrain(corpus, "text", numMerges = 8))
+    val seqJobs = sc.statusTracker.getJobIdsForGroup("bpe_seq").length
+    sc.setJobGroup("bpe_bat", "batched train")
+    val bat = rows(TextAnalysis.bpeTrainBatched(corpus, "text", numMerges = 8, batchSize = 8))
+    val batJobs = sc.statusTracker.getJobIdsForGroup("bpe_bat").length
+    sc.clearJobGroup()
+    assert(bat === seq)
+    assert(bat.map(m => (m._2, m._3)) ===
+      Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op").map(w => (w(0).toString, w(1).toString)))
+    // ≥ 4 merges per round means ≤ 1/4 the driver round-trips; assert the
+    // job count collapsed (8 rounds → 1) with headroom for scheduler noise
+    assert(batJobs * 2 <= seqJobs, s"batched=$batJobs jobs vs sequential=$seqJobs")
+  }
+
   test("bpeEncode: rank-order merges, l==r islands branch, vocab reuse across docs") {
     import spark.implicits._
     // merge 0 = (a,a): "aaab" → [aa, a, b] (greedy: only even offsets of

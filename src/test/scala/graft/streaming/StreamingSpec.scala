@@ -175,9 +175,73 @@ class StreamingSpec extends SparkSpec {
     val direct = graft.operators.TextAnalysis.countMinSketch(
       spark.read.parquet(corpusDir), "text", depth = 4, width = 64)
     assert(folded.except(direct).isEmpty && direct.except(folded).isEmpty)
-    // committed replay publishes no second stats partial
+    // HLL partials fold to exactly the registers of the read-back corpus
+    // (max-merge — idempotent, so replay cannot inflate)
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val directToks = spark.read.parquet(corpusDir)
+      .select(explode(split(graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val directRegs = graft.operators.TextAnalysis.hllRegisters(directToks, col("tok"), p = 12)
+    val foldedRegs = graft.operators.TextAnalysis.hllMerge(
+      Seq(spark.read.parquet(s"$statsDir/hll")))
+    assert(foldedRegs.except(directRegs).isEmpty && directRegs.except(foldedRegs).isEmpty)
+    val card = CorpusStream.readTokenCardinality(spark, statsDir).collect().head
+    assert(card.getAs[Long]("m") === 4096L)
+    assert(card.getAs[Double]("est_raw") > 0.0)
+    // committed replay publishes no second stats partial (counts OR registers)
     assert(tick(b2, 1L) === 0L)
     assert(CorpusStream.readTokenStats(spark, statsDir).except(direct).isEmpty)
+    assert(CorpusStream.readTokenCardinality(spark, statsDir).collect().head
+      .getAs[Long]("denom") === card.getAs[Long]("denom"))
+  }
+
+  test("EventStream.streamingSessionizeEventTime: late-within-watermark folds, late-beyond drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.streamingSessionizeEventTime(mem.toDS(),
+        gapSeconds = 60, lateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_wm").outputMode("append").start()
+    // batch 1: two sessions; watermark advances to 00:20 − 10 min = 00:10
+    mem.addData(
+      EventStream.Ev(7L, 1L, t("2024-01-01T00:00:00Z")),
+      EventStream.Ev(7L, 2L, t("2024-01-01T00:20:00Z")))
+    q.processAllAvailable()
+    // batch 2: event 3 is late BEYOND the watermark (00:05 < 00:10) →
+    // dropped by the stateful operator, never misnumbered into a closed
+    // session; event 4 (00:21, within) folds into session 2 (gap = 60 s,
+    // not > 60 s)
+    mem.addData(
+      EventStream.Ev(7L, 3L, t("2024-01-01T00:05:00Z")),
+      EventStream.Ev(7L, 4L, t("2024-01-01T00:21:00Z")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_id, session_n FROM sess_wm ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (4L, 2L)))
+  }
+
+  test("EventStream.streamingEwmaEventTime: late point beyond watermark cannot rewrite history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Point]
+    val q = EventStream.streamingEwmaEventTime(mem.toDS(), alpha = 0.5,
+        lateness = "10 minutes", horizonSeconds = 3600L).writeStream
+      .format("memory").queryName("sewma_wm").outputMode("append").start()
+    mem.addData(
+      EventStream.Point("k", t("2024-01-01T00:00:00Z"), 10.0),
+      EventStream.Point("k", t("2024-01-01T00:20:00Z"), 20.0))
+    q.processAllAvailable() // watermark → 00:10; ewma = 5.0 then 12.5
+    mem.addData(
+      EventStream.Point("k", t("2024-01-01T00:05:00Z"), 100.0), // beyond → dropped
+      EventStream.Point("k", t("2024-01-01T00:21:00Z"), 4.0))   // within → folds
+    q.processAllAvailable()
+    val out = spark.sql("SELECT ewma FROM sewma_wm ORDER BY ts").collect().map(_.getDouble(0))
+    q.stop()
+    // the late 100.0 must NOT appear anywhere in the fold chain
+    assert(out.toSeq === Seq(5.0, 12.5, 0.5 * 12.5 + 0.5 * 4.0))
   }
 
   test("CorpusStream.ingestBatch: releases only its own caches; null-text docs dedup by id") {
