@@ -46,7 +46,10 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // foreign session (inferTimestampNTZ left on): wall-clock → UTC
-        // instant; identity on the stored micros under a UTC session
+        // instant; identity on the stored micros under a UTC session.
+        // The pushdown rule rederives range predicates on the cast
+        // column against the raw NTZ attribute so the scan still prunes
+        graft.plans.NtzCastPushdown.register(spark)
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -80,6 +80,13 @@ class TablesSpec extends SparkSpec {
       val raw = spark.read.parquet(dir)
       assert(raw.schema("ts").dataType === TimestampNTZType) // what a foreign session sees
       assertNormalized(Tables.normalizeEventTs(spark, raw))
+      // the cast would block pushdown; NtzCastPushdown rederives the
+      // range bound on the raw NTZ attribute so the scan still prunes
+      val plan = Tables.normalizeEventTs(spark, spark.read.parquet(dir))
+        .filter(col("ts") >= timestamp_micros(lit(micros(1))))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+        s"cast-normalized ts predicate not pushed to the scan:\n$plan")
     } finally spark.conf.set(key, "false")
   }
 
