@@ -125,39 +125,9 @@ object CorpusStream {
           lit(math.pow(2.0, x)) / col("denom").cast("double"))
   }
 
-  private def commitMarker(corpusDir: String, batchId: Long): Path =
-    new Path(new Path(corpusDir, "_graft_commits"), s"batch-$batchId")
-
-  /** Delete any published files of `batchId` from `dir` (partial-publish
-    * rollback) — batch-prefixed names make them identifiable. Resolves
-    * its own FileSystem from `dir`: corpus/sig/stats dirs may live on
-    * different schemes, and probing one dir through another's FS makes
-    * the rollback a silent no-op (exists=false on the wrong FS). */
-  private def rollback(conf: org.apache.hadoop.conf.Configuration,
-      dir: String, batchId: Long): Unit = {
-    val d = new Path(dir)
-    val fs = d.getFileSystem(conf)
-    if (fs.exists(d))
-      fs.listStatus(d).filter(_.getPath.getName.startsWith(s"batch$batchId-"))
-        .foreach(s => fs.delete(s.getPath, false))
-  }
-
-  /** Stage `df` under a hidden tmp dir, then move its part files into
-    * `dir` under deterministic `batch<id>-` names. Underscore-prefixed
-    * staging dirs are invisible to parquet readers mid-write; the moves
-    * land whole files, and a replay deletes stale names first
-    * ([[rollback]]), so readers never see a duplicate. */
-  private def publish(conf: org.apache.hadoop.conf.Configuration,
-      df: DataFrame, dir: String, batchId: Long): Unit = {
-    val fs = new Path(dir).getFileSystem(conf) // per-dir FS, same reason as rollback
-    val tmp = new Path(dir, s"_tmp_batch_$batchId")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        fs.rename(s.getPath, new Path(dir, s"batch$batchId-${s.getPath.getName}"))
-      }
-    fs.delete(tmp, true)
-  }
+  // commit-protocol primitives live in [[BatchCommit]] (shared with the
+  // embedding-gated [[SemanticCorpusStream]])
+  import BatchCommit.{commitMarker, publish, rollback}
 
   /** One tick of the ingest loop (factored out so batch jobs and tests
     * can drive it directly). Returns the number of novel docs kept.

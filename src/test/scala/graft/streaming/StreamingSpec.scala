@@ -195,6 +195,36 @@ class StreamingSpec extends SparkSpec {
       .getAs[Long]("denom") === card.getAs[Long]("denom"))
   }
 
+  test("SemanticCorpusStream: embedding-gated ticks, null-vec review rows, idempotent replay") {
+    import spark.implicits._
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpusDir = tmpDir("semcorpus")
+    val idxDir = tmpDir("semidx")
+    def tick(b: org.apache.spark.sql.DataFrame, bid: Long) =
+      SemanticCorpusStream.ingestBatch(spark, b, "vec_id", "embedding",
+        corpusDir, idxDir, cents, minCosine = 0.98, nprobe = 2,
+        batchId = Some(bid))
+    val t1 = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    assert(tick(t1, 0L) === 2L) // empty index: both novel
+    // tick 2: 10 semantically repeats 1 (cos ≈ 1) → gated; 11 is new;
+    // 12 has no vector → no semantic identity, passes for review
+    val t2 = Seq((10L, Some(Array(0.99f, 0.01f))), (11L, Some(Array(-0.7f, 0.7f))),
+      (12L, None: Option[Array[Float]])).toDF("vec_id", "embedding")
+    assert(tick(t2, 1L) === 2L)
+    assert(spark.read.parquet(corpusDir).select("vec_id")
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 11L, 12L))
+    // the cell index holds exactly the VECTOR-BEARING novel docs
+    assert(spark.read.parquet(idxDir).select("id")
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 11L))
+    // tick 3: a repeat of tick-2's novel doc is gated by the updated index
+    val t3 = Seq((20L, Array(-0.69f, 0.71f))).toDF("vec_id", "embedding")
+    assert(tick(t3, 2L) === 0L)
+    // at-least-once replay of a committed batch is a no-op
+    assert(tick(t2, 1L) === 0L)
+    assert(spark.read.parquet(corpusDir).count() === 4L)
+    assert(spark.read.parquet(idxDir).count() === 3L)
+  }
+
   test("EventStream.streamingSessionizeEventTime: late-within-watermark folds, late-beyond drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
