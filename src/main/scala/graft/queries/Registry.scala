@@ -10,7 +10,7 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
   * LLM-pipeline operators), each with ANSI/DuckDB oracle SQL where the
   * semantics are SQL-expressible. The entries live in per-layer files
   * ([[RelationalQueries]] §2 relational + SQL panels, [[DedupQueries]],
-  * [[AnnQueries]], [[TextQueries]], [[NemQueries]] reference pipeline +
+  * [[AnnQueries]], [[TextQueries]], [[SketchQueries]], [[NemQueries]] reference pipeline +
   * multimodal) and re-merge here; [[QueryShared]] carries the shared
   * scaffolding and the oracle-match rules all entries observe:
   *  - identical lowercase column aliases on both sides;
@@ -30,7 +30,8 @@ object Registry {
   val relational: Seq[Q] = RelationalQueries.relational
   val sqlSurface: Seq[Q] = RelationalQueries.sqlSurface
   val llm: Seq[Q] =
-    DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++ NemQueries.all
+    DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+      SketchQueries.all ++ NemQueries.all
 
   val all: Seq[Q] = relational ++ sqlSurface ++ llm
 

@@ -8,12 +8,14 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
 import QueryShared._
 
 /** Text-analysis / corpus-pipeline family: tokenization, quality,
-  * langid, PII scrub, sampling and mixes, sketches (CM / HLL /
-  * histogram), BPE train/encode, tf-idf, PMI, packing, chunking.
+  * langid, PII scrub, sampling and mixes, tf-idf, PMI, packing,
+  * chunking, corpus reports. The mergeable-sketch and tokenizer-
+  * training entries live in [[SketchQueries]].
   * Entries split from the monolithic Registry verbatim. */
 private[queries] object TextQueries {
 
   val all: Seq[Q] = Seq(
+
 
 
     Q("ta_tokens",
@@ -27,6 +29,7 @@ private[queries] object TextQueries {
               FROM documents ORDER BY doc_id""")),
 
 
+
     Q("ta_tokens_bpe",
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
@@ -34,6 +37,7 @@ private[queries] object TextQueries {
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
               FROM documents ORDER BY doc_id""")),
+
 
 
     Q("ta_quality",
@@ -55,6 +59,7 @@ private[queries] object TextQueries {
                        BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
                 ) / 3.0::DOUBLE, 6) AS quality
               FROM documents ORDER BY doc_id""")),
+
 
 
     Q("ta_rolling_fingerprint",
@@ -88,6 +93,7 @@ private[queries] object TextQueries {
               FROM h ORDER BY doc_id""")),
 
 
+
     Q("ta_langid",
       (s, d) => T(s, d, "documents")
         .select(col("doc_id"), col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
@@ -113,6 +119,7 @@ private[queries] object TextQueries {
               ORDER BY doc_id""")),
 
 
+
     // PII scrubbing: email/URL redaction with audit counts (RE2-safe
     // patterns — identical semantics on both engines)
     Q("ta_scrub_pii",
@@ -129,6 +136,7 @@ private[queries] object TextQueries {
                            regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
                            'https?://[^ \t\n\r]+', '[URL]', 'g')) AS scrubbed_digest
               FROM documents ORDER BY doc_id""")),
+
 
 
     // Gopher-style repetition filter: fraction of the text covered by the
@@ -154,6 +162,7 @@ private[queries] object TextQueries {
               FROM agg ORDER BY id""")),
 
 
+
     // sequence packing: deterministic (shard, pack, offset) per doc from
     // exact integer token sums — concatenate-and-chunk without global sort
     Q("ta_pack",
@@ -172,6 +181,7 @@ private[queries] object TextQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens
                     FROM t)
               ORDER BY doc_id""")),
+
 
 
     // deterministic hash split: stable train/val/test sharding from the
@@ -193,6 +203,7 @@ private[queries] object TextQueries {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
                     FROM documents)
               ORDER BY doc_id""")),
+
 
 
     // Corpus mixing: sample each language at its own deterministic rate
@@ -221,6 +232,7 @@ private[queries] object TextQueries {
               ORDER BY doc_id""")),
 
 
+
     // Exact-count stratified sample: exactly 30 docs per language by
     // salted-hash order — the fixed-size eval-set builder (vs the
     // rate-based ta_stratified_sample)
@@ -236,6 +248,7 @@ private[queries] object TextQueries {
                                   doc_id) AS rn
                 FROM documents WHERE doc_id IS NOT NULL)
               WHERE rn <= 30 ORDER BY doc_id""")),
+
 
 
     // Temperature-flattened corpus mix at T=2: weights are floor(√n·10⁶)
@@ -269,6 +282,7 @@ private[queries] object TextQueries {
               FROM n WHERE n_epochs > 0 ORDER BY doc_id, epoch""")),
 
 
+
     Q("ta_temperature_mix",
       (s, d) => TextAnalysis.temperatureMix(
           T(s, d, "documents"), "doc_id", "source", budget = 120L)
@@ -290,6 +304,7 @@ private[queries] object TextQueries {
                               WHERE d.doc_id IS NOT NULL)
               SELECT id, stratum, n_docs, target FROM ranked
               WHERE rn <= target ORDER BY id""")),
+
 
 
     // Snapshot drift report: rate comparison by exact integer cross-
@@ -327,6 +342,7 @@ private[queries] object TextQueries {
               FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
 
 
+
     // Long-document chunking: 32-token windows advancing by 24 (8-token
     // overlap); chunk counts and boundaries are pure integer arithmetic,
     // chunk text is exact token-slice reassembly — no shuffle anywhere
@@ -348,6 +364,7 @@ private[queries] object TextQueries {
                      least(32, n - chunk_id * 24) AS chunk_tokens,
                      array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
               FROM ch ORDER BY id, chunk_id""")),
+
 
 
     // Per-doc keyword extraction: top-3 terms by exact-integer tf-idf
@@ -375,6 +392,7 @@ private[queries] object TextQueries {
                               FROM scored)
               SELECT id, term, tf, df, score, rn FROM ranked
               WHERE rn <= 3 ORDER BY id, rn""")),
+
 
 
     // Domain-level reference profile. The corpus text carries no URLs, so
@@ -431,6 +449,7 @@ private[queries] object TextQueries {
               FROM h GROUP BY 1 ORDER BY n_refs DESC, domain""")),
 
 
+
     // The LLM-side flagship composition (sibling of nem_crunch_pipeline):
     // length gate → exact dedup → stratified sample → token budget →
     // deterministic shuffle → sequence packing, all one oracle-checked
@@ -483,6 +502,7 @@ private[queries] object TextQueries {
               FROM t6 ORDER BY doc_id""")),
 
 
+
     // Data selection under a token budget: per source, take docs in
     // priority order (longest first here) until the budget fills — the
     // corpus-selection step between filtering and packing. Exact integer
@@ -509,6 +529,7 @@ private[queries] object TextQueries {
               FROM c ORDER BY doc_id""")),
 
 
+
     // Deterministic global shuffle: every doc gets a unique position in a
     // stable pseudo-random training order. The Spark side composes
     // per-shard windows + a broadcast prefix-sum of shard counts (no
@@ -525,6 +546,7 @@ private[queries] object TextQueries {
               SELECT doc_id, h % 8 AS shard,
                      row_number() OVER (ORDER BY h % 8, h, doc_id) - 1 AS shuffle_pos
               FROM b ORDER BY doc_id""")),
+
 
 
     // Corpus length-distribution audit: per-language doc counts and exact
@@ -549,6 +571,7 @@ private[queries] object TextQueries {
               FROM r GROUP BY stratum ORDER BY stratum NULLS FIRST""")),
 
 
+
     // Per-doc n-gram novelty: sum/mean of corpus-wide shingle document
     // frequency — "repeats the corpus" (boilerplate), the complement of
     // ta_repetition's "repeats itself". Exact integer counts; the mean is
@@ -571,6 +594,7 @@ private[queries] object TextQueries {
                      CAST(sum(f.df_s) AS DOUBLE) / count(*) AS mean_df
               FROM posts p JOIN dfreq f ON p.sg = f.sg
               GROUP BY 1 ORDER BY id""")),
+
 
 
     // The per-doc QUALITY REPORT CARD — third flagship composition next
@@ -645,6 +669,7 @@ private[queries] object TextQueries {
               ORDER BY b.doc_id""")),
 
 
+
     // Vocabulary induction: top-50 tokens by document frequency — the
     // seed list for tokenizer training / stopword + maxDocFreq pruning
     Q("ta_vocab",
@@ -660,202 +685,6 @@ private[queries] object TextQueries {
                               FROM dfq)
               SELECT tok, doc_freq, rnk FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
 
-
-    // HyperLogLog cardinality sketch over corpus shingles: 256 one-byte
-    // registers replace the corpus-wide DISTINCT shuffle. Registers,
-    // zero-count, and the integer harmonic denominator are exact; the
-    // raw estimate is a single literal-arithmetic chain mirrored
-    // verbatim (no small/large-range correction — that needs ln, which
-    // is libm-dependent; v_zero ships so a caller can apply it).
-    Q("ta_hll_distinct",
-      (s, d) => {
-        val sh = graft.operators.TextAnalysis.shingleStream(
-          T(s, d, "documents"), "text", 3)
-        val regs = graft.operators.TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
-        val est = regs.agg(
-          count(lit(1)).as("m"),
-          sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
-          .withColumn("est_raw", expr(
-            "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
-        val exact = sh.agg(countDistinct(col("sg")).as("n_exact"))
-        est.join(exact)
-          .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
-                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
-                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
-                          FROM w),
-                   keys AS (SELECT unnest(s) AS sg FROM sh),
-                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
-                          FROM keys WHERE sg IS NOT NULL),
-                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
-                   regs0 AS (SELECT bucket,
-                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
-                             FROM br GROUP BY bucket),
-                   regs AS (SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
-                            FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range),
-                   agg AS (SELECT count(*) AS m,
-                                  CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-                                  CAST(sum(1::BIGINT << CAST(54 - rho AS INTEGER)) AS BIGINT) AS denom
-                           FROM regs),
-                   ex AS (SELECT count(DISTINCT sg) AS n_exact FROM keys WHERE sg IS NOT NULL)
-              SELECT m, v_zero, denom,
-                     0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE) AS est_raw,
-                     n_exact
-              FROM agg CROSS JOIN ex""")),
-
-
-    // Power-of-two token-length histogram: the mergeable distribution
-    // sketch (≤64 integer buckets, map-side-collapsing, shards merge by
-    // adding counts) next to the exact-quantile lengthProfile.
-    Q("ta_token_histogram",
-      (s, d) => graft.operators.TextAnalysis.tokenHistogram(
-        T(s, d, "documents"), "text").orderBy("bucket"),
-      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-                         FROM documents WHERE text IS NOT NULL),
-                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
-                                count(*) AS cnt
-                         FROM n GROUP BY 1),
-                   h AS (SELECT bucket,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
-                           cnt,
-                           sum(cnt) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                         FROM b)
-              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
-              FROM h ORDER BY bucket""")),
-
-
-    // Count-min heavy hitters: a 4×64-cell mergeable frequency sketch
-    // point-estimates the top-20 tokens; estimates are provably ≥ exact
-    // (overcount column). Sketch cells, estimates, and exact counts are
-    // all integer → hash-exact.
-    Q("ta_heavy_hitters",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        val sketch = graft.operators.TextAnalysis.countMinSketch(docs, "text",
-          depth = 4, width = 64)
-        val toks = docs.select(explode(split(
-            graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
-          .filter(length(col("tok")) > 0)
-        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-        graft.operators.TextAnalysis.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
-          .join(top, Seq("tok"))
-          .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
-            (col("cm_est") - col("exact_cnt")).as("overcount"))
-          .orderBy(col("exact_cnt").desc, col("token"))
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
-                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
-                   cells AS (SELECT r.range AS rw,
-                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                             FROM tk CROSS JOIN range(0, 4) r),
-                   sketch AS (SELECT rw, cl, count(*) AS cnt FROM cells GROUP BY rw, cl),
-                   exact AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok),
-                   top AS (SELECT tok, exact_cnt
-                           FROM (SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rn FROM exact)
-                           WHERE rn <= 20),
-                   kcells AS (SELECT t.tok, r.range AS rw,
-                                ('0x' || substr(md5(t.tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                              FROM top t CROSS JOIN range(0, 4) r),
-                   est AS (SELECT k.tok, min(coalesce(s.cnt, 0)) AS cm_est
-                           FROM kcells k LEFT JOIN sketch s ON s.rw = k.rw AND s.cl = k.cl
-                           GROUP BY k.tok)
-              SELECT t.tok AS token, t.exact_cnt, e.cm_est, e.cm_est - t.exact_cnt AS overcount
-              FROM top t JOIN est e USING (tok)
-              ORDER BY exact_cnt DESC, token""")),
-
-
-    // Sketch MERGEABILITY proven cross-engine: Spark sketches three
-    // doc_id%3 shards separately and merges by ADDING cells
-    // (TextAnalysis.cmMerge); the oracle sketches the whole corpus in one
-    // pass. Hash-equality IS the lossless-merge property that lets
-    // per-shard sketches roll up at 100 TB without touching row data
-    Q("ta_cm_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.cmMerge((0 until 3).map(k =>
-          TextAnalysis.countMinSketch(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
-            depth = 4, width = 64)))
-          .orderBy("row", "col")
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM d),
-                   tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
-                   cells AS (SELECT r.range AS rw,
-                               ('0x' || substr(md5(tok || '#cm' || CAST(r.range AS VARCHAR)), 18, 15))::BIGINT % 64 AS cl
-                             FROM tk CROSS JOIN range(0, 4) r)
-              SELECT rw AS "row", cl AS "col", count(*) AS cnt
-              FROM cells GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-
-    // Histogram shard-merge (the trio's third leg): bucket counts ADD,
-    // the cumulative column is re-derived over the merged ≤64-row result
-    // — Spark merges three doc_id%3 shard histograms, the oracle
-    // histograms the whole corpus directly
-    Q("ta_hist_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.histogramMerge((0 until 3).map(k =>
-          TextAnalysis.tokenHistogram(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text")))
-          .orderBy("bucket")
-      },
-      Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
-                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-                         FROM documents WHERE text IS NOT NULL),
-                   b AS (SELECT CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS bucket,
-                                count(*) AS cnt
-                         FROM n GROUP BY 1),
-                   h AS (SELECT bucket,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE 1::BIGINT << CAST(bucket - 1 AS INTEGER) END AS lo,
-                           CASE WHEN bucket = 0 THEN 0
-                                ELSE (1::BIGINT << CAST(bucket AS INTEGER)) - 1 END AS hi,
-                           cnt,
-                           sum(cnt) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-                         FROM b)
-              SELECT bucket, lo, hi, cnt, CAST(cum AS BIGINT) AS cum
-              FROM h ORDER BY bucket""")),
-
-
-    // HLL registers merge by per-bucket MAX (associative + idempotent):
-    // Spark merges three shard register tables; the oracle computes
-    // whole-corpus registers directly — max-merge is exactly lossless
-    Q("ta_hll_merge",
-      (s, d) => {
-        val docs = T(s, d, "documents")
-        TextAnalysis.hllMerge((0 until 3).map { k =>
-          val sh = TextAnalysis.shingleStream(
-            docs.filter(pmod(col("doc_id"), lit(3)) === k), "text", 3)
-          TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
-        }).orderBy("bucket")
-      },
-      Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-                   w AS (SELECT t, string_split(t, ' ') AS ws FROM d),
-                   sh AS (SELECT CASE WHEN len(ws) < 3 THEN [t]
-                                      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] END AS s
-                          FROM w),
-                   keys AS (SELECT unnest(s) AS sg FROM sh),
-                   hs AS (SELECT ('0x' || substr(md5(sg), 18, 15))::BIGINT AS h
-                          FROM keys WHERE sg IS NOT NULL),
-                   br AS (SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS rem FROM hs),
-                   regs0 AS (SELECT bucket,
-                               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS rho
-                             FROM br GROUP BY bucket)
-              SELECT r.range AS bucket, coalesce(g.rho, 0) AS rho
-              FROM range(0, 256) r LEFT JOIN regs0 g ON g.bucket = r.range
-              ORDER BY bucket""")),
 
 
     // PMI collocations: top-20 bigrams by lift (the monotone exponential
@@ -886,36 +715,6 @@ private[queries] object TextQueries {
               FROM sc ORDER BY lift DESC, w1, w2 LIMIT 20""")),
 
 
-    // BPE tokenizer training: k merge iterations, each DERIVED by the
-    // oracle itself (pair-count → argmax → gaps-and-islands greedy
-    // merge, one unrolled CTE block per iteration) — nothing about the
-    // learned merges is smuggled in as a literal. Counts are integer,
-    // tie-breaks lexicographic, so the merge sequence is engine-exact.
-    Q("ta_bpe_train",
-      (s, d) => graft.operators.TextAnalysis.bpeTrain(
-        T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
-      Some(bpeOracle(8))),
-
-
-    // Batched BPE training: batchSize symbol-disjoint merges per round
-    // (conflict-free prefix of the rank order) — same merge quality,
-    // ~1/batchSize the driver round-trips; the 32k-merge scale fix.
-    Q("ta_bpe_train_batched",
-      (s, d) => graft.operators.TextAnalysis.bpeTrainBatched(
-        T(s, d, "documents"), "text", numMerges = 8, batchSize = 4)
-        .orderBy("it"),
-      Some(bpeBatchedOracle(numMerges = 8, batchSize = 4))),
-
-
-    // BPE encoding with the pre-trained merge table (constants, the
-    // production artifact shape): every merge stage rides ONE Exchange
-    // as stacked windows; word boundaries partition merges apart.
-    Q("ta_bpe_encode",
-      (s, d) => graft.operators.TextAnalysis.bpeEncode(
-        T(s, d, "documents"), "doc_id", "text",
-        graft.operators.BpeMerges.merges).orderBy("id"),
-      Some(bpeEncodeOracle(graft.operators.BpeMerges.merges))),
-
 
     // Model-based quality filtering: a FROZEN linear classifier (the
     // CCNet/DataComp stage that replaces hand heuristics) scored at scan
@@ -926,6 +725,7 @@ private[queries] object TextQueries {
       (s, d) => TextAnalysis.qualityLogit(T(s, d, "documents"), "doc_id", "text")
         .orderBy("id"),
       Some(qualityLogitOracle)),
+
 
 
     // Filter-ensembling audit: the 2×2 agreement matrix between the
@@ -961,6 +761,7 @@ private[queries] object TextQueries {
                       count(*) AS n_docs
                FROM ql JOIN hq ON ql.id = hq.doc_id
                GROUP BY 1, 2 ORDER BY 1, 2""")),
+
 
 
     // Dataset card: the one-row corpus summary published alongside a
@@ -999,6 +800,7 @@ private[queries] object TextQueries {
                           FROM (SELECT l || ':' || CAST(count(*) AS VARCHAR) AS lc
                                 FROM q GROUP BY l))
               SELECT * FROM base CROSS JOIN lg""")),
+
 
 
     // C4-style blocklist gate: whole-token matching (substring matching
