@@ -90,6 +90,29 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set(key, "false")
   }
 
+  test("NtzCastPushdown: no derivation under OR; derived bound appears once (convergence)") {
+    val dir = tmpDir("enc_ntz_or") + "/events"
+    writeForeignMicrosNoUtc(dir)
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    spark.conf.set(key, "true")
+    try {
+      def normalized = Tables.normalizeEventTs(spark, spark.read.parquet(dir))
+      val bound = timestamp_micros(lit(micros(1)))
+      // under OR the conjunct is not an implication of the whole condition
+      val orPlan = normalized
+        .filter(col("ts") >= bound || col("ts").isNull)
+        .queryExecution.executedPlan.toString
+      assert(!orPlan.contains("PushedFilters: [GreaterThanOrEqual"),
+        s"derived bound leaked under OR:\n$orPlan")
+      // convergence: the derived bound is added once, not once per
+      // optimizer iteration (same guard as NanosRangePushdownSpec)
+      val eqPlan = normalized.filter(col("ts") === bound)
+        .queryExecution.executedPlan.toString
+      val occurrences = "EqualTo\\(ts,".r.findAllIn(eqPlan).length
+      assert(occurrences <= 3, s"derived bound duplicated $occurrences times:\n$eqPlan")
+    } finally spark.conf.set(key, "false")
+  }
+
   test("µs-UTC encoding → pass-through") {
     import spark.implicits._
     val dir = tmpDir("enc_ltz") + "/events"
