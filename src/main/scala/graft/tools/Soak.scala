@@ -129,11 +129,13 @@ object Soak {
         tickLat += (System.nanoTime() - t0) / 1e9
         if ((t + 1) % 100 == 0) {
           compactDir(spark, sigDir)
-          // stats partials compact on the same cadence: the fold is
-          // add-mergeable so a plain rewrite preserves reads, and without
-          // it the per-tick dir LISTING grows one file per batch (same
-          // filesystem artifact the sig compaction exists for)
-          compactDir(spark, statsDir)
+          // stats partials compact on the same cadence, one sublayout at
+          // a time (cm: add-mergeable counts, hll: max-mergeable
+          // registers — both fold-preserving under a plain rewrite);
+          // without it the per-tick dir LISTING grows one file per batch
+          // (same filesystem artifact the sig compaction exists for)
+          compactDir(spark, s"$statsDir/cm")
+          compactDir(spark, s"$statsDir/hll")
           System.gc()
           val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
           if (t + 1 == 100) heapEarly = heapMb
@@ -143,8 +145,12 @@ object Soak {
         }
       }
       // the accumulated partials must still fold to one fixed-grid sketch
+      // and a readable cardinality row
       val statCells = graft.streaming.CorpusStream.readTokenStats(spark, statsDir).count()
-      println(s"[soak] folded stats cells=$statCells (grid 4x64)")
+      val card = graft.streaming.CorpusStream.readTokenCardinality(spark, statsDir)
+        .collect().head
+      println(s"[soak] folded stats cells=$statCells (grid 4x64) " +
+        f"distinct_est=${card.getAs[Double]("est_raw")}%.0f")
     }
     spark.stop()
 
