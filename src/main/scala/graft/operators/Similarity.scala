@@ -447,6 +447,96 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
   }
 
+  /** The materialized IVF-PQ INDEX — what a production store persists
+    * instead of raw vectors: `(id, cell, codes: array<int>)`, the coarse
+    * cell assignment plus the m PQ code ids per vector (m=8/ksub=16 over
+    * 64 floats → 8 small ints, 64× smaller than float32). Write this
+    * partitioned by `cell` and searches prune to probed cells at the
+    * file level. One corpus scan feeding both branches; centroids and
+    * codebooks broadcast; codes are engine-exact (same `|c|² − 2·sv·c`
+    * argmin as [[pqSearch]]), so a search over the store returns results
+    * IDENTICAL to the inline [[ivfPqSearch]] — proven by the
+    * `ann_topk_ivfpq_stored` oracle being the inline formulation. */
+  def ivfPqStore(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normVec(corpus, idCol, vecCol, "id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    val cells = c.crossJoin(broadcast(cents))
+      .withColumn("d", -cosine(col("vec"), col("centroid")))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
+    val m = codebooks.size
+    val dsub = codebooks.head.head.length
+    val cb = codebooks.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, ci) =>
+        (s, ci, cw.toSeq, cw.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }.toDF("sub", "code", "cw", "cw2")
+    import org.apache.spark.sql.graftops.PlanApi
+    val dot = PlanApi.column(graft.functions.VectorDot(
+      PlanApi.expression(col("sv")), PlanApi.expression(col("cw"))))
+    val codes = c.select(col("id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), slice(col("vec"), s * dsub + 1, dsub).as("sv"))
+      }: _*)).as("x"))
+      .select(col("id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", col("cw2") - lit(2.0) * dot)
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+    cells.join(codes, Seq("id"))
+  }
+
+  /** IVF-PQ search over a MATERIALIZED [[ivfPqStore]] table — the online
+    * production path: candidates reconstruct from their stored codes via
+    * the broadcast codebooks (one lookup join on (sub, code) — the store
+    * is scanned once and never touches raw vectors), probes stay
+    * full-precision, probed cells prune the candidate set, and ranking
+    * is exact cosine against the reconstruction — bit-identical to
+    * [[ivfPqSearch]] run inline on the raw corpus. */
+  def ivfPqSearchStored(store: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Array[Double]], nprobe: Int,
+      codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val cb = codebooks.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (cw, ci) => (s, ci, cw.toSeq) }
+    }.toDF("sub", "code", "cw")
+    val recon = store
+      .select(col("id").as("cand_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy("cand_id", "cell")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cw")))),
+        p => p.getField("cw"))).as("recon"))
+    val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toDF("cell", "centroid")
+    import org.apache.spark.sql.expressions.Window
+    val probeCells = normVec(probes, idCol, vecCol, "probe_id", "probe_vec")
+      .crossJoin(broadcast(cents))
+      .withColumn("d", -cosine(col("probe_vec"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("probe_id", "probe_vec", "cell")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
+    recon.join(probeCells, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", cosine(col("probe_vec"), col("recon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("sim"), col("rn"))
+  }
+
   /** Corpus diversity audit against a pre-trained quantizer: assign every
     * vector to its nearest centroid (same deterministic argmin-cosine +
     * cell tie-break as [[ivfSearch]]) and report per-cluster membership —

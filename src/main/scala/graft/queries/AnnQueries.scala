@@ -381,56 +381,26 @@ private[queries] object AnnQueries {
             codebooks = graft.operators.PqCodebooks.books)
           .orderBy("probe_id", "rn")
       },
-      Some(s"""WITH cents(cell, cvec) AS (VALUES $centroidLiterals),
-                   cb(sub, code, pw) AS (VALUES $pqLiterals),
-                   cbn AS (SELECT sub, code, pw,
-                             list_sum(list_transform(pw, x -> x * x)) AS pw2
-                           FROM cb),
-                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
-                                -(list_sum(list_transform(list_zip(v.embedding, c.cvec),
-                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                     * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
-                              FROM embeddings v CROSS JOIN cents c),
-                   cells AS (SELECT vec_id AS cand_id, cell
-                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                   FROM scored)
-                             WHERE rn = 1),
-                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
-                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-                                    FROM scored WHERE vec_id < 10)
-                              WHERE rn <= 4),
-                   sl AS (SELECT v.vec_id, s.sub,
-                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
-                              x -> CAST(x AS DOUBLE)) AS sv
-                          FROM embeddings v, range(0, 8) s(sub)),
-                   asg AS (SELECT vec_id, sub, code, pw FROM (
-                             SELECT sl.vec_id, sl.sub, c.code, c.pw,
-                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
-                                      ORDER BY c.pw2 - (2.0::DOUBLE) * list_sum(
-                                          list_transform(list_zip(sl.sv, c.pw),
-                                            z -> z[1] * z[2])),
-                                        c.code) AS rn
-                             FROM sl JOIN cbn c USING (sub))
-                           WHERE rn = 1),
-                   recon AS (SELECT vec_id, flatten(list(pw ORDER BY sub)) AS rv
-                             FROM asg GROUP BY vec_id),
-                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, r.rv
-                            FROM pcells p
-                            JOIN cells c ON c.cell = p.cell
-                            JOIN recon r ON r.vec_id = c.cand_id
-                            WHERE c.cand_id <> p.probe_id),
-                   sims AS (SELECT probe_id, cand_id,
-                              list_sum(list_transform(list_zip(probe_vec, rv),
-                                z -> CAST(z[1] AS DOUBLE) * z[2]))
-                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                                 * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS sim
-                            FROM cand),
-                   ranked AS (SELECT probe_id, cand_id, sim,
-                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
-                              FROM sims)
-              SELECT probe_id, cand_id, sim, rn
-              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn""")),
+      Some(ivfPqOracle)),
+
+    // The same IVF-PQ search through a REAL store roundtrip: the
+    // (id, cell, codes) index is written to parquet partitioned by cell
+    // and searched from the re-read table via ivfPqSearchStored —
+    // proving the production shape (encode once at write time, search
+    // codes forever, probed cells prune at the file level) returns the
+    // identical result. Oracle = the inline formulation.
+    Q("ann_topk_ivfpq_stored",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        // staged ONCE per (JVM, sf dir) — same rationale as the int8 store
+        val store = IvfPqStoreCache.get(s, d, emb)
+        Similarity.ivfPqSearchStored(s.read.parquet(store),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, centroids = graft.operators.IvfQuantizer.centroids, nprobe = 4,
+            codebooks = graft.operators.PqCodebooks.books)
+          .orderBy("probe_id", "rn")
+      },
+      Some(ivfPqOracle)),
 
 
     // IVF search path with iters=0: centroids are then exactly the first

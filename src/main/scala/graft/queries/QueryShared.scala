@@ -59,6 +59,87 @@ private[queries] object QueryShared {
       })
   }
 
+  /** [[Int8StoreCache]]'s IVF-PQ sibling for `ann_topk_ivfpq_stored`:
+    * the materialized (id, cell, codes) index, written once per (JVM,
+    * sf dir) PARTITIONED BY cell — probed cells prune at the file
+    * level, the production layout. */
+  object IvfPqStoreCache {
+    private val dirs = scala.collection.concurrent.TrieMap.empty[String, String]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.values.foreach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val root = Path.of(d)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+    def get(s: SparkSession, sfDir: String, emb: DataFrame): String =
+      dirs.getOrElseUpdate(sfDir, {
+        val store = java.nio.file.Files.createTempDirectory("graft_ivfpq_store")
+        graft.operators.Similarity.ivfPqStore(emb, "vec_id", "embedding",
+            graft.operators.IvfQuantizer.centroids, graft.operators.PqCodebooks.books)
+          .write.mode("overwrite").partitionBy("cell").parquet(store.toString)
+        store.toString
+      })
+  }
+
+  /** The `ann_topk_ivfpq` / `ann_topk_ivfpq_stored` oracle — one
+    * formulation serves both: the stored path's codes are engine-exact,
+    * so searching the materialized index must reproduce the inline
+    * result bit-for-bit. */
+  lazy val ivfPqOracle: String = s"""WITH cents(cell, cvec) AS (VALUES $centroidLiterals),
+                   cb(sub, code, pw) AS (VALUES $pqLiterals),
+                   cbn AS (SELECT sub, code, pw,
+                             list_sum(list_transform(pw, x -> x * x)) AS pw2
+                           FROM cb),
+                   scored AS (SELECT v.vec_id, v.embedding, c.cell,
+                                -(list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                                    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                     * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS d
+                              FROM embeddings v CROSS JOIN cents c),
+                   cells AS (SELECT vec_id AS cand_id, cell
+                             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                   FROM scored)
+                             WHERE rn = 1),
+                   pcells AS (SELECT vec_id AS probe_id, embedding AS probe_vec, cell
+                              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                                    FROM scored WHERE vec_id < 10)
+                              WHERE rn <= 4),
+                   sl AS (SELECT v.vec_id, s.sub,
+                            list_transform(v.embedding[s.sub*8+1 : s.sub*8+8],
+                              x -> CAST(x AS DOUBLE)) AS sv
+                          FROM embeddings v, range(0, 8) s(sub)),
+                   asg AS (SELECT vec_id, sub, code, pw FROM (
+                             SELECT sl.vec_id, sl.sub, c.code, c.pw,
+                                    row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+                                      ORDER BY c.pw2 - (2.0::DOUBLE) * list_sum(
+                                          list_transform(list_zip(sl.sv, c.pw),
+                                            z -> z[1] * z[2])),
+                                        c.code) AS rn
+                             FROM sl JOIN cbn c USING (sub))
+                           WHERE rn = 1),
+                   recon AS (SELECT vec_id, flatten(list(pw ORDER BY sub)) AS rv
+                             FROM asg GROUP BY vec_id),
+                   cand AS (SELECT p.probe_id, p.probe_vec, c.cand_id, r.rv
+                            FROM pcells p
+                            JOIN cells c ON c.cell = p.cell
+                            JOIN recon r ON r.vec_id = c.cand_id
+                            WHERE c.cand_id <> p.probe_id),
+                   sims AS (SELECT probe_id, cand_id,
+                              list_sum(list_transform(list_zip(probe_vec, rv),
+                                z -> CAST(z[1] AS DOUBLE) * z[2]))
+                              / (sqrt(list_sum(list_transform(probe_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(rv, x -> x * x)))) AS sim
+                            FROM cand),
+                   ranked AS (SELECT probe_id, cand_id, sim,
+                                row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+                              FROM sims)
+              SELECT probe_id, cand_id, sim, rn
+              FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""
+
   lazy val planeLiterals: String =
     Similarity.hyperplanes(16, 64, 42L).zipWithIndex
       .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }

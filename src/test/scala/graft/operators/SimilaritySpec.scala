@@ -201,6 +201,30 @@ class SimilaritySpec extends SparkSpec {
     assert(full === purePq)
   }
 
+  test("ivfPqStore roundtrip: searching the materialized index equals the inline search exactly") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val dir = tmpDir("ivfpq_store") + "/index"
+    Similarity.ivfPqStore(emb, "vec_id", "embedding",
+        graft.operators.IvfQuantizer.centroids, graft.operators.PqCodebooks.books)
+      .write.partitionBy("cell").parquet(dir)
+    val store = spark.read.parquet(dir)
+    // the store holds m small codes per vector, nothing else
+    assert(store.columns.sorted.toSeq === Seq("cell", "codes", "id"))
+    assert(store.count() === emb.count())
+    val stored = Similarity.ivfPqSearchStored(store, probes, "vec_id", "embedding", 5,
+        graft.operators.IvfQuantizer.centroids, nprobe = 4,
+        graft.operators.PqCodebooks.books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = Similarity.ivfPqSearch(emb, probes, "vec_id", "embedding", 5,
+        graft.operators.IvfQuantizer.centroids, nprobe = 4,
+        graft.operators.PqCodebooks.books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // codes are engine-exact, so the roundtrip must be BIT-identical —
+    // scores included, not just candidate sets
+    assert(stored === inline)
+  }
+
   test("lsh recall vs brute force on the real embeddings table") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
