@@ -21,7 +21,8 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // input volume: rows of the table family the query reads
-    val table = if (name.startsWith("ann_")) "embeddings"
+    val table = if (name.startsWith("ann_") || name.contains("semantic")
+        || name.contains("embed")) "embeddings"
       else if (name.startsWith("dd_") || name.startsWith("ta_")) "documents"
       else "events"
     val rows = graft.Tables(spark, sfDir, table).count()
