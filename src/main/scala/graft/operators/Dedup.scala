@@ -581,10 +581,19 @@ object Dedup {
     * index is scanned ONCE, filtered to probed cells by the broadcast
     * hash join, and never shuffled. Each corpus doc lives in exactly one
     * cell, so a (batch, corpus) pair verifies at most once even with
-    * nprobe > 1 — no distinct needed. */
+    * nprobe > 1 — no distinct needed.
+    *
+    * `broadcastBatch` caveat (same trade as `bpeEncode`'s vocab knob):
+    * the probe broadcast carries batch×nprobe rows WITH full vectors —
+    * right for the per-tick arrivals this operator exists for, wrong for
+    * a million-doc backfill. Pass `broadcastBatch = false` there and the
+    * probe degrades to a shuffle hash join on `cell`: the index shuffles
+    * once by cell (bounded by the index's own size, no cartesian), which
+    * beats a driver-OOM-sized broadcast. */
   def incrementalSemanticDedup(batch: DataFrame, corpusIndex: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
-      minCosine: Double, nprobe: Int = 2): DataFrame = {
+      minCosine: Double, nprobe: Int = 2,
+      broadcastBatch: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
@@ -599,8 +608,10 @@ object Dedup {
       .withColumn("rn", row_number().over(probeRank))
       .filter(col("rn") <= nprobe)
       .select(col("batch_id"), col("cell"), col("vec_b"))
-    corpusIndex
-      .join(broadcast(probes), Seq("cell"))
+    val probed =
+      if (broadcastBatch) corpusIndex.join(broadcast(probes), Seq("cell"))
+      else corpusIndex.join(probes.hint("shuffle_hash"), Seq("cell"))
+    probed
       .withColumn("cosine", Similarity.cosine(col("vec"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select(col("batch_id"), col("id").as("corpus_id"), col("cosine"))

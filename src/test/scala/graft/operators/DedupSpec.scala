@@ -238,6 +238,12 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(1) === Set((10L, 1L))) // single probe misses the boundary dup
     assert(pairs(2) === Set((10L, 1L), (11L, 3L))) // multi-probe finds it
+    // the huge-batch degradation (shuffle hash join on cell) must return
+    // the identical pair set
+    assert(Dedup.incrementalSemanticDedup(batch, idx, "vec_id", "embedding",
+        cents, minCosine = 0.95, nprobe = 2, broadcastBatch = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((10L, 1L), (11L, 3L)))
     // the corpus-index join is a broadcast of the batch side — never a
     // shuffle of the index, never a cartesian against it
     val plan = Dedup.incrementalSemanticDedup(
