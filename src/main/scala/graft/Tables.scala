@@ -46,7 +46,15 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // foreign session (inferTimestampNTZ left on): wall-clock → UTC
-        // instant; identity on the stored micros under a UTC session.
+        // instant; identity on the stored micros ONLY under a UTC session
+        // — any other session timezone would silently shift the stored
+        // micros away from what engine sessions and the DuckDB oracle
+        // see, so refuse loudly instead of corrupting instants
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+          s"TIMESTAMP_NTZ events require spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the NTZ→instant cast is timezone-dependent and " +
+            s"would shift stored micros under any other zone")
         // The pushdown rule rederives range predicates on the cast
         // column against the raw NTZ attribute so the scan still prunes
         graft.plans.NtzCastPushdown.register(spark)

@@ -491,7 +491,14 @@ object Similarity {
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         p => p.getField("code")).as("codes"))
-    cells.join(codes, Seq("id"))
+    // materialize the (id, cell, codes) result — 64× smaller than the raw
+    // vectors — so the big normalized-corpus cache can be released HERE
+    // instead of leaking MEMORY_AND_DISK blocks for the JVM lifetime
+    // (direct callers previously paid that leak per build); checkpoint
+    // blocks are context-cleaned once the returned frame is unreachable
+    val out = cells.join(codes, Seq("id")).localCheckpoint()
+    c.unpersist()
+    out
   }
 
   /** IVF-PQ search over a MATERIALIZED [[ivfPqStore]] table — the online

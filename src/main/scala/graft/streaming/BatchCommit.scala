@@ -41,7 +41,14 @@ private[streaming] object BatchCommit {
     df.write.mode("overwrite").parquet(tmp.toString)
     fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { s =>
-        fs.rename(s.getPath, new Path(dir, s"batch$batchId-${s.getPath.getName}"))
+        val dest = new Path(dir, s"batch$batchId-${s.getPath.getName}")
+        // rename failure must fail the TICK, not silently drop part files
+        // from a batch the caller is about to mark committed — throwing
+        // here leaves no marker, so the replay path rolls the partial
+        // publish back and retries the whole batch
+        if (!fs.rename(s.getPath, dest))
+          throw new java.io.IOException(
+            s"batch $batchId publish: rename ${s.getPath} -> $dest failed")
       }
     fs.delete(tmp, true)
   }

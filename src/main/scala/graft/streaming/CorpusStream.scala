@@ -111,6 +111,14 @@ object CorpusStream {
     val regs = graft.operators.TextAnalysis.hllMerge(
       Seq(spark.read.parquet(s"$statsDir/hll")))
     val m = regs.count() // 2^p, densified by hllRegisters' spine join
+    // guard the exponent derivation: if partials were ever written with
+    // different statsHllP values, hllMerge unions distinct bucket grids
+    // and m is no longer a power of two — numberOfTrailingZeros would
+    // then yield a silently-wrong p and a garbage estimate
+    require(m > 0 && (m & (m - 1)) == 0,
+      s"HLL register fold has $m buckets — not a power of two, so the " +
+        "partials under this statsDir were written with mixed statsHllP " +
+        "values and cannot be merged; rebuild the stats with one p")
     val p = java.lang.Long.numberOfTrailingZeros(m)
     // scale exponent x = 62−p: keeps the all-zero-register worst case
     // (denom = m·2^x = 2^62) inside BIGINT for any p, and x − max rho =

@@ -98,7 +98,10 @@ object EventStream {
               val tsMicros = micros(r.ts)
               if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
                 n += 1
-              lastTs = tsMicros
+              // max (same guard as the event-time form): a cross-batch
+              // out-of-order row joins the open session without rewinding
+              // the session clock; identity for in-order input
+              lastTs = math.max(lastTs, tsMicros)
               SessOut(uid, r.event_id, r.ts, n)
             }
             state.update(SessState(lastTs, n))
@@ -150,7 +153,14 @@ object EventStream {
               val tsMicros = micros(r.ts)
               if (lastTs == Long.MinValue || tsMicros - lastTs > gapSeconds * 1000000L)
                 n += 1
-              lastTs = tsMicros
+              // max, never assignment: an accepted late row (>= watermark
+              // but older than the state's latest event) joins the open
+              // session (negative delta above) without REWINDING the
+              // session clock — otherwise a subsequent event within gap of
+              // the true latest would be misnumbered into a spurious new
+              // session, and the event-time timeout below would shrink so
+              // state could expire before trueLast + gap
+              lastTs = math.max(lastTs, tsMicros)
               SessOut(uid, r.event_id, r.ts, n)
             }
             state.update(SessState(lastTs, n))

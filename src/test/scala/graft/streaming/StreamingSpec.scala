@@ -252,6 +252,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (4L, 2L)))
   }
 
+  test("EventStream.streamingSessionizeEventTime: accepted late row cannot rewind the session clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.streamingSessionizeEventTime(mem.toDS(),
+        gapSeconds = 60, lateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_wm_rewind").outputMode("append").start()
+    // batch 1: sessions 1 and 2; state lastTs = 00:20:00, watermark → 00:10
+    mem.addData(
+      EventStream.Ev(9L, 1L, t("2024-01-01T00:00:00Z")),
+      EventStream.Ev(9L, 2L, t("2024-01-01T00:20:00Z")))
+    q.processAllAvailable()
+    // batch 2: event 3 is >= the watermark (accepted) but OLDER than the
+    // state's lastTs — it must join the open session 2 WITHOUT moving the
+    // session clock backwards; event 4 is 45 s after the TRUE latest event
+    // (00:20:00), i.e. within gap, so it is session 2 as well. The
+    // pre-fix fold rewound lastTs to 00:19:30 and misnumbered event 4
+    // into a spurious session 3 (00:20:45 − 00:19:30 = 75 s > gap).
+    mem.addData(
+      EventStream.Ev(9L, 3L, t("2024-01-01T00:19:30Z")),
+      EventStream.Ev(9L, 4L, t("2024-01-01T00:20:45Z")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_id, session_n FROM sess_wm_rewind ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
   test("EventStream.streamingEwmaEventTime: late point beyond watermark cannot rewrite history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
