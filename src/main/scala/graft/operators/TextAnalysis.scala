@@ -912,12 +912,28 @@ object TextAnalysis {
     * round's ranking; a documented algorithm difference, not an
     * approximation of the classic schedule.
     *
-    * Each round is ONE distributed selection (count → rank → dominance
-    * anti-join over the bounded candidate window) collecting ≤
-    * `batchSize` rows, plus one rewrite/checkpoint — both bounded by
+    * Each round is ONE distributed selection — pair count (map-side-
+    * combined groupBy) → distributed TakeOrdered top-4·batchSize — then
+    * an O(window) driver-side dominance scan over the collected
+    * candidates (no rank window, no self-join: the r10 shape ranked the
+    * WHOLE pair-count table through a single-partition row_number
+    * window every round), plus one rewrite/checkpoint — all bounded by
     * vocabulary, never corpus. A round may overshoot `numMerges` by up
     * to batchSize−1 picks; the returned table truncates to `numMerges`
     * (same first-numMerges contract the oracle unrolls). */
+  /** One training round's candidate pair counts — adjacent-symbol pairs
+    * over the posting table with their frequency-weighted counts,
+    * `minPairCount`-filtered. Factored out so the spec can assert the
+    * selection's physical plan (map-side-combined aggregate feeding a
+    * distributed TakeOrdered; no single-partition WindowExec). */
+  private[operators] def candidatePairs(posts: org.apache.spark.sql.DataFrame,
+      wv: org.apache.spark.sql.expressions.WindowSpec,
+      minPairCount: Long): org.apache.spark.sql.DataFrame =
+    posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
+      .filter(col("nxt").isNotNull)
+      .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minPairCount)
+
   def bpeTrainBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int, batchSize: Int = 8,
       minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
@@ -938,33 +954,41 @@ object TextAnalysis {
     import org.apache.spark.sql.graftops.PlanApi
     var done = false
     while (merges.size < numMerges && !done) {
-      // rank candidates; dominance window is bounded (a pick blocks ≤ 2
-      // symbols, so rank > 2·batchSize+1 can still be picked only if
-      // every higher rank conflicts among themselves — 4·batchSize is a
-      // safe, small window and keeps the self-join candidate set tiny)
+      // candidate window is bounded (a pick blocks ≤ 2 symbols, so rank >
+      // 2·batchSize+1 can be picked only if every higher rank conflicts
+      // among themselves — 4·batchSize is a safe, small window), and the
+      // top-window cut is a DISTRIBUTED TakeOrdered: the whole pair-count
+      // table never funnels through a single-partition rank window (the
+      // r10 shape did, one task per round). The dominance scan over the
+      // ≤ 4·batchSize survivors is O(window) driver work — replacing the
+      // rank-window + self-join pair entirely.
       val window = 4 * batchSize
-      val rk = posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
-        .filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
-        .filter(col("cnt") >= minPairCount)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("cnt").desc, col("sym"), col("nxt"))))
-        .filter(col("rn") <= window)
-      val picks = rk.as("a").join(rk.as("b"),
-          col("b.rn") < col("a.rn") &&
-            (col("b.sym") === col("a.sym") || col("b.sym") === col("a.nxt") ||
-             col("b.nxt") === col("a.sym") || col("b.nxt") === col("a.nxt")),
-          "left_anti")
-        .orderBy("rn").limit(batchSize)
-        .select(col("sym"), col("nxt"), col("cnt"), col("rn"))
+      val cand = candidatePairs(posts, wv, minPairCount)
+        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(window)
         .collect()
+        // TakeOrderedAndProject returns sorted rows; re-sort on the driver
+        // anyway so correctness never leans on a physical-plan detail
+        .sortBy(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+      // conflict-free-prefix rule, verbatim from the scaladoc: a pair is
+      // picked iff NO higher-ranked candidate (picked or not) shares a
+      // symbol with it — so `seen` accumulates the symbols of EVERY
+      // scanned pair, not just the picked ones
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val seen = scala.collection.mutable.Set.empty[String]
+      val candIt = cand.iterator
+      while (picks.size < batchSize && candIt.hasNext) {
+        val r = candIt.next()
+        val (l, rt, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (!seen(l) && !seen(rt)) picks += ((l, rt, cnt))
+        seen += l; seen += rt
+      }
       if (picks.isEmpty) done = true
       else {
         val base = merges.size
-        picks.sortBy(_.getInt(3)).zipWithIndex.foreach { case (row, i) =>
-          merges += ((base + i, row.getString(0), row.getString(1), row.getLong(2)))
+        picks.zipWithIndex.foreach { case ((l, rt, cnt), i) =>
+          merges += ((base + i, l, rt, cnt))
         }
-        val pickDf = picks.map(r => (r.getString(0), r.getString(1)))
+        val pickDf = picks.map { case (l, rt, _) => (l, rt) }
           .toSeq.toDF("ml_sym", "mr_sym")
         val stepped = posts
           .withColumn("nxt", lead(col("sym"), 1).over(wv))
@@ -1022,12 +1046,26 @@ object TextAnalysis {
     * deduplicate (code identifiers, URLs, noisy OCR) can outgrow a
     * broadcast: pass `broadcastVocab = false` and the join degrades
     * gracefully to a shuffle hash join on `wd` — the corpus word stream
-    * shuffles once, still no cartesian anywhere. */
+    * shuffles once, still no cartesian anywhere.
+    *
+    * Plan-depth bound (`checkpointEvery`): a real tokenizer ships ~32k
+    * merges, and each merge is another window stage stacked on the same
+    * plan — unchecked, that's a 32k-stage Catalyst plan that dies in
+    * analysis/janino long before data cost matters. Every
+    * `checkpointEvery` stages the vocab posting table is eagerly
+    * localCheckpoint'd (vocab-bounded rows, the same generation-release
+    * hygiene [[bpeTrain]] uses), so the LONGEST plan Catalyst ever sees
+    * is `checkpointEvery` stages regardless of merge count; superseded
+    * checkpoint generations are released inside the loop, and the final
+    * generation lives until the returned frame is consumed. */
   def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
       merges: Seq[(String, String)],
-      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
+      broadcastVocab: Boolean = true,
+      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
+    import org.apache.spark.sql.graftops.PlanApi
     val words = df
       .select(col(idCol).as("id"),
         posexplode(split(normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
@@ -1038,6 +1076,8 @@ object TextAnalysis {
           i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
     val wv = Window.partitionBy("wd").orderBy("pos")
     val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var stage = 0
+    var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
     for ((l, r) <- merges) {
       val started = posts.withColumn("start",
         col("sym") === lit(l) && lead(col("sym"), 1).over(wv) === lit(r))
@@ -1056,6 +1096,13 @@ object TextAnalysis {
         .withColumn("sym", when(col("valid"), lit(l + r)).otherwise(col("sym")))
         .withColumn("pos", row_number().over(wv) - 1)
         .select("wd", "pos", "sym")
+      stage += 1
+      if (stage % checkpointEvery == 0) {
+        val ck = posts.localCheckpoint(true)
+        prevCkpt.foreach(PlanApi.releaseCheckpointBlocks)
+        prevCkpt = Some(ck)
+        posts = ck
+      }
     }
     val encVocab = posts.groupBy("wd")
       .agg(count(lit(1)).as("n"),
