@@ -206,11 +206,13 @@ private[queries] object NemQueries {
               FROM documents ORDER BY doc_id""")),
 
 
-    // Multimodal decode → frame-sample → feature pipeline (stub codec,
-    // real plumbing: mapPartitions decode, posexplode fan-out). The stub
-    // codec is deterministic 32-bit arithmetic over the 16-byte fake
-    // header (Java Arrays.hashCode fold), so the oracle replicates it
-    // with wrap-around modular math and checks the whole pipeline.
+    // Multimodal decode → frame-sample → feature pipeline. The decode is
+    // the real javax.imageio path (MultimodalSpec pins PNG/BMP/GIF dims
+    // and frame counts); these synthetic payloads carry an IMG0 container
+    // no JDK reader recognizes, so this query exercises the declared
+    // FakeCodec FALLBACK — deterministic 32-bit arithmetic over the
+    // 16-byte fake header (Java Arrays.hashCode fold), which the oracle
+    // replicates with wrap-around modular math and checks end to end.
     Q("mm_decode_frames",
       (s, d) => {
         import graft.multimodal.Multimodal._

@@ -22,7 +22,7 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0).getAs[String]("digest") !== meta(1).getAs[String]("digest"))
   }
 
-  test("decode stub runs per-partition and is stable; null payload → zeros") {
+  test("decode fallback (unrecognized container) is per-partition and stable; null payload → zeros") {
     import spark.implicits._
     val withNull = Multimodal.attachBinary(docs(), "text")
       .withColumn("payload",
@@ -49,6 +49,78 @@ class MultimodalSpec extends SparkSpec {
     counts.foreach { case (id, c) => assert(c === math.min(nFrames(id), 3)) }
     val f = frames.select(size(col("features"))).head().getInt(0)
     assert(f === 8)
+  }
+
+  // ---- real-codec fixtures: images written by the test itself through
+  // the same javax.imageio SPI the codec reads with -------------------
+  private def solidImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    img
+  }
+  private def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no JDK writer for $fmt")
+    baos.toByteArray
+  }
+  private def gif2Frames(w: Int, h: Int): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 2).foreach { i =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(solidImage(w, h, if (i == 0) 0x000000 else 0xFFFFFF), null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  test("decode: real PNG/BMP/GIF payloads get exact javax.imageio dims; unknown containers fall back") {
+    import spark.implicits._
+    val fakePayload = ("IMG0" + "not-an-image-payload").getBytes("UTF-8")
+    val rows = Seq(
+      (1L, encodeImage(solidImage(37, 23, 0x336699), "png")),
+      (2L, encodeImage(solidImage(5, 9, 0xFFFFFF), "bmp")),
+      (3L, gif2Frames(4, 4)),
+      (4L, fakePayload)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decode(rows, "payload")
+      .select("doc_id", "width", "height", "n_frames").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) === ((1L, 37, 23, 1)))
+    assert(out(1) === ((2L, 5, 9, 1)))
+    assert(out(2) === ((3L, 4, 4, 2))) // animated GIF: real frame count
+    // no registered reader for the fake container → declared fallback,
+    // bit-identical to FakeCodec so the oracle-checked pipeline is stable
+    val (fw, fh, ff) = Multimodal.FakeCodec.decode(fakePayload)
+    assert(out(3) === ((4L, fw, fh, ff)))
+    assert(Multimodal.JdkImageCodec.decodeDims(fakePayload).isEmpty)
+  }
+
+  test("imageFeatures: mean-luma grid is exact on solid and split images; null for non-images") {
+    import spark.implicits._
+    // left half black, right half white → grid=2 cells [0, 1, 0, 1]
+    val split = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(y => (0 until 16).foreach(x =>
+      split.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)))
+    val rows = Seq(
+      (1L, encodeImage(solidImage(12, 12, 0x000000), "png")),
+      (2L, encodeImage(solidImage(12, 12, 0xFFFFFF), "png")),
+      (3L, encodeImage(split, "png")),
+      (4L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.imageFeatures(rows, "payload", grid = 2)
+      .select("doc_id", "img_features").orderBy("doc_id").collect()
+    def feats(i: Int): Seq[Double] = out(i).getSeq[Double](1)
+    assert(feats(0).forall(v => math.abs(v) < 1e-9))
+    assert(feats(1).forall(v => math.abs(v - 1.0) < 1e-9))
+    assert(feats(2).zip(Seq(0.0, 1.0, 0.0, 1.0))
+      .forall { case (got, want) => math.abs(got - want) < 1e-9 })
+    assert(out(3).isNullAt(1))
+    assert(feats(0).length === 4)
   }
 
   test("embedding near-dup: planted duplicate found, no cartesian") {
