@@ -579,6 +579,64 @@ private[queries] object RelationalQueries {
               SELECT user_id, event_id, ewma
               FROM r ORDER BY user_id, event_id""")),
 
+    // Segment-composed EWMA (the skew escape hatch: parallelism =
+    // groups × chunks instead of groups — weekly time chunks here). The
+    // composed op order (local fold from 0 carrying a running decay
+    // product, entry states A·S + B, final a·S + b — no pow, no libm)
+    // differs from the sequential recurrence by design, so the oracle
+    // mirrors THAT order; EwmaSegmentedSpec separately pins equivalence
+    // to the sequential operator (bitwise under exact arithmetic,
+    // ≤ 1e-12 relative elsewhere).
+    Q("w01c_ewma_segmented",
+      (s, d) => Ewma.withEwmaSegmented(T(s, d, "events"), "user_id",
+          Seq("ts", "event_id"), "value", alpha = 0.05, outCol = "ewma",
+          chunkCol = expr("unix_micros(ts) div 604800000000"))
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy("user_id", "event_id"),
+      Some("""WITH RECURSIVE b AS (
+                SELECT user_id, event_id, value,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS chunk,
+                       row_number() OVER (
+                         PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                FROM events),
+              l(user_id, chunk, event_id, rn, a, lb, value) AS (
+                SELECT user_id, chunk, event_id, rn,
+                       CASE WHEN value IS NULL THEN 1.0::DOUBLE
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 1.0::DOUBLE END,
+                       CASE WHEN value IS NULL THEN 0.0::DOUBLE
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * 0.0::DOUBLE + 0.05::DOUBLE * value END,
+                       value
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.chunk, b.event_id, b.rn,
+                       CASE WHEN b.value IS NULL THEN l.a
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * l.a END,
+                       CASE WHEN b.value IS NULL THEN l.lb
+                            ELSE (1.0::DOUBLE - 0.05::DOUBLE) * l.lb + 0.05::DOUBLE * b.value END,
+                       b.value
+                FROM l JOIN b ON b.user_id = l.user_id AND b.chunk = l.chunk
+                              AND b.rn = l.rn + 1),
+              s AS (SELECT user_id, chunk, a AS ca, lb AS cb FROM l
+                    QUALIFY row_number() OVER (PARTITION BY user_id, chunk
+                      ORDER BY rn DESC) = 1),
+              cs AS (SELECT user_id, chunk, ca, cb,
+                            row_number() OVER (PARTITION BY user_id
+                              ORDER BY chunk) AS crank
+                     FROM s),
+              e(user_id, crank, state) AS (
+                SELECT user_id, 1, 0.0::DOUBLE FROM cs WHERE crank = 1
+                UNION ALL
+                SELECT cs.user_id, cs.crank + 1, cs.ca * e.state + cs.cb
+                FROM e JOIN cs ON cs.user_id = e.user_id AND cs.crank = e.crank)
+              SELECT l.user_id, l.event_id,
+                     CASE WHEN l.value IS NULL THEN NULL
+                          ELSE l.a * e.state + l.lb END AS ewma
+              FROM l
+              JOIN cs ON cs.user_id = l.user_id AND cs.chunk = l.chunk
+              JOIN e ON e.user_id = l.user_id AND e.crank = cs.crank
+              ORDER BY l.user_id, l.event_id""")),
+
     Q("w02_row_number",
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
