@@ -11,8 +11,9 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
   * fixed-seed model literals (hyperplanes / IVF centroids / PQ
   * codebooks) rendered as DuckDB VALUES rows, and the generated BPE /
   * quality-logit oracles. One object so every per-layer query file
-  * ([[RelationalQueries]], [[DedupQueries]], [[AnnQueries]],
-  * [[TextQueries]], [[NemQueries]]) composes from the same source of
+  * ([[RelationalQueries]], [[DedupQueries]], [[SemanticDedupQueries]],
+  * [[AnnQueries]], [[TextQueries]], [[TextReportQueries]],
+  * [[NemQueries]]) composes from the same source of
   * truth — split from the monolithic Registry, zero behavior change. */
 private[queries] object QueryShared {
 

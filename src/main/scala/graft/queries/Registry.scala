@@ -9,9 +9,10 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
 /** One named query per implemented operator of SURVEY.md §2 (plus the
   * LLM-pipeline operators), each with ANSI/DuckDB oracle SQL where the
   * semantics are SQL-expressible. The entries live in per-layer files
-  * ([[RelationalQueries]] §2 relational + SQL panels, [[DedupQueries]],
-  * [[AnnQueries]], [[TextQueries]], [[SketchQueries]], [[NemQueries]] reference pipeline +
-  * multimodal) and re-merge here; [[QueryShared]] carries the shared
+  * ([[RelationalQueries]] §2 relational + SQL panels, [[DedupQueries]] +
+  * [[SemanticDedupQueries]], [[AnnQueries]], [[TextQueries]] +
+  * [[TextReportQueries]], [[SketchQueries]], [[NemQueries]] reference
+  * pipeline + multimodal) and re-merge here; [[QueryShared]] carries the shared
   * scaffolding and the oracle-match rules all entries observe:
   *  - identical lowercase column aliases on both sides;
   *  - a total ORDER BY with a unique tie-break wherever LIMIT appears;
@@ -30,7 +31,8 @@ object Registry {
   val relational: Seq[Q] = RelationalQueries.relational
   val sqlSurface: Seq[Q] = RelationalQueries.sqlSurface
   val llm: Seq[Q] =
-    DedupQueries.all ++ AnnQueries.all ++ TextQueries.all ++
+    DedupQueries.all ++ SemanticDedupQueries.all ++ AnnQueries.all ++
+      TextQueries.all ++ TextReportQueries.all ++
       SketchQueries.all ++ NemQueries.all
 
   val all: Seq[Q] = relational ++ sqlSurface ++ llm

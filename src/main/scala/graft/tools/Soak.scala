@@ -22,10 +22,20 @@ import graft.{GraftSession, SparkEntry}
   * per-tick index LISTING grows linearly with published batch files,
   * which is a filesystem artifact, not session state.
   *
-  * Usage: `runMain graft.tools.Soak [sfDir] [passes] [corpusTicks]` —
-  * prints one line per query pass, one line per 100 ingest ticks, and a
-  * final PASS/FAIL verdict covering both stages. `passes = 0` skips the
-  * query stage; `corpusTicks = 0` skips the ingest stage.
+  * A third stage soaks the SEMANTIC ingest loop
+  * ([[graft.streaming.SemanticCorpusStream.ingestBatch]]): the same
+  * flat-latency/flat-heap gates against a growing cell index (compacted
+  * on the same 100-tick cadence), plus a gating-correctness check — each
+  * tick plants near-duplicate vectors of the previous tick's docs, so
+  * the total novel count over the run is exactly predictable and any
+  * index corruption under soak surfaces as a count drift, not just a
+  * latency bend.
+  *
+  * Usage: `runMain graft.tools.Soak [sfDir] [passes] [corpusTicks]
+  * [semTicks]` — prints one line per query pass, one line per 100 ingest
+  * ticks per loop, and a final PASS/FAIL verdict covering all stages.
+  * `passes = 0` skips the query stage; `corpusTicks = 0` / `semTicks =
+  * 0` skip the respective ingest stages.
   */
 object Soak {
 
@@ -71,10 +81,25 @@ object Soak {
     fs.delete(old, true)
   }
 
+  /** Deterministic 64-dim pseudo-embedding for tick `t`, doc `i` (LCG
+    * components in [-1, 1]). 64 dims matter for the soak's EXACT novel
+    * count: random-vector cosine concentrates as 1/√dim, so at dim 64
+    * the probability any two distinct (t, i) vectors reach the 0.95 gate
+    * is ≈ 0 over the whole run — an 8-dim draft version collided ~100
+    * times in 300 ticks and broke the count check. */
+  private def soakVec(t: Long, i: Int): Array[Double] = {
+    var s = t * 104729L + i * 31337L + 271828L
+    Array.fill(64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
     val corpusTicks = args.lift(2).map(_.toInt).getOrElse(500)
+    val semTicks = args.lift(3).map(_.toInt).getOrElse(300)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,6 +177,45 @@ object Soak {
       println(s"[soak] folded stats cells=$statCells (grid 4x64) " +
         f"distinct_est=${card.getAs[Double]("est_raw")}%.0f")
     }
+
+    // ---- semantic ingest soak ----
+    val semLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var semHeapEarly = 0L
+    var semHeapLate = 0L
+    var semNovelTotal = 0L
+    if (semTicks > 0) {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_soak_sem")
+      val corpusDir = s"$base/corpus"
+      val idxDir = s"$base/idx"
+      // 4 fixed unit-ish centroids: enough cells that the index probe
+      // prunes, few enough that every cell keeps filling for the whole run
+      val centroids = (0 until 4).map(c => soakVec(-1L - c, 0)).toSeq
+      for (t <- 0 until semTicks) {
+        // 8 docs per tick: 6 novel vectors + 2 EXACT vector replays of the
+        // previous tick's docs under fresh ids — the cell-index probe must
+        // gate those 2 out every tick (cosine 1 ≥ minCosine)
+        val docs = (0 until 8).map { i =>
+          val id = t.toLong * 8L + i
+          val vec = if (i >= 6 && t > 0) soakVec(t - 1L, i - 6) else soakVec(t.toLong, i)
+          (id, vec)
+        }.toDF("doc_id", "embedding")
+        val t0 = System.nanoTime()
+        semNovelTotal += graft.streaming.SemanticCorpusStream.ingestBatch(
+          spark, docs, "doc_id", "embedding", corpusDir, idxDir,
+          centroids, minCosine = 0.95, nprobe = 2, batchId = Some(t.toLong))
+        semLat += (System.nanoTime() - t0) / 1e9
+        if ((t + 1) % 100 == 0) {
+          compactDir(spark, idxDir)
+          System.gc()
+          val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+          if (t + 1 == 100) semHeapEarly = heapMb
+          semHeapLate = heapMb
+          val last100 = semLat.takeRight(100)
+          println(f"[soak-sem] ticks ${t + 1}/$semTicks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+        }
+      }
+    }
     spark.stop()
 
     // pass 1 pays janino compilation for every generated stage; steady
@@ -177,11 +241,33 @@ object Soak {
         (flatLat && flatHeap,
           f"ticks=${tickLat.size} early=$early%.2fs late=$late%.2fs heapMB=$heapEarly->$heapLate")
       }
-    val verdict = if (queryOk && corpusOk) "SOAK PASS" else "SOAK FAIL"
+    // semantic loop: same latency/heap gates, PLUS the exact novel-count
+    // check — 8 docs tick 0, then 6 novel per tick (2 planted replays
+    // gated by the index); any drift means the index lost or duplicated
+    // rows somewhere across ticks/compactions
+    val (semOk, semSummary) =
+      if (semLat.isEmpty) (true, "sem=skipped")
+      else {
+        val expected = 8L + (semLat.size - 1).toLong * 6L
+        val countOk = semNovelTotal == expected
+        val flat =
+          if (semLat.size < 200) true
+          else {
+            val early = median(semLat.slice(100, 200).toSeq)
+            val late = median(semLat.takeRight(100).toSeq)
+            late <= early * 1.5
+          }
+        val heapOk = semHeapEarly == 0L ||
+          semHeapLate <= math.max(semHeapEarly * 2, semHeapEarly + 512)
+        (countOk && flat && heapOk,
+          s"sem_ticks=${semLat.size} sem_novel=$semNovelTotal/$expected " +
+            f"sem_heapMB=$semHeapEarly->$semHeapLate")
+      }
+    val verdict = if (queryOk && corpusOk && semOk) "SOAK PASS" else "SOAK FAIL"
     val passSummary =
       if (totals.isEmpty) "passes=skipped"
       else s"passes=${totals.map(t => f"$t%.1f").mkString(",")}s"
-    println(s"$verdict: $passSummary $tickSummary")
+    println(s"$verdict: $passSummary $tickSummary $semSummary")
   }
 
   private def median(xs: Seq[Double]): Double = {
