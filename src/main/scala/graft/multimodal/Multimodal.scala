@@ -155,6 +155,50 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** TEST-PATTERN image synthesis — the write side of the real codec:
+    * per row, a genuine `w × h` PNG (encoded through the same
+    * `javax.imageio` SPI [[JdkImageCodec]] reads back) whose pixel
+    * (x, y) color derives deterministically from the row id:
+    *
+    *   r = (id + 83·x + 47·y) mod 256
+    *   g = (7·id + 29·x + 53·y) mod 256
+    *   b = (13·id + 17·x + 31·y) mod 256
+    *
+    * The formula is part of the contract: PNG is lossless 8-bit RGB, so
+    * a decode of the produced payload recovers these exact channel
+    * values, which makes the whole encode → decode → pixel-feature
+    * pipeline ORACLE-CHECKABLE — any SQL engine can recompute the
+    * expected luma from `id` arithmetic alone (`mm_image_pipeline`).
+    * Same `mapPartitions` scan shape as [[decode]]. */
+  def synthesizePngPattern(df: DataFrame, idCol: String, w: Int, h: Int,
+      outCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idx)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = java.lang.Math.floorMod(id + 83L * x + 47L * y, 256L).toInt
+            val grn = java.lang.Math.floorMod(7L * id + 29L * x + 53L * y, 256L).toInt
+            val blu = java.lang.Math.floorMod(13L * id + 17L * x + 31L * y, 256L).toInt
+            img.setRGB(x, y, (red << 16) | (grn << 8) | blu)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Real feature extraction for decodable images: appends
     * `img_features` — the `grid²`-dim mean-luma vector from
     * [[JdkImageCodec.lumaGrid]] — or null for payloads that aren't

@@ -246,6 +246,45 @@ private[queries] object NemQueries {
                             FROM hv)
               SELECT doc_id, width, height,
                      least(frames, 3) AS n_sampled_frames, 8 AS feat_dim
-              FROM dims ORDER BY doc_id"""))
+              FROM dims ORDER BY doc_id""")),
+
+
+    // REAL-codec multimodal pipeline, oracle-checked end to end: per doc
+    // a genuine 2×2 PNG is encoded through javax.imageio with a pixel
+    // pattern derived from doc_id (synthesizePngPattern's documented
+    // formula), decoded back (real header parse → dims/frames), and the
+    // pixel kernel (lumaGrid at grid=2 → one pixel per cell, so the
+    // mean is the pixel's exact luma) recovers values DuckDB recomputes
+    // from doc_id arithmetic alone — PNG is lossless 8-bit RGB, both
+    // engines evaluate the identical (0.299r + 0.587g + 0.114b)/255
+    // double chain, so the comparison is bit-exact.
+    Q("mm_image_pipeline",
+      (s, d) => {
+        import graft.multimodal.Multimodal._
+        val docs = T(s, d, "documents").select("doc_id").orderBy("doc_id").limit(256)
+        val feats = imageFeatures(
+          decode(synthesizePngPattern(docs, "doc_id", 2, 2), "payload"),
+          "payload", grid = 2)
+        feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+            element_at(col("img_features"), 1).as("luma_00"),
+            element_at(col("img_features"), 2).as("luma_10"),
+            element_at(col("img_features"), 3).as("luma_01"),
+            element_at(col("img_features"), 4).as("luma_11"))
+          .orderBy("doc_id")
+      },
+      // luma_xy = pixel (x, y); channel formulas mirror
+      // synthesizePngPattern: r=(id+83x+47y)%256, g=(7id+29x+53y)%256,
+      // b=(13id+17x+31y)%256 — doc_id ≥ 0 so % matches floorMod
+      Some("""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 256)
+              SELECT doc_id, 2 AS width, 2 AS height, 1 AS n_frames,
+                     (0.299::DOUBLE * (doc_id % 256) + 0.587::DOUBLE * ((7*doc_id) % 256)
+                      + 0.114::DOUBLE * ((13*doc_id) % 256)) / 255.0::DOUBLE AS luma_00,
+                     (0.299::DOUBLE * ((doc_id + 83) % 256) + 0.587::DOUBLE * ((7*doc_id + 29) % 256)
+                      + 0.114::DOUBLE * ((13*doc_id + 17) % 256)) / 255.0::DOUBLE AS luma_10,
+                     (0.299::DOUBLE * ((doc_id + 47) % 256) + 0.587::DOUBLE * ((7*doc_id + 53) % 256)
+                      + 0.114::DOUBLE * ((13*doc_id + 31) % 256)) / 255.0::DOUBLE AS luma_01,
+                     (0.299::DOUBLE * ((doc_id + 83 + 47) % 256) + 0.587::DOUBLE * ((7*doc_id + 29 + 53) % 256)
+                      + 0.114::DOUBLE * ((13*doc_id + 17 + 31) % 256)) / 255.0::DOUBLE AS luma_11
+              FROM ids ORDER BY doc_id"""))
   )
 }

@@ -123,6 +123,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).length === 4)
   }
 
+  test("synthesizePngPattern: encode → decode → luma roundtrip recovers the exact formula values") {
+    import spark.implicits._
+    val rows = Seq(Tuple1(0L), Tuple1(5L), Tuple1(300L)).toDF("doc_id")
+    val out = Multimodal.imageFeatures(
+        Multimodal.decode(Multimodal.synthesizePngPattern(rows, "doc_id", 2, 2), "payload"),
+        "payload", grid = 2)
+      .select("doc_id", "width", "height", "n_frames", "img_features")
+      .orderBy("doc_id").collect()
+    def expected(id: Long, x: Int, y: Int): Double = {
+      val r = java.lang.Math.floorMod(id + 83L * x + 47L * y, 256L).toInt
+      val g = java.lang.Math.floorMod(7L * id + 29L * x + 53L * y, 256L).toInt
+      val b = java.lang.Math.floorMod(13L * id + 17L * x + 31L * y, 256L).toInt
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+    Seq(0L, 5L, 300L).zip(out).foreach { case (id, row) =>
+      assert((row.getInt(1), row.getInt(2), row.getInt(3)) === ((2, 2, 1)))
+      val feats = row.getSeq[Double](4)
+      // PNG is lossless 8-bit RGB and grid=2 over a 2×2 image puts one
+      // pixel per cell, so the roundtrip must be BIT-exact, not close
+      val want = Seq(expected(id, 0, 0), expected(id, 1, 0),
+        expected(id, 0, 1), expected(id, 1, 1))
+      assert(feats.map(java.lang.Double.doubleToRawLongBits) ===
+        want.map(java.lang.Double.doubleToRawLongBits), s"doc $id")
+    }
+  }
+
   test("embedding near-dup: planted duplicate found, no cartesian") {
     import spark.implicits._
     import graft.operators.Dedup
