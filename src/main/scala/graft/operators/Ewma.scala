@@ -112,7 +112,12 @@ object Ewma {
     val cIdx = withChunk.schema.fieldIndex("__chunk")
     val vIdx = withChunk.schema.fieldIndex(valueCol)
     val sortCols: Seq[Column] = (col(groupCol) +: col("__chunk") +: orderCols.map(col))
-    // phase 1: independent (group, chunk) folds from state 0
+    // phase 1: independent (group, chunk) folds from state 0. Persisted:
+    // the fold feeds BOTH the chunk summaries and the final join — an
+    // unpersisted plan re-scans and re-shuffles the whole input for each
+    // (the r11 plan audit showed two full parquet passes). Lazy
+    // plan-keyed persist, populated on the query's first action;
+    // released by the caller's cache hygiene / ContextCleaner.
     val local = withChunk
       .repartition(col(groupCol), col("__chunk"))
       .sortWithinPartitions(sortCols: _*)
@@ -131,6 +136,7 @@ object Ewma {
           Row.fromSeq(r.toSeq ++ Seq(a, b))
         }
       }(enc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 2: per-chunk end summary (the LAST row's (a, b)) → per-group
     // entry-state prefix via one aggregate() expression over the sorted,
     // chunk-count-bounded summary list

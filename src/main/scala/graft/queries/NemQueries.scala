@@ -285,6 +285,36 @@ private[queries] object NemQueries {
                       + 0.114::DOUBLE * ((13*doc_id + 31) % 256)) / 255.0::DOUBLE AS luma_01,
                      (0.299::DOUBLE * ((doc_id + 83 + 47) % 256) + 0.587::DOUBLE * ((7*doc_id + 29 + 53) % 256)
                       + 0.114::DOUBLE * ((13*doc_id + 17 + 31) % 256)) / 255.0::DOUBLE AS luma_11
-              FROM ids ORDER BY doc_id"""))
+              FROM ids ORDER BY doc_id""")),
+
+
+    // IMAGE near-duplicate detection — the multimodal member of the
+    // dedup family: real PNGs (4×4 test pattern), real decode, 16-dim
+    // centered luma-grid features, then the SAME hyperplane-bucketed
+    // near-dup operator the text embeddings use (no cartesian — LSH
+    // band equi-join). The pattern is periodic in doc_id mod 256, so
+    // ids congruent mod 256 render IDENTICAL images (cosine 1, always
+    // co-bucketed ⇒ recall 1 for exact dups) and the expected pair set
+    // is pure id arithmetic — while distinct patterns sit far below the
+    // 0.999 gate (16-dim centered random cosine mass there is ~1e-13).
+    Q("mm_image_neardup",
+      (s, d) => {
+        import graft.multimodal.Multimodal._
+        val docs = T(s, d, "documents").select("doc_id").orderBy("doc_id").limit(512)
+        val feats = imageFeatures(
+            decode(synthesizePngPattern(docs, "doc_id", 4, 4), "payload"),
+            "payload", grid = 4)
+          .select(col("doc_id"),
+            transform(col("img_features"), x => x - lit(0.5)).as("centered"))
+        graft.operators.Dedup.embeddingNearDupPairs(feats, "doc_id", "centered",
+            dim = 16, minCosine = 0.999, numPlanes = 8, bandBits = 2)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 512)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ids a JOIN ids b
+                ON b.doc_id % 256 = a.doc_id % 256 AND b.doc_id > a.doc_id
+              ORDER BY id_a, id_b"""))
   )
 }
