@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
   * — [[JdkImageCodec]] binds the JDK's own `javax.imageio` SPI (PNG /
   * JPEG / BMP / GIF / WBMP / TIFF readers ship with JDK 17; no external
   * dependency), for both container dims/frame-count and a full
-  * pixel-decode feature kernel. Payloads no registered reader recognizes
-  * (audio/video containers this JVM has no codec for) fall back to the
+  * pixel-decode feature kernel. Audio decode is REAL too —
+  * [[Audio.JdkAudioCodec]] binds `javax.sound.sampled` (WAV/AIFF/AU) —
+  * and the multi-frame video contract runs on real animated-GIF decode
+  * ([[Video.JdkVideoCodec]]). Payloads no registered reader recognizes
+  * (mp4/webm video codecs this JVM does not ship) fall back to the
   * deterministic [[FakeCodec]] so the pipeline shape stays total — swap
   * that fallback for a javacv/ffmpeg binding to productionize those
   * formats; nothing else changes.
@@ -84,8 +87,13 @@ object Multimodal {
     def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Double]] = {
       val img = try ImageIO.read(new ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
-      if (img == null) None
-      else {
+      if (img == null) None else Some(lumaGridOf(img, grid))
+    }
+
+    /** The per-image kernel behind [[lumaGrid]], shared with the
+      * multi-frame video path ([[Video.JdkVideoCodec]]): identical IEEE
+      * chain whichever container the pixels came from. */
+    def lumaGridOf(img: java.awt.image.BufferedImage, grid: Int): Array[Double] = {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = Array.ofDim[Double](grid * grid)
         var gy = 0
@@ -111,13 +119,14 @@ object Multimodal {
           }
           gy += 1
         }
-        Some(out)
-      }
+        out
     }
   }
 
-  /** FALLBACK codec for payloads `javax.imageio` has no reader for
-    * (audio/video containers in this JVM): deterministic pseudo-decode
+  /** FALLBACK codec for payloads neither `javax.imageio` ([[JdkImageCodec]],
+    * [[Video.JdkVideoCodec]]) nor `javax.sound.sampled`
+    * ([[Audio.JdkAudioCodec]]) has a reader for — i.e. only video codecs
+    * this JVM does not ship (mp4/webm): deterministic pseudo-decode
     * of the leading bytes, stable across runs — keeps the pipeline
     * total and testable. A production build binds javacv/ffmpeg here;
     * the signature — bytes in, (width, height, n_frames) out — is the
@@ -216,6 +225,52 @@ object Multimodal {
           else JdkImageCodec.lumaGrid(r.getAs[Array[Byte]](idx), grid)
             .map(_.toSeq).orNull
         Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Modality ROUTER — the dispatch contract of a mixed-payload lake:
+    * one `mapPartitions` scan sniffs each payload against the
+    * registered JDK SPIs in a fixed order and appends
+    *
+    *   - `modality`: `image` (single-frame `javax.imageio` container),
+    *     `video` (multi-frame one — animated GIF / multi-page TIFF),
+    *     `audio` (`javax.sound.sampled` container), `unknown`;
+    *   - image/video meta: `width` / `height` / `n_frames`;
+    *   - audio meta: `sample_rate` / `n_samples`;
+    *
+    * with nulls in the columns the modality lacks. Sniffing reads
+    * container headers only (no pixel/sample decode) — the cheap scan
+    * that partitions a 100 TB lake by modality so each branch runs its
+    * own decode kernel ([[imageFeatures]], [[Audio.audioFeatures]],
+    * [[Video.videoFrameFeatures]]). `unknown` stays routable to the
+    * declared [[FakeCodec]] fallback. */
+  def routeModality(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("modality", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true)))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val extra: Seq[Any] =
+          if (r.isNullAt(idx)) Seq("unknown", null, null, null, null, null)
+          else {
+            val bytes = r.getAs[Array[Byte]](idx)
+            JdkImageCodec.decodeDims(bytes) match {
+              case Some((w, h, f)) =>
+                Seq(if (f > 1) "video" else "image", w, h, f, null, null)
+              case None => Audio.JdkAudioCodec.decodeMeta(bytes) match {
+                case Some((rate, _, _, frames)) =>
+                  Seq("audio", null, null, null, rate, frames)
+                case None => Seq("unknown", null, null, null, null, null)
+              }
+            }
+          }
+        Row.fromSeq(r.toSeq ++ extra)
       }
     }(Encoders.row(schema))
   }

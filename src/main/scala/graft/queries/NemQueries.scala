@@ -8,8 +8,8 @@ import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
 import QueryShared._
 
 /** Reference-pipeline (NEM) queries — split/compact roundtrips, the
-  * crunch pipeline, settlement, compression study — plus the
-  * multimodal binary-column surface.
+  * crunch pipeline, settlement, compression study. The multimodal
+  * binary-column surface lives in [[MultimodalQueries]].
   * Entries split from the monolithic Registry verbatim. */
 private[queries] object NemQueries {
 
@@ -186,135 +186,6 @@ private[queries] object NemQueries {
               SELECT ts, duid, deviation,
                      (CASE WHEN fm < 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_lower,
                      (CASE WHEN fm > 0 THEN fm ELSE 0.0::DOUBLE END) * deviation AS p_raise
-              FROM perf ORDER BY ts, duid""")),
-
-
-    // Multimodal: binary payload metadata via pure expressions. The
-    // payload is text-bytes + a fake 16-byte header; n_bytes and digest
-    // are oracle-checkable because both engines hash the same utf8 bytes.
-    Q("mm_binary_meta",
-      (s, d) => {
-        val withBin = graft.multimodal.Multimodal.attachBinary(
-          T(s, d, "documents"), "text")
-        graft.multimodal.Multimodal.extractMeta(withBin, "payload")
-          .select(col("doc_id"), col("n_bytes"), col("magic"),
-            md5(col("text").cast("binary")).as("text_digest"))
-          .orderBy("doc_id")
-      },
-      Some("""SELECT doc_id, octet_length(encode(text)) + 16 AS n_bytes,
-                     'IMG0' AS magic, md5(text) AS text_digest
-              FROM documents ORDER BY doc_id""")),
-
-
-    // Multimodal decode → frame-sample → feature pipeline. The decode is
-    // the real javax.imageio path (MultimodalSpec pins PNG/BMP/GIF dims
-    // and frame counts); these synthetic payloads carry an IMG0 container
-    // no JDK reader recognizes, so this query exercises the declared
-    // FakeCodec FALLBACK — deterministic 32-bit arithmetic over the
-    // 16-byte fake header (Java Arrays.hashCode fold), which the oracle
-    // replicates with wrap-around modular math and checks end to end.
-    Q("mm_decode_frames",
-      (s, d) => {
-        import graft.multimodal.Multimodal._
-        val decoded = decode(
-          extractMeta(attachBinary(T(s, d, "documents"), "text"), "payload"), "payload")
-        featureStub(frameSample(decoded, 3))
-          .groupBy("doc_id")
-          .agg(first(col("width")).as("width"), first(col("height")).as("height"),
-            count(lit(1)).as("n_sampled_frames"), first(size(col("features"))).as("feat_dim"))
-          .orderBy("doc_id")
-      },
-      // header = 'IMG0' + first 12 hex chars of sha256(text); h = Java
-      // Arrays.hashCode over the 17-element [1 seeded] fold with int32
-      // wrap ((x+2^31) floor-mod 2^32 - 2^31); dims/frames from h exactly
-      // as FakeCodec.decode; n_sampled_frames = min(3, frames)
-      Some("""WITH hdr AS (SELECT doc_id, substr(sha256(text), 1, 12) AS hx FROM documents),
-                   bytes AS (SELECT doc_id,
-                               list_transform([73, 77, 71, 48] ||
-                                 list_transform(range(1, 13), i -> ascii(substr(hx, CAST(i AS INTEGER), 1))),
-                                 x -> CAST(x AS BIGINT)) AS bs
-                             FROM hdr),
-                   hv AS (SELECT doc_id,
-                            list_reduce([CAST(1 AS BIGINT)] || bs,
-                              (a, b) -> CAST((((a * 31 + b + 2147483648) % 4294967296 + 4294967296) % 4294967296)
-                                             - 2147483648 AS BIGINT)) AS h
-                          FROM bytes),
-                   dims AS (SELECT doc_id,
-                              64 + abs(h % 1024) AS width,
-                              64 + abs(CAST(trunc(h / 1024.0) AS BIGINT) % 1024) AS height,
-                              1 + abs(h % 8) AS frames
-                            FROM hv)
-              SELECT doc_id, width, height,
-                     least(frames, 3) AS n_sampled_frames, 8 AS feat_dim
-              FROM dims ORDER BY doc_id""")),
-
-
-    // REAL-codec multimodal pipeline, oracle-checked end to end: per doc
-    // a genuine 2×2 PNG is encoded through javax.imageio with a pixel
-    // pattern derived from doc_id (synthesizePngPattern's documented
-    // formula), decoded back (real header parse → dims/frames), and the
-    // pixel kernel (lumaGrid at grid=2 → one pixel per cell, so the
-    // mean is the pixel's exact luma) recovers values DuckDB recomputes
-    // from doc_id arithmetic alone — PNG is lossless 8-bit RGB, both
-    // engines evaluate the identical (0.299r + 0.587g + 0.114b)/255
-    // double chain, so the comparison is bit-exact.
-    Q("mm_image_pipeline",
-      (s, d) => {
-        import graft.multimodal.Multimodal._
-        val docs = T(s, d, "documents").select("doc_id").orderBy("doc_id").limit(256)
-        val feats = imageFeatures(
-          decode(synthesizePngPattern(docs, "doc_id", 2, 2), "payload"),
-          "payload", grid = 2)
-        feats.select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-            element_at(col("img_features"), 1).as("luma_00"),
-            element_at(col("img_features"), 2).as("luma_10"),
-            element_at(col("img_features"), 3).as("luma_01"),
-            element_at(col("img_features"), 4).as("luma_11"))
-          .orderBy("doc_id")
-      },
-      // luma_xy = pixel (x, y); channel formulas mirror
-      // synthesizePngPattern: r=(id+83x+47y)%256, g=(7id+29x+53y)%256,
-      // b=(13id+17x+31y)%256 — doc_id ≥ 0 so % matches floorMod
-      Some("""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 256)
-              SELECT doc_id, 2 AS width, 2 AS height, 1 AS n_frames,
-                     (0.299::DOUBLE * (doc_id % 256) + 0.587::DOUBLE * ((7*doc_id) % 256)
-                      + 0.114::DOUBLE * ((13*doc_id) % 256)) / 255.0::DOUBLE AS luma_00,
-                     (0.299::DOUBLE * ((doc_id + 83) % 256) + 0.587::DOUBLE * ((7*doc_id + 29) % 256)
-                      + 0.114::DOUBLE * ((13*doc_id + 17) % 256)) / 255.0::DOUBLE AS luma_10,
-                     (0.299::DOUBLE * ((doc_id + 47) % 256) + 0.587::DOUBLE * ((7*doc_id + 53) % 256)
-                      + 0.114::DOUBLE * ((13*doc_id + 31) % 256)) / 255.0::DOUBLE AS luma_01,
-                     (0.299::DOUBLE * ((doc_id + 83 + 47) % 256) + 0.587::DOUBLE * ((7*doc_id + 29 + 53) % 256)
-                      + 0.114::DOUBLE * ((13*doc_id + 17 + 31) % 256)) / 255.0::DOUBLE AS luma_11
-              FROM ids ORDER BY doc_id""")),
-
-
-    // IMAGE near-duplicate detection — the multimodal member of the
-    // dedup family: real PNGs (4×4 test pattern), real decode, 16-dim
-    // centered luma-grid features, then the SAME hyperplane-bucketed
-    // near-dup operator the text embeddings use (no cartesian — LSH
-    // band equi-join). The pattern is periodic in doc_id mod 256, so
-    // ids congruent mod 256 render IDENTICAL images (cosine 1, always
-    // co-bucketed ⇒ recall 1 for exact dups) and the expected pair set
-    // is pure id arithmetic — while distinct patterns sit far below the
-    // 0.999 gate (16-dim centered random cosine mass there is ~1e-13).
-    Q("mm_image_neardup",
-      (s, d) => {
-        import graft.multimodal.Multimodal._
-        val docs = T(s, d, "documents").select("doc_id").orderBy("doc_id").limit(512)
-        val feats = imageFeatures(
-            decode(synthesizePngPattern(docs, "doc_id", 4, 4), "payload"),
-            "payload", grid = 4)
-          .select(col("doc_id"),
-            transform(col("img_features"), x => x - lit(0.5)).as("centered"))
-        graft.operators.Dedup.embeddingNearDupPairs(feats, "doc_id", "centered",
-            dim = 16, minCosine = 0.999, numPlanes = 8, bandBits = 2)
-          .select(col("id_a"), col("id_b"))
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 512)
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM ids a JOIN ids b
-                ON b.doc_id % 256 = a.doc_id % 256 AND b.doc_id > a.doc_id
-              ORDER BY id_a, id_b"""))
+              FROM perf ORDER BY ts, duid"""))
   )
 }

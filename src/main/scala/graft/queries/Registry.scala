@@ -33,7 +33,7 @@ object Registry {
   val llm: Seq[Q] =
     DedupQueries.all ++ SemanticDedupQueries.all ++ AnnQueries.all ++
       TextQueries.all ++ TextReportQueries.all ++
-      SketchQueries.all ++ NemQueries.all
+      SketchQueries.all ++ NemQueries.all ++ MultimodalQueries.all
 
   val all: Seq[Q] = relational ++ sqlSurface ++ llm
 
