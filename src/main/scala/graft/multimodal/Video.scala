@@ -37,7 +37,7 @@ object Video {
       * (Rec. 601 over sRGB bytes, identical chain to the image kernel).
       * None when no registered reader recognizes the container. */
     def frameLumaGrids(bytes: Array[Byte], grid: Int): Option[Seq[Array[Double]]] = {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val iis = Multimodal.JdkImageCodec.memStream(bytes)
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -81,7 +81,9 @@ object Video {
       it.map { r =>
         val seed = r.getLong(idx)
         val baos = new java.io.ByteArrayOutputStream()
-        val ios = ImageIO.createImageOutputStream(baos)
+        // memory-cached stream (ImageIO's default wrapper is a per-call
+        // disk temp file — see JdkImageCodec.memStream)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
         val writer = ImageIO.getImageWritersByFormatName("gif").next()
         try {
           writer.setOutput(ios)
