@@ -241,6 +241,21 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** File-system ingest for multimodal payloads: Spark's `binaryFile`
+    * source reads whole files as (path, modificationTime, length,
+    * content) rows — the realistic way raw image/audio/video objects
+    * enter the lake before they're parquet payload columns. Globs push
+    * into the file index (partition-level pruning over object listings);
+    * `maxBytes` guards the 2 GB per-row binary ceiling at the source
+    * rather than OOMing a task later. Feed the result straight to
+    * [[routeModality]] / the decode kernels via the `content` column. */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*", maxBytes: Long = 256L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+
   /** Modality ROUTER — the dispatch contract of a mixed-payload lake:
     * one `mapPartitions` scan sniffs each payload against the
     * registered JDK SPIs in a fixed order and appends

@@ -133,4 +133,40 @@ class AudioVideoSpec extends SparkSpec {
     assert((out(2).getInt(2), out(2).getInt(3), out(2).getInt(4)) === ((3, 2, 4)))
     assert(out(3).isNullAt(2) && out(3).isNullAt(5))
   }
+
+  test("readBinaryDir: binaryFile ingest of real files on disk routes through the same codecs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_ingest")
+    try {
+      // write one real file per modality through the SAME synthesis paths
+      def payload(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+        df.select("payload").head().getAs[Array[Byte]](0)
+      java.nio.file.Files.write(dir.resolve("a.png"),
+        payload(Multimodal.synthesizePngPattern(ids(1L), "doc_id", 3, 3)))
+      java.nio.file.Files.write(dir.resolve("b.wav"),
+        payload(Audio.synthesizeWavPattern(ids(2L), "doc_id", nSamples = 16)))
+      java.nio.file.Files.write(dir.resolve("c.gif"),
+        payload(Video.synthesizeGifPattern(ids(3L), "doc_id", 2, 2, nFrames = 2)))
+      java.nio.file.Files.write(dir.resolve("d.txt"), "not media".getBytes("UTF-8"))
+
+      val all = Multimodal.readBinaryDir(spark, dir.toString)
+      assert(all.count() === 4)
+      val routed = Multimodal.routeModality(all, "content")
+        .selectExpr("regexp_extract(path, '([a-z]+\\\\.[a-z]+)$', 1) AS f", "modality")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(routed === Map("a.png" -> "image", "b.wav" -> "audio",
+        "c.gif" -> "video", "d.txt" -> "unknown"))
+      // glob pushes into the file index: only the wav survives the listing
+      val wavOnly = Multimodal.readBinaryDir(spark, dir.toString, glob = "*.wav")
+      assert(wavOnly.select("path").collect().map(_.getString(0)).toSeq
+        .forall(_.endsWith("b.wav")) && wavOnly.count() === 1)
+      // and the ingested bytes decode identically to the in-memory path
+      val samples = Audio.JdkAudioCodec.pcmSamples(
+        wavOnly.select("content").head().getAs[Array[Byte]](0)).get
+      assert(samples.toSeq === (0 until 16).map(sample(2L, _)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
