@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.hadoop.fs.Path
 import graft.multimodal.Multimodal
 
 /** Streaming MULTIMODAL ingest — the media sibling of [[IngestStream]]:
@@ -17,17 +18,61 @@ import graft.multimodal.Multimodal
   * `modality=image/` etc. prunes at the directory level, the 100 TB
   * posture for mixed media.
   *
-  * Exactly-once: the file source's checkpoint tracks seen files, so a
-  * restart re-lists but never re-processes — no history table needed
-  * (unlike the CSV path, whose landing files are re-downloadable by
-  * name and want an engine-visible audit row). `AvailableNow` drains
-  * the backlog and stops; production cadence is a ProcessingTime
-  * trigger, same contract as the reference's daemon loop. */
+  * Exactly-once at batch granularity, two layers:
+  *  - the file source's checkpoint tracks seen files, so a restart
+  *    re-lists but re-delivers only unfinished batches (same batchId);
+  *  - the shared [[BatchCommit]] protocol makes the re-delivery
+  *    idempotent: committed replays no-op on the marker, partial
+  *    publishes roll back before the deterministic republish — a crash
+  *    between the parquet append and the checkpoint commit cannot
+  *    duplicate lake rows (same argument as [[CorpusStream]]).
+  *
+  * `AvailableNow` drains the backlog and stops; production cadence is a
+  * ProcessingTime trigger, same contract as the reference's daemon. */
 object MediaStream {
 
   /** Media containers the JDK SPIs can sniff; everything else still
     * lands (routed `unknown`) so nothing is silently dropped. */
   val DefaultGlob = "*.{png,PNG,jpg,jpeg,bmp,gif,GIF,tif,tiff,wav,WAV,aiff,au}"
+
+  /** Closed routing range of [[Multimodal.routeModality]] — rollback
+    * must sweep every possible partition dir of a half-published batch
+    * BEFORE knowing what the batch contains. */
+  private val Modalities = Seq("image", "video", "audio", "unknown")
+
+  private def partDir(lakeDir: String, modality: String) =
+    s"$lakeDir/modality=$modality"
+
+  /** One routed, committed batch — the [[BatchCommit]] tick. Routed rows
+    * publish per modality partition under batch-prefixed names; the
+    * marker under `lakeDir/_graft_commits` is the commit point. Returns
+    * rows ingested (0 for a committed replay). Deterministic given
+    * (batch, batchId), which is what makes the republish byte-safe. */
+  def ingestBatch(batch: DataFrame, lakeDir: String, batchId: Long): Long = {
+    import BatchCommit.{commitMarker, publish, rollback}
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(lakeDir).getFileSystem(conf)
+    if (fs.exists(commitMarker(lakeDir, batchId))) return 0L // committed replay
+    Modalities.foreach(m => rollback(conf, partDir(lakeDir, m), batchId))
+    val routed = Multimodal.routeModality(batch, "content")
+      .withColumn("digest", md5(col("content")))
+      .select("path", "length", "modality", "width", "height",
+        "n_frames", "sample_rate", "n_samples", "digest")
+      .persist()
+    try {
+      val n = routed.count()
+      val present = routed.select("modality").distinct().collect().map(_.getString(0))
+      present.foreach { m =>
+        publish(conf, routed.filter(col("modality") === m).drop("modality"),
+          partDir(lakeDir, m), batchId)
+      }
+      val marker = commitMarker(lakeDir, batchId)
+      fs.mkdirs(marker.getParent)
+      fs.createNewFile(marker) // atomic create = the commit point
+      n
+    } finally routed.unpersist(blocking = false) // this tick's cache only
+  }
 
   def start(spark: SparkSession, landingDir: String, lakeDir: String,
       checkpoint: String, glob: String = DefaultGlob,
@@ -44,18 +89,17 @@ object MediaStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Multimodal.routeModality(batch, "content")
-          .withColumn("digest", md5(col("content")))
-          .select("path", "length", "modality", "width", "height",
-            "n_frames", "sample_rate", "n_samples", "digest")
-          .write.mode("append").partitionBy("modality").parquet(lakeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, lakeDir, batchId)
         ()
       }
       .start()
 
   /** The routed lake back as a DataFrame — partition column `modality`
-    * restored by the reader; filters on it prune directories. */
+    * restored by the reader; filters on it prune directories. Only
+    * batch-prefixed COMMITTED files exist under the partition dirs
+    * (uncommitted partials are rolled back on replay; `_graft_commits`
+    * is underscore-hidden from the reader). */
   def readLake(spark: SparkSession, lakeDir: String): DataFrame =
     spark.read.parquet(lakeDir)
 }

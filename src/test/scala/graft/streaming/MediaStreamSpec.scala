@@ -62,4 +62,36 @@ class MediaStreamSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("ingestBatch is exactly-once: committed replays no-op, a crash before the marker rolls back") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_media_commit")
+    val lake = s"$base/lake"
+    try {
+      val batch = Seq(
+        ("f1.png", payload(Multimodal.synthesizePngPattern(one(1L), "doc_id", 2, 2))),
+        ("f2.wav", payload(Audio.synthesizeWavPattern(one(2L), "doc_id", nSamples = 8))))
+        .toDF("path", "content").withColumn("length", length(col("content")).cast("long"))
+
+      assert(MediaStream.ingestBatch(batch, lake, 7L) === 2L)
+      assert(MediaStream.readLake(spark, lake).count() === 2)
+
+      // committed replay (restart re-delivers the same batchId): no-op
+      assert(MediaStream.ingestBatch(batch, lake, 7L) === 0L)
+      assert(MediaStream.readLake(spark, lake).count() === 2)
+
+      // crash BETWEEN publish and marker: the marker is missing but the
+      // batch's files are in the lake — the replay must roll them back
+      // before republishing, or every crash would duplicate the batch
+      val marker = java.nio.file.Path.of(lake, "_graft_commits", "batch-7")
+      java.nio.file.Files.delete(marker)
+      assert(MediaStream.ingestBatch(batch, lake, 7L) === 2L)
+      assert(MediaStream.readLake(spark, lake).count() === 2) // not 4
+      assert(java.nio.file.Files.exists(marker))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
