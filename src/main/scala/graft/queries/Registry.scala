@@ -28,8 +28,9 @@ object Registry {
   type Q = QueryShared.Q
   val Q = QueryShared.Q
 
-  val relational: Seq[Q] = RelationalQueries.relational
-  val sqlSurface: Seq[Q] = RelationalQueries.sqlSurface
+  val relational: Seq[Q] =
+    RelationalQueries.relational ++ WindowSetQueries.windowsAndSets
+  val sqlSurface: Seq[Q] = WindowSetQueries.sqlSurface
   val llm: Seq[Q] =
     DedupQueries.all ++ SemanticDedupQueries.all ++ AnnQueries.all ++
       TextQueries.all ++ TextReportQueries.all ++
