@@ -23,7 +23,8 @@ object ScaleCurve {
     // input volume: rows of the table family the query reads
     val table = if (name.startsWith("ann_") || name.contains("semantic")
         || name.contains("embed")) "embeddings"
-      else if (name.startsWith("dd_") || name.startsWith("ta_")) "documents"
+      else if (name.startsWith("dd_") || name.startsWith("ta_")
+        || name.startsWith("mm_")) "documents"
       else "events"
     val rows = graft.Tables(spark, sfDir, table).count()
     val fn = graft.SparkEntry.queries(name)
