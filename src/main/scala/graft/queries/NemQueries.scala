@@ -48,18 +48,24 @@ private[queries] object NemQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         li.count()
         val out = java.nio.file.Files.createTempDirectory("graft_codec")
-        val variants = IndexedSeq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
-        val sizes = graft.Par.mapBounded(variants, 5) { case (codec, lvl) =>
-          val label = if (lvl > 0) s"${codec}_l$lvl" else codec
-          val w = li.coalesce(1).write.option("compression", codec)
-          (if (lvl > 0) w.option("parquet.compression.codec.zstd.level", lvl.toString) else w)
-            .parquet(s"$out/$label")
-          val bytes = new java.io.File(s"$out/$label").listFiles()
-            .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-          Some((label, bytes))
+        try {
+          val variants = IndexedSeq(("none", 0), ("snappy", 0), ("zstd", 1), ("zstd", 10), ("zstd", 15))
+          val sizes = graft.Par.mapBounded(variants, 5) { case (codec, lvl) =>
+            val label = if (lvl > 0) s"${codec}_l$lvl" else codec
+            val w = li.coalesce(1).write.option("compression", codec)
+            (if (lvl > 0) w.option("parquet.compression.codec.zstd.level", lvl.toString) else w)
+              .parquet(s"$out/$label")
+            val bytes = new java.io.File(s"$out/$label").listFiles()
+              .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+            Some((label, bytes))
+          }
+          sizes.toDF("codec", "bytes").orderBy("codec")
+        } finally {
+          li.unpersist()
+          // sizes are already materialized local values — the study dir is
+          // pure scratch; leaking it across bench reps litters /tmp (r11 #1)
+          graft.sources.NemFixture.deleteRecursively(out)
         }
-        li.unpersist()
-        sizes.toDF("codec", "bytes").orderBy("codec")
       },
       None),
 

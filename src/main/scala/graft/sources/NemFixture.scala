@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 
 /** Deterministic in-repo NEM C/I/D fixture (format per FIXTURES.md §1 /
   * reference split.rs:64-125) so the splitter is exercised through the
@@ -23,27 +24,44 @@ object NemFixture {
       |C,"END OF REPORT",123
       |""".stripMargin
 
+  /** Recursively delete a fixture temp dir. Roundtrip fixtures must not
+    * leak lakes across invocations: repeated bench reps previously
+    * accumulated /tmp dirs and distorted warm samples (r11 finding #1). */
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   /** Write the fixture, split it to a temp lake, read the lake back and
     * summarize: (table, rows, n_double_cols, n_ts_cols, partition). The
     * whole flow — file source → C/I/D scan → 3-type inference → hive
-    * write → partition-discovery read — runs inside the query. */
+    * write → partition-discovery read — runs inside the query. All
+    * readback aggregates are materialized before return, so the temp
+    * lake is deleted in-call (no cross-rep /tmp accumulation). */
   def splitRoundtrip(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_nem_in")
     val lake = Files.createTempDirectory("graft_nem_lake")
-    Files.write(Paths.get(in.toString, "PUBLIC_FPP_20250607.csv"),
-      csv.getBytes(StandardCharsets.UTF_8))
-    NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake.toString)
-    val summary = NemCsv.tablesIn(
-      NemCsv.rawRecords(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv")))
-      .sorted.map { t =>
-        val df = spark.read.parquet(s"$lake/$t")
-        val doubles = df.schema.count(_.dataType.typeName == "double")
-        val tss = df.schema.count(_.dataType.typeName == "timestamp")
-        (t, df.count(), doubles, tss,
-          df.select("date").distinct().collect().map(_.get(0).toString).sorted.mkString(","))
-      }
-    summary.toDF("table", "rows", "n_double_cols", "n_ts_cols", "partitions")
+    try {
+      Files.write(Paths.get(in.toString, "PUBLIC_FPP_20250607.csv"),
+        csv.getBytes(StandardCharsets.UTF_8))
+      NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake.toString)
+      val summary = NemCsv.tablesIn(
+        NemCsv.rawRecords(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv")))
+        .sorted.map { t =>
+          val df = spark.read.parquet(s"$lake/$t")
+          val doubles = df.schema.count(_.dataType.typeName == "double")
+          val tss = df.schema.count(_.dataType.typeName == "timestamp")
+          (t, df.count(), doubles, tss,
+            df.select("date").distinct().collect().map(_.get(0).toString).sorted.mkString(","))
+        }
+      summary.toDF("table", "rows", "n_double_cols", "n_ts_cols", "partitions")
+    } finally {
+      deleteRecursively(in)
+      deleteRecursively(lake)
+    }
   }
 
   /** Split → lake, then drop a second heterogeneous file (string-typed MW,
@@ -56,23 +74,30 @@ object NemFixture {
     import graft.sources.{HistoryTable => HT}
     val in = Files.createTempDirectory("graft_nem_in2")
     val lake = Files.createTempDirectory("graft_nem_lake2")
-    val hist = HT.compacted(spark, Files.createTempDirectory("graft_nem_hist").toString)
-    Files.write(Paths.get(in.toString, "PUBLIC_FPP_20250607.csv"),
-      csv.getBytes(StandardCharsets.UTF_8))
-    NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake.toString)
-    // late-arriving file with an un-evolved (all-string) schema + new column
-    Seq(("2025/06/07 23:20:04", "NEWUNIT", "77.7", "extra-val"))
-      .toDF("MEASUREMENT_DATETIME", "FPP_UNITID", "MEASURED_MW", "NEW_COL")
-      .coalesce(1).write.mode("append")
-      .parquet(s"$lake/FPP---UNIT_MW---1/date=2025-06-07")
-    val sweep1 = Compactor.runOnce(spark, lake.toString, hist)
-    val sweep2 = Compactor.runOnce(spark, lake.toString, hist)
-    val out = sweep1.sortBy(t => (t.table, t.partition)).map { st =>
-      val df = spark.read.parquet(s"$lake/${st.table}")
-      (st.table, st.partition, st.rows, df.count(),
-        df.schema.count(_.dataType.typeName == "double"), sweep2.size)
+    val histDir = Files.createTempDirectory("graft_nem_hist")
+    try {
+      val hist = HT.compacted(spark, histDir.toString)
+      Files.write(Paths.get(in.toString, "PUBLIC_FPP_20250607.csv"),
+        csv.getBytes(StandardCharsets.UTF_8))
+      NemCsv.splitToLake(spark, Seq(s"$in/PUBLIC_FPP_20250607.csv"), lake.toString)
+      // late-arriving file with an un-evolved (all-string) schema + new column
+      Seq(("2025/06/07 23:20:04", "NEWUNIT", "77.7", "extra-val"))
+        .toDF("MEASUREMENT_DATETIME", "FPP_UNITID", "MEASURED_MW", "NEW_COL")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$lake/FPP---UNIT_MW---1/date=2025-06-07")
+      val sweep1 = Compactor.runOnce(spark, lake.toString, hist)
+      val sweep2 = Compactor.runOnce(spark, lake.toString, hist)
+      val out = sweep1.sortBy(t => (t.table, t.partition)).map { st =>
+        val df = spark.read.parquet(s"$lake/${st.table}")
+        (st.table, st.partition, st.rows, df.count(),
+          df.schema.count(_.dataType.typeName == "double"), sweep2.size)
+      }
+      out.toDF("table", "partition", "compacted_rows", "readback_rows",
+        "n_double_cols", "second_sweep_work")
+    } finally {
+      deleteRecursively(in)
+      deleteRecursively(lake)
+      deleteRecursively(histDir)
     }
-    out.toDF("table", "partition", "compacted_rows", "readback_rows",
-      "n_double_cols", "second_sweep_work")
   }
 }
