@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   */
 object Audio {
 
+  /** Header metadata with `AudioSystem.NOT_SPECIFIED` (-1) sentinels
+    * already mapped to None — streamed AU headers and some containers
+    * legitimately omit frame length or rate, and a -1 written into the
+    * lake would read as a real value downstream. */
+  final case class AudioMeta(sampleRate: Option[Int], channels: Int,
+      bitsPerSample: Int, nFrames: Option[Long])
+
   /** Pure-JDK audio container decode via `javax.sound.sampled`. Static
     * pure functions of the bytes — safe from any task, no shared codec
     * state, same posture as [[Multimodal.JdkImageCodec]]. */
@@ -36,15 +43,18 @@ object Audio {
     import java.io.ByteArrayInputStream
     import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
 
-    /** Header-only decode: (sample_rate, channels, bits_per_sample,
-      * n_frames), or None when no registered provider recognizes the
-      * container. Reads the RIFF/AIFF/AU header, never the sample data. */
-    def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    /** Header-only decode, or None when no registered provider recognizes
+      * the container. Reads the RIFF/AIFF/AU header, never the sample
+      * data. Fields the header leaves `NOT_SPECIFIED` come back None
+      * inside [[AudioMeta]], never as the -1 sentinel. */
+    def decodeMeta(bytes: Array[Byte]): Option[AudioMeta] =
       try {
         val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
         val f = aff.getFormat
-        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
-          aff.getFrameLength.toLong))
+        Some(AudioMeta(
+          Option(f.getSampleRate.toInt).filter(_ > 0),
+          f.getChannels, f.getSampleSizeInBits,
+          Option(aff.getFrameLength.toLong).filter(_ >= 0)))
       } catch {
         case _: UnsupportedAudioFileException => None
         case _: java.io.IOException => None
@@ -143,7 +153,7 @@ object Audio {
           else {
             val bytes = r.getAs[Array[Byte]](idx)
             (JdkAudioCodec.decodeMeta(bytes), JdkAudioCodec.pcmSamples(bytes)) match {
-              case (Some((rate, ch, _, _)), Some(samples)) =>
+              case (Some(meta), Some(samples)) =>
                 val nFrames = (samples.length + frameLen - 1) / frameLen
                 val energy = new Array[Long](math.max(nFrames, 0))
                 var i = 0
@@ -151,7 +161,10 @@ object Audio {
                   energy(i / frameLen) += math.abs(samples(i).toLong)
                   i += 1
                 }
-                Seq(rate, ch, samples.length.toLong, energy.toSeq)
+                // n_samples comes from the DECODED stream (exact), so only
+                // the header-declared rate can be NOT_SPECIFIED → null here
+                Seq(meta.sampleRate.map(Int.box).orNull, meta.channels,
+                  samples.length.toLong, energy.toSeq)
               case _ => Seq(null, null, null, null)
             }
           }

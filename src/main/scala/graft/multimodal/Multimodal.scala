@@ -68,23 +68,37 @@ object Multimodal {
     private[multimodal] def memStream(bytes: Array[Byte]) =
       new javax.imageio.stream.MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
 
-    def decodeDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    /** `allowWbmp = false` (the [[routeModality]] sniff) skips the JDK
+      * WBMP reader: its `canDecodeInput` is notoriously permissive (it
+      * accepts any stream starting `0x00 0x00`), so on a mixed lake an
+      * arbitrary non-image payload could be misrouted `image` with
+      * garbage dims. Direct decode calls keep the default `true` —
+      * there the caller has asserted the payload IS an image. */
+    def decodeDims(bytes: Array[Byte], allowWbmp: Boolean = true): Option[(Int, Int, Int)] = {
       val iis = memStream(bytes)
       try {
         val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
+        var result: Option[(Int, Int, Int)] = None
+        var decided = false
+        while (!decided && readers.hasNext) {
           val r = readers.next()
-          try {
-            r.setInput(iis, false, true)
-            val frames =
-              try { val k = r.getNumImages(true); if (k > 0) k else 1 }
-              catch { case _: Exception => 1 }
-            Some((r.getWidth(0), r.getHeight(0), frames))
-          } catch {
-            case _: Exception => None // recognized magic but corrupt body
-          } finally r.dispose()
+          val fmt = try r.getFormatName catch { case _: Exception => "" }
+          if (!allowWbmp && fmt.equalsIgnoreCase("wbmp")) {
+            r.dispose() // over-permissive sniffer; try the next SPI, if any
+          } else {
+            decided = true
+            try {
+              r.setInput(iis, false, true)
+              val frames =
+                try { val k = r.getNumImages(true); if (k > 0) k else 1 }
+                catch { case _: Exception => 1 }
+              result = Some((r.getWidth(0), r.getHeight(0), frames))
+            } catch {
+              case _: Exception => result = None // recognized magic but corrupt body
+            } finally r.dispose()
+          }
         }
+        result
       } finally if (iis != null) iis.close()
     }
 
@@ -271,7 +285,10 @@ object Multimodal {
     * that partitions a 100 TB lake by modality so each branch runs its
     * own decode kernel ([[imageFeatures]], [[Audio.audioFeatures]],
     * [[Video.videoFrameFeatures]]). `unknown` stays routable to the
-    * declared [[FakeCodec]] fallback. */
+    * declared [[FakeCodec]] fallback. The sniff excludes the JDK WBMP
+    * reader (`allowWbmp = false`) and nulls out any audio field the
+    * header leaves `NOT_SPECIFIED` — a router must not write sentinel
+    * values (-1 frame counts, WBMP garbage dims) into the lake. */
   def routeModality(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("modality", StringType, nullable = false),
@@ -287,12 +304,14 @@ object Multimodal {
           if (r.isNullAt(idx)) Seq("unknown", null, null, null, null, null)
           else {
             val bytes = r.getAs[Array[Byte]](idx)
-            JdkImageCodec.decodeDims(bytes) match {
+            JdkImageCodec.decodeDims(bytes, allowWbmp = false) match {
               case Some((w, h, f)) =>
                 Seq(if (f > 1) "video" else "image", w, h, f, null, null)
               case None => Audio.JdkAudioCodec.decodeMeta(bytes) match {
-                case Some((rate, _, _, frames)) =>
-                  Seq("audio", null, null, null, rate, frames)
+                case Some(meta) =>
+                  Seq("audio", null, null, null,
+                    meta.sampleRate.map(Int.box).orNull,
+                    meta.nFrames.map(Long.box).orNull)
                 case None => Seq("unknown", null, null, null, null, null)
               }
             }

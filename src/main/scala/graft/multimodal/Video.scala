@@ -35,7 +35,17 @@ object Video {
 
     /** Decode every frame → one `grid × grid` mean-luma array per frame
       * (Rec. 601 over sRGB bytes, identical chain to the image kernel).
-      * None when no registered reader recognizes the container. */
+      * None when no registered reader recognizes the container.
+      *
+      * CONTRACT — no compositing: each frame is decoded AS STORED
+      * (`reader.read(i)`), with no GIF disposal-method handling or
+      * logical-screen placement. Full-frame sequences (everything
+      * [[synthesizeGifPattern]] writes, and any encoder that emits
+      * replace-mode frames) are exact; for delta/partial-frame GIFs the
+      * per-frame features describe the stored fragment, not the rendered
+      * frame. A production binding that needs rendered-frame semantics
+      * composites each fragment onto the logical screen before
+      * `lumaGridOf` — the feature chain downstream is unchanged. */
     def frameLumaGrids(bytes: Array[Byte], grid: Int): Option[Seq[Array[Double]]] = {
       val iis = Multimodal.JdkImageCodec.memStream(bytes)
       try {

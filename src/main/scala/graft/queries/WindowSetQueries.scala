@@ -1,10 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
-import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
+import graft.operators.Ewma
 import QueryShared._
 
 /** Set operations (U1-U3), window / time-series queries (W1-W8) and the

@@ -31,9 +31,13 @@ import graft.multimodal.Multimodal
   * ProcessingTime trigger, same contract as the reference's daemon. */
 object MediaStream {
 
-  /** Media containers the JDK SPIs can sniff; everything else still
-    * lands (routed `unknown`) so nothing is silently dropped. */
-  val DefaultGlob = "*.{png,PNG,jpg,jpeg,bmp,gif,GIF,tif,tiff,wav,WAV,aiff,au}"
+  /** Default ingest glob: EVERYTHING. Containers no JDK SPI sniffs
+    * (mp4/webm/…) land routed `unknown` rather than being silently
+    * excluded at the listing — a glob that names extensions would make
+    * the file source skip (and permanently mark seen) anything it
+    * doesn't list. Narrow via the `glob` parameter only when the
+    * landing dir is shared with non-media producers. */
+  val DefaultGlob = "*"
 
   /** Closed routing range of [[Multimodal.routeModality]] — rollback
     * must sweep every possible partition dir of a half-published batch
@@ -74,6 +78,12 @@ object MediaStream {
     } finally routed.unpersist(blocking = false) // this tick's cache only
   }
 
+  /** NOTE on `maxBytes`: the length predicate pushes into the binaryFile
+    * scan, so oversize content is never read — but the source still
+    * marks those files seen, so they are PERMANENTLY skipped, not
+    * retried. That is deliberate (a 10 GB object must not ride a row);
+    * operators audit the skip set with [[oversizeAudit]], which lists
+    * oversize landing files from directory metadata alone. */
   def start(spark: SparkSession, landingDir: String, lakeDir: String,
       checkpoint: String, glob: String = DefaultGlob,
       maxBytes: Long = 256L * 1024 * 1024,
@@ -94,6 +104,29 @@ object MediaStream {
         ()
       }
       .start()
+
+  /** The skip set [[start]]'s `maxBytes` guard excludes, from listing
+    * metadata only (no content read): (path, length) of every landing
+    * file over the threshold. Run it on the ingest cadence and alert on
+    * growth — oversize objects need a chunked ingest path, not a bigger
+    * row. */
+  def oversizeAudit(spark: SparkSession, landingDir: String,
+      maxBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(landingDir)
+    val fs = root.getFileSystem(conf)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getLen > maxBytes)
+          found += ((st.getPath.toString, st.getLen))
+      }
+    }
+    found.toSeq.toDF("path", "length")
+  }
 
   /** The routed lake back as a DataFrame — partition column `modality`
     * restored by the reader; filters on it prune directories. Only

@@ -24,8 +24,8 @@ class AudioVideoSpec extends SparkSpec {
     out.foreach { r =>
       val seed = r.getLong(0); val bytes = r.getAs[Array[Byte]](1)
       assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
-      val Some((rate, ch, bits, frames)) = Audio.JdkAudioCodec.decodeMeta(bytes)
-      assert((rate, ch, bits, frames) === ((8000, 1, 16, 64L)))
+      val Some(meta) = Audio.JdkAudioCodec.decodeMeta(bytes)
+      assert(meta === Audio.AudioMeta(Some(8000), 1, 16, Some(64L)))
       val Some(samples) = Audio.JdkAudioCodec.pcmSamples(bytes)
       assert(samples.length === 64)
       samples.zipWithIndex.foreach { case (s, i) =>
@@ -132,6 +132,41 @@ class AudioVideoSpec extends SparkSpec {
     assert(out(1).isNullAt(2) && out(1).isNullAt(4))
     assert((out(2).getInt(2), out(2).getInt(3), out(2).getInt(4)) === ((3, 2, 4)))
     assert(out(3).isNullAt(2) && out(3).isNullAt(5))
+  }
+
+  test("routeModality: zero-led garbage is NOT misrouted image by the permissive WBMP sniffer") {
+    import spark.implicits._
+    // the JDK WBMP reader's canDecodeInput accepts any stream starting
+    // 0x00 0x00 and reports garbage dims (here it would say 40×30)
+    val zeroLed = Array[Byte](0, 0, 40, 30) ++ Array.fill[Byte](60)(7)
+    assert(Multimodal.JdkImageCodec.decodeDims(zeroLed).isDefined,   // documented default
+      "probe payload should trip the WBMP sniffer when allowed")
+    assert(Multimodal.JdkImageCodec.decodeDims(zeroLed, allowWbmp = false).isEmpty)
+    val out = Multimodal.routeModality(
+        Seq((1L, zeroLed)).toDF("doc_id", "payload"), "payload")
+      .select("modality", "width").head()
+    assert(out.getString(0) === "unknown")
+    assert(out.isNullAt(1))
+  }
+
+  test("audio meta: AU header with unknown data size yields null n_samples, not -1") {
+    import spark.implicits._
+    // AU header: ".snd", dataOffset=24, dataSize=0xFFFFFFFF (unknown),
+    // encoding=3 (16-bit linear PCM), rate=8000, channels=1 — the JDK
+    // reports frameLength = NOT_SPECIFIED (-1) for this container
+    val b = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(b)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(0xFFFFFFFF)
+    d.writeInt(3); d.writeInt(8000); d.writeInt(1)
+    (0 until 32).foreach(i => d.writeShort(i * 100))
+    val au = b.toByteArray
+    assert(Audio.JdkAudioCodec.decodeMeta(au) ===
+      Some(Audio.AudioMeta(Some(8000), 1, 16, None)))
+    val out = Multimodal.routeModality(Seq((1L, au)).toDF("doc_id", "payload"), "payload")
+      .select("modality", "sample_rate", "n_samples").head()
+    assert(out.getString(0) === "audio")
+    assert(out.getInt(1) === 8000)
+    assert(out.isNullAt(2), "NOT_SPECIFIED frame length must land as null, not -1")
   }
 
   test("readBinaryDir: binaryFile ingest of real files on disk routes through the same codecs") {

@@ -41,7 +41,8 @@ class CodecPropertySpec extends SparkSpec {
     forAll(gen, 10) { case (seed, n, rate) =>
       val bytes = Audio.synthesizeWavPattern(one(seed), "doc_id", n, rate)
         .select("payload").head().getAs[Array[Byte]](0)
-      assert(Audio.JdkAudioCodec.decodeMeta(bytes) === Some((rate, 1, 16, n.toLong)))
+      assert(Audio.JdkAudioCodec.decodeMeta(bytes) ===
+        Some(Audio.AudioMeta(Some(rate), 1, 16, Some(n.toLong))))
       val got = Audio.JdkAudioCodec.pcmSamples(bytes).get
       assert(got.length === n)
       assert(got.toSeq === (0 until n).map(expectedSample(seed, _)))
