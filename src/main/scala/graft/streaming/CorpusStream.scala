@@ -108,17 +108,31 @@ object CorpusStream {
     * the corpus is never rescanned. */
   def readTokenCardinality(spark: SparkSession, statsDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val regs = graft.operators.TextAnalysis.hllMerge(
-      Seq(spark.read.parquet(s"$statsDir/hll")))
+    val raw = spark.read.parquet(s"$statsDir/hll")
+    // partials are stamped with the p they were written at (ingestBatch):
+    // a max-merge across DIFFERENT p values is silently wrong even when
+    // the merged bucket count happens to be a power of two (a dense
+    // p=4 grid unioned with a dense p=5 grid is just the p=5 grid), so
+    // the stamp — not the fold shape — is the authoritative check
+    val ps: Seq[Int] =
+      if (raw.columns.contains("p"))
+        raw.select("p").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      else Seq.empty
+    require(ps.lengthCompare(1) <= 0,
+      s"HLL partials under $statsDir/hll were written with mixed " +
+        s"statsHllP values ${ps.mkString(", ")} and cannot be max-merged; " +
+        "rebuild the stats with one p")
+    val regs = graft.operators.TextAnalysis.hllMerge(Seq(raw))
     val m = regs.count() // 2^p, densified by hllRegisters' spine join
-    // guard the exponent derivation: if partials were ever written with
-    // different statsHllP values, hllMerge unions distinct bucket grids
-    // and m is no longer a power of two — numberOfTrailingZeros would
-    // then yield a silently-wrong p and a garbage estimate
+    // second line of defense, for unstamped/corrupt partials: the fold
+    // must cover a full 2^p bucket grid or numberOfTrailingZeros would
+    // derive a silently-wrong exponent
     require(m > 0 && (m & (m - 1)) == 0,
-      s"HLL register fold has $m buckets — not a power of two, so the " +
-        "partials under this statsDir were written with mixed statsHllP " +
-        "values and cannot be merged; rebuild the stats with one p")
+      s"HLL register fold has $m buckets — not a full power-of-two " +
+        "grid; the partials under this statsDir are truncated or corrupt")
+    ps.headOption.foreach(p0 => require(m == (1L << p0),
+      s"HLL register fold has $m buckets but partials declare p=$p0 " +
+        s"(expected ${1L << p0}); the partials are truncated or corrupt"))
     val p = java.lang.Long.numberOfTrailingZeros(m)
     // scale exponent x = 62−p: keeps the all-zero-register worst case
     // (denom = m·2^x = 2^62) inside BIGINT for any p, and x − max rho =
@@ -215,7 +229,10 @@ object CorpusStream {
           (sd,
             graft.operators.TextAnalysis.countMinSketch(novel, textCol,
               statsDepth, statsWidth),
-            graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), statsHllP))
+            // stamp the partial with its p: readTokenCardinality refuses
+            // to max-merge partials written at different statsHllP
+            graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), statsHllP)
+              .withColumn("p", lit(statsHllP)))
         }
         batchId match {
           case Some(bid) =>
