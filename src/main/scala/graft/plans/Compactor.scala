@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import graft.sources.{HistoryTable, ParquetMeta}
 
 /** Partition compactor: merge the many small per-ingest parquet files of
-  * each `<table>/date=D/` partition into one `compacted.parquet`, with
+  * each `<table>/date=D/` partition into compacted output, with
   * schema evolution, atomic publication and anti-join bookkeeping —
   * the reference's compactor binary
   * (/root/reference/src/bin/compactor.rs:33-111,584-792).
@@ -14,8 +14,13 @@ import graft.sources.{HistoryTable, ParquetMeta}
   * Scale: each partition is one independent unit of work; on a cluster
   * the per-partition jobs are scheduled concurrently (the reference used a
   * rayon scope + per-partition mutex; Spark's scheduler + disjoint output
-  * paths make the lock unnecessary). A single partition's rewrite streams
-  * through `coalesce(1)` — no full materialization.
+  * paths make the lock unnecessary). Below `targetFileBytes` a
+  * partition rewrites through `coalesce(1)` into a single
+  * `compacted.parquet` (the reference's one-file contract); above it
+  * the rewrite fans out to `ceil(bytes / target)` bounded files — the
+  * hot-partition escape hatch a 100 TB lake needs, since no sane
+  * single file or single write task should absorb an unbounded
+  * partition.
   */
 object Compactor {
 
@@ -37,73 +42,119 @@ object Compactor {
   }
 
   private val NewFile = ".compact_new.parquet"
+  private val NewPrefix = ".compact_new"
   private val Manifest = ".compact_manifest"
 
+  /** A compacted OUTPUT file: the single-file `compacted.parquet`
+    * (reference parity) or one of a bounded multi-file generation
+    * `compacted-g<gen>-<i>.parquet` ([[compactPartition]]'s
+    * `targetFileBytes` escape hatch). */
+  private def isCompactedName(n: String): Boolean =
+    n == "compacted.parquet" || (n.startsWith("compacted-") && n.endsWith(".parquet"))
+
+  /** Final name of a hidden staged file: `.compact_new.parquet` →
+    * `compacted.parquet`; `.compact_new.compacted-g…-00001.parquet` →
+    * `compacted-g…-00001.parquet`. */
+  private def promotedName(hidden: String): String =
+    if (hidden == NewFile) "compacted.parquet"
+    else hidden.stripPrefix(NewPrefix + ".")
+
   /** Crash recovery for [[compactPartition]]'s publish protocol. States:
-    *  - `.compact_new.parquet` without manifest: merge result existed but
-    *    nothing was deleted yet → discard it (inputs are intact);
+    *  - hidden `.compact_new*` files without manifest: merge results
+    *    existed but nothing was deleted yet → discard them (inputs are
+    *    intact);
     *  - manifest present: the files it lists were merged into the new
-    *    file → finish the deletes; if the new file is still hidden,
-    *    promote it to `compacted.parquet` (when the manifest lists
-    *    `compacted.parquet` but the new file was already promoted, the
-    *    listed name IS the merged data — never delete it then). */
+    *    files → finish the deletes; promote any still-hidden new files
+    *    (when the manifest lists a compacted name but no hidden file
+    *    remains, the listed name IS the already-promoted merged data —
+    *    never delete it then; multi-file generations are immune by
+    *    construction: their names are generation-unique, so a new
+    *    generation never collides with the listed old one). */
   private def recover(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    val newP = new Path(dir, NewFile)
     val manP = new Path(dir, Manifest)
+    val dirP = new Path(dir)
+    def hiddenNew(): Seq[Path] =
+      if (!f.exists(dirP)) Seq.empty
+      else f.listStatus(dirP).map(_.getPath)
+        .filter(_.getName.startsWith(NewPrefix)).toSeq.sortBy(_.getName)
     if (f.exists(manP)) {
       val in = f.open(manP)
       val listed = scala.io.Source.fromInputStream(in).getLines().toVector
       in.close()
-      val newExists = f.exists(newP)
+      val news = hiddenNew()
+      val newExists = news.nonEmpty
       listed.foreach { name =>
-        if (newExists || name != "compacted.parquet") {
+        if (newExists || !isCompactedName(name)) {
           val p = new Path(dir, name)
           if (f.exists(p)) f.delete(p, false)
         }
       }
-      if (newExists) f.rename(newP, new Path(dir, "compacted.parquet"))
+      news.foreach(h => f.rename(h, new Path(dir, promotedName(h.getName))))
       f.delete(manP, false)
-    } else if (f.exists(newP)) {
-      f.delete(newP, false)
-    }
+    } else hiddenNew().foreach(h => f.delete(h, false))
   }
 
-  /** Compact one partition dir: read every non-compacted parquet file under
-    * the widened schema, rewrite as a single `compacted.parquet`, delete
-    * inputs. Publish protocol (crash-safe refinement of the reference's
-    * tmp+rename, compactor.rs:644-755): merge → hidden new file →
-    * manifest of merged names → deletes → promote → drop manifest; a crash
-    * at any point is repaired by [[recover]] on the next sweep. Returns
-    * None if there was nothing to do. */
+  /** Compact one partition dir: read every non-compacted parquet file
+    * under the widened schema, rewrite as compacted output, delete
+    * inputs. Below `targetFileBytes` of input the output is a single
+    * `compacted.parquet` (the reference's one-file-per-partition
+    * contract, compactor.rs:644-755); above it the rewrite targets
+    * `ceil(inputBytes / targetFileBytes)` bounded files named
+    * `compacted-g<gen>-<i>.parquet` — at 100 TB a hot partition must
+    * not funnel through one task or one file, and generation-unique
+    * names keep the crash protocol collision-free. Publish protocol
+    * (crash-safe refinement of the reference's tmp+rename): merge →
+    * hidden new files → manifest of merged names → deletes → promote →
+    * drop manifest; a crash at any point is repaired by [[recover]] on
+    * the next sweep. Returns None if there was nothing to do. */
   def compactPartition(spark: SparkSession, lakeRoot: String, table: String,
-      partition: String, compression: String = "zstd"): Option[Stat] = {
+      partition: String, compression: String = "zstd",
+      targetFileBytes: Long = Long.MaxValue): Option[Stat] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dir = s"$lakeRoot/$table/$partition"
     val f = fs(spark, dir)
     recover(f, dir)
-    val inputs = f.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && p.getName != "compacted.parquet")
-    val existing = new Path(dir, "compacted.parquet")
-    val hadExisting = f.exists(existing)
-    val sources = (inputs ++ (if (hadExisting) Seq(existing) else Seq.empty)).map(_.toString)
+    val statuses = f.listStatus(new Path(dir))
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+    val inputs = statuses.filter(s => !isCompactedName(s.getPath.getName)).map(_.getPath)
+    val existingCompacted = statuses.filter(s => isCompactedName(s.getPath.getName)).map(_.getPath)
     if (inputs.isEmpty) return None
+    val sources = (inputs ++ existingCompacted).map(_.toString)
+    val totalBytes = statuses.map(_.getLen).sum
+    val nFiles =
+      if (targetFileBytes == Long.MaxValue) 1
+      else math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val merged = SchemaEvolution.readWidened(spark, sources.toIndexedSeq)
     val tmp = new Path(dir, ".compact_tmp")
-    merged.coalesce(1).write.mode("overwrite")
+    // single-file: coalesce (no shuffle); multi-file: repartition for
+    // even file sizes (a compactor is rewrite-bound; the shuffle is the
+    // price of bounded, balanced output files)
+    (if (nFiles == 1) merged.coalesce(1) else merged.repartition(nFiles))
+      .write.mode("overwrite")
       .option("compression", compression).parquet(tmp.toString)
-    val part = f.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
-    val rows = ParquetMeta.read(spark, part.toString).rows // footer, not a re-scan
-    val newP = new Path(dir, NewFile)
-    f.rename(part, newP)
-    val manifest = inputs.map(_.getName) ++ (if (hadExisting) Seq("compacted.parquet") else Nil)
+    val partsOut = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val gen = System.currentTimeMillis()
+    val hidden = partsOut.zipWithIndex.map { case (p, i) =>
+      val hn =
+        if (partsOut.length == 1) NewFile
+        else f"$NewPrefix.compacted-g$gen-$i%05d.parquet"
+      val hp = new Path(dir, hn)
+      f.rename(p, hp)
+      hp
+    }
+    val rows = hidden.map(h => ParquetMeta.read(spark, h.toString).rows).sum // footers, not a re-scan
+    val manifest = (inputs ++ existingCompacted).map(_.getName)
     val out = f.create(new Path(dir, Manifest), true)
     out.write(manifest.mkString("\n").getBytes("UTF-8")); out.close()
     inputs.foreach(p => f.delete(p, false))
-    if (f.exists(existing)) f.delete(existing, false)
-    f.rename(newP, existing)
+    existingCompacted.foreach(p => if (f.exists(p)) f.delete(p, false))
+    hidden.foreach(h => f.rename(h, new Path(dir, promotedName(h.getName))))
     f.delete(new Path(dir, Manifest), false)
     f.delete(tmp, true)
     f.listStatus(new Path(dir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("_") || (p.getName.startsWith(".") && p.getName != NewFile && p.getName != Manifest))
+      .filter(p => p.getName.startsWith("_") ||
+        (p.getName.startsWith(".") && !p.getName.startsWith(NewPrefix) && p.getName != Manifest))
       .foreach(p => f.delete(p, true))
     Some(Stat(table, partition, inputs.length, rows))
   }
@@ -111,13 +162,18 @@ object Compactor {
   /** One compaction sweep: for every partition containing files not yet in
     * the `compacted` history, rewrite and record. The anti-join is the
     * idempotency gate (compactor.rs:597-641). */
-  def runOnce(spark: SparkSession, lakeRoot: String, history: HistoryTable): Seq[Stat] = {
+  def runOnce(spark: SparkSession, lakeRoot: String, history: HistoryTable,
+      targetFileBytes: Long = Long.MaxValue): Seq[Stat] = {
     import spark.implicits._
     val parts = discoverPartitions(spark, lakeRoot)
     val f = fs(spark, lakeRoot)
     val candidates = parts.flatMap { case (t, p) =>
       f.listStatus(new Path(s"$lakeRoot/$t/$p")).map(_.getPath)
-        .filter(x => x.getName.endsWith(".parquet") && x.getName != "compacted.parquet")
+        // compacted OUTPUTS (single-file or multi-file generation) are
+        // never candidates: generation names change on every rewrite, so
+        // treating them as fresh ingest would re-dirty the partition on
+        // every sweep forever
+        .filter(x => x.getName.endsWith(".parquet") && !isCompactedName(x.getName))
         .map(x => (t, p, s"$t/$p/${x.getName}"))
     }
     if (candidates.isEmpty) return Seq.empty
@@ -131,7 +187,7 @@ object Compactor {
     // manifest protocol is per-dir, so no lock is needed. Each job is a
     // single coalesce(1) task — concurrency is what keeps >1 core busy.
     val stats = graft.Par.mapBounded(dirty.toIndexedSeq) { case (t, p) =>
-      compactPartition(spark, lakeRoot, t, p)
+      compactPartition(spark, lakeRoot, t, p, targetFileBytes = targetFileBytes)
     }
     if (freshPaths.nonEmpty) {
       val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -153,7 +209,8 @@ object Compactor {
       maxSweeps: Long = Long.MaxValue,
       control: graft.DaemonControl = new graft.DaemonControl,
       installShutdownHook: Boolean = true,
-      onSweep: Seq[Stat] => Unit = _ => ()): Seq[Stat] = {
+      onSweep: Seq[Stat] => Unit = _ => (),
+      targetFileBytes: Long = Long.MaxValue): Seq[Stat] = {
     control.runGuarded(installShutdownHook) {
       val out = scala.collection.mutable.ArrayBuffer.empty[Stat]
       var sweeps = 0L
@@ -175,7 +232,7 @@ object Compactor {
           nextCompact = t + intervalMillis
           sweeps += 1
           try {
-            val stats = runOnce(spark, lakeRoot, history)
+            val stats = runOnce(spark, lakeRoot, history, targetFileBytes)
             out ++= stats
             try onSweep(stats)
             catch { case scala.util.control.NonFatal(e) =>

@@ -128,4 +128,78 @@ class CompactorSpec extends SparkSpec {
     assert(third.map(_.rows).sum === 2)
     assert(spark.read.parquet(s"$lake/T---X---1").count() === 2)
   }
+
+  test("targetFileBytes: a hot partition compacts to N>1 bounded files; rows reconcile; sweeps stay idempotent") {
+    import spark.implicits._
+    val lake = tmpDir("lakehot")
+    val hist = HistoryTable.compacted(spark, tmpDir("histhot"))
+    val part = s"$lake/T---HOT---1/date=2025-06-07"
+    // ~2000 rows of incompressible-ish strings across several ingest files
+    (0 until 4).foreach { i =>
+      spark.range(i * 500, (i + 1) * 500)
+        .selectExpr("CAST(id AS DOUBLE) AS v", "concat('id-', md5(CAST(id AS STRING))) AS id")
+        .coalesce(1).write.mode("append").parquet(part)
+    }
+    val target = 16L * 1024 // tiny target to force a multi-file generation
+    val stat = Compactor.runOnce(spark, lake, hist, targetFileBytes = target)
+    assert(stat.map(_.rows).sum === 2000)
+    val files = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString.split('/').last)
+    assert(files.length > 1, s"expected a multi-file generation, got ${files.toSeq}")
+    assert(files.forall(n => n.startsWith("compacted-g")), files.toSeq.toString)
+    // footer row counts reconcile with the readback
+    val footerRows = files.map(n =>
+      graft.sources.ParquetMeta.read(spark, s"$part/$n").rows).sum
+    assert(footerRows === 2000)
+    assert(spark.read.parquet(s"$lake/T---HOT---1").count() === 2000)
+    // idempotency: the generation files are not candidates, so a second
+    // sweep is a no-op (no endless re-dirtying from changing gen names)
+    assert(Compactor.runOnce(spark, lake, hist, targetFileBytes = target).isEmpty)
+    // a late arrival folds the WHOLE previous generation into the next one
+    Seq((9e9, "late")).toDF("v", "id").coalesce(1).write.mode("append").parquet(part)
+    val again = Compactor.runOnce(spark, lake, hist, targetFileBytes = target)
+    assert(again.map(_.rows).sum === 2001)
+    assert(spark.read.parquet(s"$lake/T---HOT---1").count() === 2001)
+    val gen2 = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString.split('/').last)
+    assert(gen2.forall(_.startsWith("compacted-g")))
+    // below the threshold the single-file reference contract is untouched
+    val small = s"$lake/T---COLD---1/date=2025-06-07"
+    Seq((1.0, "x")).toDF("v", "id").coalesce(1).write.mode("append").parquet(small)
+    Compactor.runOnce(spark, lake, hist, targetFileBytes = 1L << 30)
+    val coldFiles = Files.list(Paths.get(small)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString.split('/').last)
+    assert(coldFiles.toSeq === Seq("compacted.parquet"))
+  }
+
+  test("targetFileBytes: crash mid-publish of a multi-file generation is repaired without loss") {
+    import spark.implicits._
+    val lake = tmpDir("lakehotcrash")
+    val part = s"$lake/T---HC---1/date=2025-06-07"
+    spark.range(0, 1000)
+      .selectExpr("CAST(id AS DOUBLE) AS v", "concat('id-', md5(CAST(id AS STRING))) AS id")
+      .coalesce(1).write.mode("append").parquet(part)
+    // simulate the crash window: merge staged as hidden gen files +
+    // manifest written, but deletes/promotes never ran
+    val input = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    assert(input.length === 1)
+    spark.read.parquet(part).repartition(2).write.parquet(s"$part/.crash_stage")
+    val staged = Files.list(Paths.get(s"$part/.crash_stage"))
+      .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString).sorted
+    assert(staged.length === 2)
+    staged.zipWithIndex.foreach { case (s, i) =>
+      Files.move(Paths.get(s),
+        Paths.get(f"$part/.compact_new.compacted-g99-$i%05d.parquet"))
+    }
+    Files.writeString(Paths.get(s"$part/.compact_manifest"),
+      new java.io.File(input.head).getName)
+    // next touch must finish the deletes and promote BOTH hidden files
+    val stat = Compactor.compactPartition(spark, lake, "T---HC---1", "date=2025-06-07")
+    assert(stat.isEmpty) // recovery left nothing to compact
+    val files = Files.list(Paths.get(part)).filter(_.toString.endsWith(".parquet"))
+      .toArray.map(_.toString.split('/').last).sorted
+    assert(files.toSeq === Seq("compacted-g99-00000.parquet", "compacted-g99-00001.parquet"))
+    assert(spark.read.parquet(s"$lake/T---HC---1").count() === 1000) // no loss, no dup
+  }
 }
