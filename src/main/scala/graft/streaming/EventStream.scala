@@ -172,6 +172,92 @@ object EventStream {
       }
   }
 
+  final case class BufEv(micros: Long, eventId: Long)
+  final case class SessBufState(pending: Seq[BufEv], lastTsMicros: Long, sessionN: Long)
+
+  /** BUFFERED event-time sessionization — the exact-ordering sibling of
+    * [[streamingSessionizeEventTime]]. That form folds accepted-late rows
+    * into the open session immediately (max-guard, never rewinding the
+    * clock), which preserves session MEMBERSHIP but emits rows in arrival
+    * order. This form buffers every row in state until the watermark
+    * passes its event time; only then is the row numbered and emitted —
+    * so the output sequence per key is in TRUE event-time order and the
+    * session numbering is exactly what the batch operator
+    * ([[graft.operators.TimeSeries.sessionize]]) would assign over the
+    * same accepted rows. The price is latency (nothing emits until the
+    * watermark passes it) and state (pending rows ride the store instead
+    * of a scalar pair) — the standard buffer-until-watermark trade for
+    * consumers that need replayable, ordered session logs.
+    *
+    * Correctness argument: a row at event time t is FINAL once the
+    * watermark W > t, because the stateful operator admits no future row
+    * with ts < W. So each tick emits the pending rows with t < W in
+    * (t, event_id) order, and the fold across ticks is monotone in t —
+    * emitted rows always precede every still-pending or future row in
+    * event time, so plain assignment (no max-guard) is exact. State
+    * expires via EventTimeTimeout once W passes `maxKnown + gap`: at
+    * that point the buffer has fully drained (all pending < W) and the
+    * gap provably closed, so the state is flushed and removed; a later
+    * event restarts numbering at 1 — the gap-semantics answer.
+    *
+    * Scale: state per key is O(pending rows within the lateness
+    * horizon), bounded by `lateness × per-key arrival rate` — the same
+    * envelope Spark's own streaming dropDuplicates/session-window
+    * operators carry. */
+  def streamingSessionizeBuffered(events: Dataset[Ev], gapSeconds: Long,
+      lateness: String): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapMicros = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBufState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessBufState]) =>
+          val st = state.getOption.getOrElse(SessBufState(Vector.empty, Long.MinValue, 0L))
+          var (lastTs, n) = (st.lastTsMicros, st.sessionN)
+          def fold(evs: Seq[BufEv]): Seq[SessOut] =
+            evs.sortBy(b => (b.micros, b.eventId)).map { b =>
+              if (lastTs == Long.MinValue || b.micros - lastTs > gapMicros) n += 1
+              lastTs = b.micros // monotone across ticks — see scaladoc
+              SessOut(uid, b.eventId, toTs(b.micros), n)
+            }
+          if (state.hasTimedOut) {
+            // W > maxKnown + gap: every pending row is final and the
+            // session provably closed — flush ordered, drop the state
+            val out = fold(st.pending)
+            state.remove()
+            out.iterator
+          } else {
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val all = st.pending ++ rows.map(r => BufEv(micros(r.ts), r.event_id))
+            val (ripe, hold) = all.partition(_.micros < wmMicros)
+            val out = fold(ripe)
+            val maxKnown = (hold.map(_.micros) :+ lastTs).max
+            if (hold.isEmpty &&
+                (lastTs == Long.MinValue || lastTs + gapMicros < wmMicros)) {
+              // nothing pending and the gap already elapsed behind the
+              // watermark: the session is closed NOW, no timeout needed
+              state.remove()
+            } else {
+              state.update(SessBufState(hold, lastTs, n))
+              // flush-and-expire once the watermark proves the gap passed
+              // the latest known event (ms precision is the timeout API's)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(maxKnown, 1000L) + gapSeconds * 1000L + 1L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
   final case class EwmaOut(key: String, ts: java.sql.Timestamp, ewma: Double)
   final case class EwmaState(ewma: Double)

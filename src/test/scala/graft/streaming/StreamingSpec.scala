@@ -172,7 +172,7 @@ class StreamingSpec extends SparkSpec {
     assert(tick(b2, 1L) === 1L)
     // folded per-tick partials ≡ sketching the read-back corpus directly
     val folded = CorpusStream.readTokenStats(spark, statsDir)
-    val direct = graft.operators.TextAnalysis.countMinSketch(
+    val direct = graft.operators.TextSketches.countMinSketch(
       spark.read.parquet(corpusDir), "text", depth = 4, width = 64)
     assert(folded.except(direct).isEmpty && direct.except(folded).isEmpty)
     // HLL partials fold to exactly the registers of the read-back corpus
@@ -181,8 +181,8 @@ class StreamingSpec extends SparkSpec {
     val directToks = spark.read.parquet(corpusDir)
       .select(explode(split(graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val directRegs = graft.operators.TextAnalysis.hllRegisters(directToks, col("tok"), p = 12)
-    val foldedRegs = graft.operators.TextAnalysis.hllMerge(
+    val directRegs = graft.operators.TextSketches.hllRegisters(directToks, col("tok"), p = 12)
+    val foldedRegs = graft.operators.TextSketches.hllMerge(
       Seq(spark.read.parquet(s"$statsDir/hll")))
     assert(foldedRegs.except(directRegs).isEmpty && directRegs.except(foldedRegs).isEmpty)
     val card = CorpusStream.readTokenCardinality(spark, statsDir).collect().head
@@ -279,6 +279,56 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     q.stop()
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("EventStream.streamingSessionizeBuffered: rows emit in TRUE event-time order with batch-exact numbering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.streamingSessionizeBuffered(mem.toDS(),
+        gapSeconds = 60, lateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_buf").outputMode("append").start()
+    // b1: key 7 opens with events at 00:00 and 00:20; key 9 at 00:15.
+    // Everything buffers (watermark still at epoch). wm after b1 → 00:10
+    mem.addData(
+      EventStream.Ev(7L, 1L, t("2024-01-01T00:00:00Z")),
+      EventStream.Ev(7L, 4L, t("2024-01-01T00:20:00Z")),
+      EventStream.Ev(9L, 20L, t("2024-01-01T00:15:00Z")))
+    q.processAllAvailable()
+    // b2: events 2/3 arrive OUT OF ORDER relative to the already-seen
+    // event 4 (but >= watermark → accepted); key 9 gets 00:14, out of
+    // order vs its 00:15. Ripe at wm 00:10: only event 1
+    mem.addData(
+      EventStream.Ev(7L, 2L, t("2024-01-01T00:10:30Z")),
+      EventStream.Ev(7L, 3L, t("2024-01-01T00:11:00Z")),
+      EventStream.Ev(9L, 21L, t("2024-01-01T00:14:00Z")))
+    q.processAllAvailable()
+    // b3: event 8 is BEYOND the watermark (00:05 < 00:10) → dropped,
+    // never emitted; event 5 advances the wm driver. wm after b3 → 00:30
+    mem.addData(
+      EventStream.Ev(7L, 8L, t("2024-01-01T00:05:00Z")),
+      EventStream.Ev(7L, 5L, t("2024-01-01T00:40:00Z")))
+    q.processAllAvailable()
+    // b4: wm now 00:30 → key 7's buffer drains through 00:20 in EVENT-TIME
+    // order (2 → 3 → 4), numbered exactly as the batch operator would:
+    // 00:10:30 opens session 2, 00:11:00 stays (30 s ≤ gap), 00:20:00
+    // opens session 3 (9 min gap). The unbuffered event-time form had
+    // already numbered event 4 into session 2 at fold time — the buffered
+    // form is what makes the 00:11→00:20 gap split observable. Key 9 has
+    // no data this batch and its timeout (00:15 + gap) is behind the
+    // watermark → hasTimedOut flushes its buffer ordered: 21 (00:14)
+    // BEFORE 20 (00:15), one shared session (60 s = gap, not >)
+    mem.addData(EventStream.Ev(7L, 6L, t("2024-01-01T00:50:00Z")))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT user_id, event_id, session_n FROM sess_buf")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(out.toSet === Set(
+      (7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 2L), (7L, 4L, 3L),
+      (9L, 21L, 1L), (9L, 20L, 1L)))
+    // events 5/6 still pending (watermark hasn't passed them), 8 dropped
+    assert(!out.exists(o => Set(5L, 6L, 8L).contains(o._2)))
   }
 
   test("EventStream.streamingEwmaEventTime: late point beyond watermark cannot rewrite history") {
