@@ -667,6 +667,56 @@ object Similarity {
     * Scale shape: both inputs are already k-bounded per probe, so the
     * fusion join, scoring, and re-rank all operate on O(probes · k)
     * rows — negligible next to the arms that produced them. */
+  /** Outcome of a drift-triggered IVF maintenance pass
+    * ([[ivfMaintain]]): the drift magnitudes that drove the decision,
+    * whether a re-train ran, and the centroids to search with from now
+    * on (the re-trained set, or the incumbent set unchanged). */
+  final case class IvfMaintenance(maxMeanShift: Double, avgMeanShift: Double,
+      retrained: Boolean, centroids: Seq[Array[Double]])
+
+  /** Per-dimension drift report with the re-cluster decision attached —
+    * the oracle-checkable face of [[ivfMaintain]]: [[embeddingDrift]]'s
+    * exact integer per-dim comparison between the snapshot the index
+    * was trained on (`reference`) and the corpus as it stands now
+    * (`current`), plus `retrain_needed` = does ANY dimension's
+    * |mean_shift| (int8-code units) exceed `threshold`. The unpartitioned
+    * max window runs over ≤ dim rows — the already-aggregated report,
+    * never the corpus. */
+  def ivfDriftReport(reference: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    embeddingDrift(current, reference, idCol, vecCol)
+      .withColumn("retrain_needed",
+        max(abs(col("mean_shift"))).over(Window.partitionBy()) > threshold)
+  }
+
+  /** Drift-triggered IVF index maintenance — the lifecycle piece of the
+    * stored indexes ([[ivfPqStore]], `ann_topk_ivfpq_stored`): a coarse
+    * quantizer trained on last month's crawl silently loses recall as
+    * the embedding distribution moves (a probe's true neighbors straddle
+    * stale cell boundaries), so a production index needs a re-cluster
+    * DECISION, not a cron re-train. This composes [[embeddingDrift]]
+    * (exact, mergeable, corpus-scan-cheap) with [[ivfTrain]]: when any
+    * dimension's |mean_shift| exceeds `threshold`, the quantizer
+    * re-trains on `current`; otherwise the incumbent centroids return
+    * unchanged and nothing was shuffled beyond the drift aggregation.
+    * Callers then rebuild the stored index with the returned centroids
+    * iff `retrained`. Recall degradation → restoration is asserted in
+    * IvfMaintenanceSpec. */
+  def ivfMaintain(reference: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Double]],
+      threshold: Double, iters: Int = 3): IvfMaintenance = {
+    val agg = embeddingDrift(current, reference, idCol, vecCol)
+      .agg(max(abs(col("mean_shift"))).as("mx"),
+        avg(abs(col("mean_shift"))).as("av"))
+      .head()
+    val (mx, av) = (agg.getDouble(0), agg.getDouble(1))
+    if (mx > threshold)
+      IvfMaintenance(mx, av, retrained = true,
+        ivfTrain(current, idCol, vecCol, centroids.size, iters))
+    else IvfMaintenance(mx, av, retrained = false, centroids)
+  }
+
   def rrfFuse(rankA: DataFrame, rankB: DataFrame, k: Int,
       rrfK: Int = 60): DataFrame = {
     val a = rankA.select(col("probe_id"), col("cand_id"), col("rn").as("rn_a"))

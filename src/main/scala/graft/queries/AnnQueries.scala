@@ -154,6 +154,44 @@ private[queries] object AnnQueries {
               FROM sa JOIN sb USING (dim) ORDER BY dim""")),
 
 
+    // drift-triggered index maintenance decision (Similarity.ivfMaintain's
+    // oracle-checkable face): the per-dim drift report plus the re-cluster
+    // trigger — does ANY dimension's |mean_shift| exceed the threshold.
+    // Same exact-integer drift arithmetic as ann_embed_drift; the flag is
+    // one unpartitioned max window over the ≤dim-row report
+    Q("ann_ivf_maintain",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        Similarity.ivfDriftReport(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), // reference snapshot
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), // current corpus
+          "vec_id", "embedding", threshold = 0.5).orderBy("dim")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id, scale,
+                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                         FROM s),
+                   e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': qv[i]}
+                                                for i in range(1, len(qv) + 1)], recursive := true)
+                         FROM q),
+                   sa AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_a, count(*) AS n_a
+                          FROM e WHERE vec_id % 2 = 0 GROUP BY dim),
+                   sb AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_b, count(*) AS n_b
+                          FROM e WHERE vec_id % 2 = 1 GROUP BY dim),
+                   rep AS (SELECT sa.dim, sum_a, n_a, sum_b, n_b,
+                             sum_a * n_b - sum_b * n_a AS cross_diff,
+                             CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b AS mean_shift
+                           FROM sa JOIN sb USING (dim))
+              SELECT dim, sum_a, n_a, sum_b, n_b, cross_diff, mean_shift,
+                     max(abs(mean_shift)) OVER () > 0.5E0 AS retrain_needed
+              FROM rep ORDER BY dim""")),
+
+
     // top-k over the COMPRESSED store: cosine over int8 codes (scales
     // cancel; integer products sum exactly in doubles, so the score is
     // unconditionally engine-exact — no summation-order dependence)
