@@ -2,7 +2,7 @@ package graft.operators
 
 /** A pre-trained BPE merge table shipped as constants — the production
   * shape for ENCODING (the tokenizer artifact is trained once by
-  * [[TextAnalysis.bpeTrain]] and then distributed as a literal list, the
+  * [[Bpe.bpeTrain]] and then distributed as a literal list, the
   * same pattern as [[IvfQuantizer]] / [[PqCodebooks]]). These eight
   * merges are `bpeTrain`'s output on the sf0.01 documents fixture; any
   * fixed rank-ordered list works.

@@ -631,35 +631,6 @@ object TextAnalysis {
       .select(col("id"), col("stratum"), col("n_docs"), col("target"))
   }
 
-  /** Count-min sketch over whitespace tokens — the mergeable
-    * fixed-memory frequency summary a 100 TB corpus uses where an exact
-    * token groupBy would carry the full vocabulary through a shuffle:
-    * `depth` hash rows × `width` counters (`depth·width` cells total,
-    * KBs not TBs), each token occurrence incrementing one cell per row.
-    * Point estimates ([[cmEstimate]]) take the min over rows — always
-    * ≥ the true count, within `e·N / width` with probability
-    * `1 − (1/2)^depth`. Returns the sketch as (row, col, cnt).
-    *
-    * Scale shape: one scan, one groupBy on (row, col) whose key space is
-    * the FIXED `depth·width` grid — the aggregation is map-side-combined
-    * into at most `depth·width` rows per partition regardless of corpus
-    * size, and two sketches merge by adding cells (the partial
-    * aggregation IS the merge). The portable md5 hash keeps every cell
-    * cross-engine reproducible. */
-  def countMinSketch(df: org.apache.spark.sql.DataFrame, textCol: String,
-      depth: Int = 4, width: Int = 512): org.apache.spark.sql.DataFrame = {
-    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
-    df.select(explode(split(normalize(col(textCol)), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(explode(array((0 until depth).map { r =>
-        struct(lit(r).as("row"),
-          pmod(Dedup.portableHash60(concat(col("tok"), lit(s"#cm$r"))),
-            lit(width.toLong)).as("col"))
-      }: _*)).as("rc"))
-      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
-      .agg(count(lit(1)).as("cnt"))
-  }
-
   /** DATASET CARD — the one-row corpus summary published alongside a
     * training set: document/token/char volumes, null-text review count,
     * exact distinct-content count (dup pressure), heuristic-keep count,
@@ -672,7 +643,7 @@ object TextAnalysis {
     * (map-side partials) and a lang-keyed agg whose key space is the
     * language inventory (tiny) — joined as two one-row frames. The
     * distinct-content count is the one genuine shuffle (exact
-    * distinct on the fingerprint); swap in [[hllRegisters]] when an
+    * distinct on the fingerprint); swap in [[TextSketches.hllRegisters]] when an
     * estimate suffices at 100 TB. */
   def datasetCard(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
@@ -690,436 +661,6 @@ object TextAnalysis {
       .agg(concat_ws(" ", sort_array(collect_list(
         concat(col("l"), lit(":"), col("c").cast("string"))))).as("langs"))
     base.join(langs)
-  }
-
-  /** Merge count-min sketches by ADDING cells — the property that makes
-    * the sketch a 100 TB citizen: per-shard sketches roll up to the
-    * whole-corpus sketch without touching row data (the merged table is
-    * bit-identical to sketching the union, which `ta_cm_merge` proves
-    * against an oracle that sketches the union directly). The groupBy
-    * key space stays the fixed `depth·width` grid. */
-  def cmMerge(sketches: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
-    require(sketches.nonEmpty, "no sketches to merge")
-    sketches.reduce(_ unionByName _)
-      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
-  }
-
-  /** Merge HyperLogLog register tables by per-bucket MAX (max is
-    * associative + idempotent, so shard registers roll up to exactly the
-    * whole-corpus registers — `ta_hll_merge` proves it cross-engine).
-    * Inputs must share the same `p`. */
-  def hllMerge(regTables: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
-    require(regTables.nonEmpty, "no register tables to merge")
-    regTables.reduce(_ unionByName _)
-      .groupBy("bucket").agg(max(col("rho")).as("rho"))
-  }
-
-  /** Point-estimate token frequencies from a [[countMinSketch]]: min
-    * over the `depth` cells each token hashes to (0 when a cell is
-    * absent — the token was never counted). The sketch broadcasts (its
-    * size is the fixed grid, corpus-independent); `depth`/`width` must
-    * match the sketch's. Returns (tok, cm_est). */
-  def cmEstimate(sketch: org.apache.spark.sql.DataFrame,
-      tokens: org.apache.spark.sql.DataFrame, tokCol: String,
-      depth: Int, width: Int): org.apache.spark.sql.DataFrame =
-    tokens.select(col(tokCol).as("tok")).distinct()
-      .select(col("tok"), explode(array((0 until depth).map { r =>
-        struct(lit(r).as("row"),
-          pmod(Dedup.portableHash60(concat(col("tok"), lit(s"#cm$r"))),
-            lit(width.toLong)).as("col"))
-      }: _*)).as("rc"))
-      .select(col("tok"), col("rc.row").as("row"), col("rc.col").as("col"))
-      .join(broadcast(sketch), Seq("row", "col"), "left")
-      .groupBy("tok")
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
-
-  /** HyperLogLog register table over an arbitrary key expression — the
-    * mergeable cardinality sketch ("how many distinct shingles /
-    * fingerprints / urls") that replaces a corpus-wide DISTINCT shuffle
-    * with `m = 2^p` one-byte registers. The portable 60-bit hash splits
-    * into a `p`-bit bucket and a `60−p`-bit remainder; the register
-    * holds the max rank `rho` (leading zeros + 1, via the minimal-width
-    * `bin()` string both engines share) seen in its bucket. Returns all
-    * `m` rows as (bucket, rho), empty registers as rho = 0.
-    *
-    * Scale shape: one scan, one groupBy over at most `m` keys
-    * (map-side-combined max — each partition emits ≤ m rows), spine
-    * join to densify. Two sketches merge by per-bucket max — the
-    * partial aggregation IS the merge, so per-shard register tables
-    * roll up without touching row data. Duplicate keys are free (max is
-    * idempotent), so feed the raw stream — no upstream DISTINCT needed.
-    * Null keys carry no identity and are skipped. */
-  def hllRegisters(df: org.apache.spark.sql.DataFrame, key: Column,
-      p: Int = 8): org.apache.spark.sql.DataFrame = {
-    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
-    val m = 1 << p
-    val wBits = 60 - p
-    val spark = df.sparkSession
-    val regs = df.select(Dedup.portableHash60(key).as("h"))
-      .filter(col("h").isNotNull)
-      .select(shiftright(col("h"), wBits).as("bucket"),
-        (col("h") % lit(1L << wBits)).as("rem"))
-      .withColumn("rho", when(col("rem") === 0L, lit(wBits + 1))
-        .otherwise(lit(wBits + 1) - length(bin(col("rem")))))
-      .groupBy("bucket").agg(max(col("rho")).as("rho"))
-    spark.range(m).toDF("bucket")
-      .join(regs, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
-  }
-
-  /** Merge token-length histograms ([[tokenHistogram]] output) by ADDING
-    * bucket counts — completing the merge trio (count-min: add, HLL:
-    * max, histogram: add). `cum` is a DERIVED column and is recomputed
-    * over the merged ≤64-row result — never add cumulative columns.
-    * `ta_hist_merge` proves the fold against an oracle that histograms
-    * the whole corpus directly. */
-  def histogramMerge(hists: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(hists.nonEmpty, "no histograms to merge")
-    hists.map(_.drop("cum")).reduce(_ unionByName _)
-      .groupBy("bucket", "lo", "hi").agg(sum(col("cnt")).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("bucket"), col("lo"), col("hi"), col("cnt"), col("cum"))
-  }
-
-  /** Power-of-two token-length histogram — the mergeable quantile
-    * sketch completing the trio (count-min: frequency, HLL:
-    * cardinality, this: distribution): docs bucket by
-    * `floor(log2(n_tokens)) + 1` (= the minimal-width `bin()` length,
-    * pure integer — no libm log), counts accumulate per bucket, and any
-    * quantile reads off the cumulative column to within a 2× bracket.
-    * Returns one row per non-empty bucket:
-    * (bucket, lo, hi, cnt, cum), `lo..hi` the inclusive length range.
-    *
-    * Scale shape: the groupBy key space is ≤ 64 buckets, so the
-    * aggregation collapses map-side regardless of corpus rows and
-    * per-shard histograms merge by adding counts. The cum window runs
-    * over the ≤ 64-row RESULT, not the corpus (the one "no partition"
-    * window in the family that is genuinely bounded). */
-  def tokenHistogram(df: org.apache.spark.sql.DataFrame,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(tokenCount(col(textCol)).as("n")).filter(col("n").isNotNull)
-      .withColumn("bucket",
-        when(col("n") === 0, lit(0)).otherwise(length(bin(col("n").cast("long")))))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("lo", when(col("bucket") === 0, lit(0L))
-        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")))
-      .withColumn("hi", when(col("bucket") === 0, lit(0L))
-        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("bucket"), col("lo"), col("hi"), col("cnt"), col("cum"))
-  }
-
-  /** BPE tokenizer training — learn `numMerges` byte-pair merges from
-    * the corpus (Sennrich et al.): per iteration, count adjacent symbol
-    * pairs weighted by word frequency, take the max (count desc, then
-    * lexicographic — fully deterministic), and merge it greedily
-    * left-to-right in every word. Returns the learned merge table
-    * (it, lft, rgt, cnt) — the artifact a tokenizer ships.
-    *
-    * Everything is relational: the corpus collapses to a
-    * word-frequency vocabulary once (map-side-combined groupBy — the
-    * only pass over corpus rows); iterations run on the VOCAB posting
-    * table (word, freq, pos, sym), so per-iteration cost is bounded by
-    * vocabulary size, not corpus size. The greedy non-overlapping
-    * merge is the classic gaps-and-islands trick instead of a
-    * sequential fold: pair-start runs (only possible when lft = rgt)
-    * split into islands of consecutive positions, even offsets within
-    * an island merge, the position after a merge drops. No interpreted
-    * lambdas in the loop — windows and codegen'd expressions only.
-    *
-    * Driver loop bounds: one argmax collect per iteration (1 row) and
-    * an eager localCheckpoint to keep lineage flat (superseded
-    * generations released, same hygiene as connectedComponents). Stops
-    * early when no pair reaches `minPairCount`. */
-  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
-      numMerges: Int, minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vocab = df.select(explode(split(normalize(col(textCol)), " ")).as("wd"))
-      .filter(length(col("wd")) > 0)
-      .groupBy("wd").agg(count(lit(1)).as("freq"))
-    var posts = vocab.select(col("wd"), col("freq"),
-        posexplode(transform(sequence(lit(1), length(col("wd"))),
-          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
-      .localCheckpoint(true)
-    val wv = Window.partitionBy("wd").orderBy("pos")
-    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    import org.apache.spark.sql.graftops.PlanApi
-    var it = 0
-    var done = false
-    while (it < numMerges && !done) {
-      val top = posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
-        .filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
-        .collect()
-      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
-      else {
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((it, l, r, cnt))
-        val stepped = posts
-          .withColumn("start",
-            col("sym") === lit(l) && lead(col("sym"), 1).over(wv) === lit(r))
-          // starts-so-far → island id (constant within a consecutive run
-          // of pair-starts; runs longer than 1 only exist when l = r)
-          .withColumn("srn", count(when(col("start"), 1)).over(cum))
-          .withColumn("island", when(col("start"), col("pos") - col("srn")))
-          .withColumn("ifirst",
-            min(when(col("start"), col("pos")))
-              .over(Window.partitionBy("wd", "island")))
-          // greedy left-to-right: even offsets within the island merge
-          .withColumn("valid", col("start") && (col("pos") - col("ifirst")) % 2 === 0)
-          .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
-          .filter(!col("pvalid")) // the right half of a merged pair drops
-          .withColumn("sym", when(col("valid"), lit(l + r)).otherwise(col("sym")))
-          .withColumn("pos", row_number().over(wv) - 1)
-          .select("wd", "freq", "pos", "sym")
-          .localCheckpoint(true)
-        PlanApi.releaseCheckpointBlocks(posts)
-        posts = stepped
-        it += 1
-      }
-    }
-    PlanApi.releaseCheckpointBlocks(posts)
-    merges.toSeq.toDF("it", "lft", "rgt", "cnt")
-  }
-
-  /** BATCHED BPE training — the job-count fix for [[bpeTrain]]'s one-
-    * merge-per-round driver loop (a real 32k-merge run is 32k sequential
-    * bounded jobs; this gets `batchSize` merges per round, so the same
-    * vocabulary trains in ~numMerges/batchSize rounds).
-    *
-    * Selection rule (deterministic, engine-portable): rank all pairs
-    * meeting `minPairCount` by (count desc, pair asc); a pair is PICKED
-    * iff no higher-ranked pair shares a symbol with it (conflict-free
-    * prefix — so picks are pairwise symbol-disjoint), capped at
-    * `batchSize` per round. Disjointness is what makes the batch sound:
-    * merging (a,b) only perturbs counts of pairs touching a or b, so
-    * every picked pair's count is exactly what sequential application of
-    * the batch would have seen, and ONE gaps-and-islands rewrite applies
-    * the whole batch (a position starts at most one picked pair;
-    * consecutive starts still only arise from a single l = r pair).
-    * With `batchSize = 1` the rule degenerates to [[bpeTrain]]'s exact
-    * argmax (asserted in spec). The variant trades classic BPE's
-    * "re-rank after every merge" for round-level ranking — merges
-    * CREATED by a round (count ≤ the creating pair's) wait for the next
-    * round's ranking; a documented algorithm difference, not an
-    * approximation of the classic schedule.
-    *
-    * Each round is ONE distributed selection — pair count (map-side-
-    * combined groupBy) → distributed TakeOrdered top-4·batchSize — then
-    * an O(window) driver-side dominance scan over the collected
-    * candidates (no rank window, no self-join: the r10 shape ranked the
-    * WHOLE pair-count table through a single-partition row_number
-    * window every round), plus one rewrite/checkpoint — all bounded by
-    * vocabulary, never corpus. A round may overshoot `numMerges` by up
-    * to batchSize−1 picks; the returned table truncates to `numMerges`
-    * (same first-numMerges contract the oracle unrolls). */
-  /** One training round's candidate pair counts — adjacent-symbol pairs
-    * over the posting table with their frequency-weighted counts,
-    * `minPairCount`-filtered. Factored out so the spec can assert the
-    * selection's physical plan (map-side-combined aggregate feeding a
-    * distributed TakeOrdered; no single-partition WindowExec). */
-  private[operators] def candidatePairs(posts: org.apache.spark.sql.DataFrame,
-      wv: org.apache.spark.sql.expressions.WindowSpec,
-      minPairCount: Long): org.apache.spark.sql.DataFrame =
-    posts.withColumn("nxt", lead(col("sym"), 1).over(wv))
-      .filter(col("nxt").isNotNull)
-      .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
-      .filter(col("cnt") >= minPairCount)
-
-  def bpeTrainBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
-      numMerges: Int, batchSize: Int = 8,
-      minPairCount: Long = 1L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vocab = df.select(explode(split(normalize(col(textCol)), " ")).as("wd"))
-      .filter(length(col("wd")) > 0)
-      .groupBy("wd").agg(count(lit(1)).as("freq"))
-    var posts = vocab.select(col("wd"), col("freq"),
-        posexplode(transform(sequence(lit(1), length(col("wd"))),
-          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
-      .localCheckpoint(true)
-    val wv = Window.partitionBy("wd").orderBy("pos")
-    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    import org.apache.spark.sql.graftops.PlanApi
-    var done = false
-    while (merges.size < numMerges && !done) {
-      // candidate window is bounded (a pick blocks ≤ 2 symbols, so rank >
-      // 2·batchSize+1 can be picked only if every higher rank conflicts
-      // among themselves — 4·batchSize is a safe, small window), and the
-      // top-window cut is a DISTRIBUTED TakeOrdered: the whole pair-count
-      // table never funnels through a single-partition rank window (the
-      // r10 shape did, one task per round). The dominance scan over the
-      // ≤ 4·batchSize survivors is O(window) driver work — replacing the
-      // rank-window + self-join pair entirely.
-      val window = 4 * batchSize
-      val cand = candidatePairs(posts, wv, minPairCount)
-        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(window)
-        .collect()
-        // TakeOrderedAndProject returns sorted rows; re-sort on the driver
-        // anyway so correctness never leans on a physical-plan detail
-        .sortBy(r => (-r.getLong(2), r.getString(0), r.getString(1)))
-      // conflict-free-prefix rule, verbatim from the scaladoc: a pair is
-      // picked iff NO higher-ranked candidate (picked or not) shares a
-      // symbol with it — so `seen` accumulates the symbols of EVERY
-      // scanned pair, not just the picked ones
-      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      val seen = scala.collection.mutable.Set.empty[String]
-      val candIt = cand.iterator
-      while (picks.size < batchSize && candIt.hasNext) {
-        val r = candIt.next()
-        val (l, rt, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-        if (!seen(l) && !seen(rt)) picks += ((l, rt, cnt))
-        seen += l; seen += rt
-      }
-      if (picks.isEmpty) done = true
-      else {
-        val base = merges.size
-        picks.zipWithIndex.foreach { case ((l, rt, cnt), i) =>
-          merges += ((base + i, l, rt, cnt))
-        }
-        val pickDf = picks.map { case (l, rt, _) => (l, rt) }
-          .toSeq.toDF("ml_sym", "mr_sym")
-        val stepped = posts
-          .withColumn("nxt", lead(col("sym"), 1).over(wv))
-          .join(broadcast(pickDf),
-            col("sym") === col("ml_sym") && col("nxt") === col("mr_sym"), "left")
-          .withColumn("start", col("ml_sym").isNotNull)
-          .withColumn("srn", count(when(col("start"), 1)).over(cum))
-          .withColumn("island", when(col("start"), col("pos") - col("srn")))
-          .withColumn("ifirst",
-            min(when(col("start"), col("pos")))
-              .over(Window.partitionBy("wd", "island")))
-          .withColumn("valid", col("start") && (col("pos") - col("ifirst")) % 2 === 0)
-          .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
-          .filter(!col("pvalid"))
-          .withColumn("sym",
-            when(col("valid"), concat(col("ml_sym"), col("mr_sym")))
-              .otherwise(col("sym")))
-          .withColumn("pos", row_number().over(wv) - 1)
-          .select("wd", "freq", "pos", "sym")
-          .localCheckpoint(true)
-        PlanApi.releaseCheckpointBlocks(posts)
-        posts = stepped
-      }
-    }
-    PlanApi.releaseCheckpointBlocks(posts)
-    merges.toSeq.take(numMerges).toDF("it", "lft", "rgt", "cnt")
-  }
-
-  /** BPE ENCODING with a pre-trained merge table ([[BpeMerges]] shape) —
-    * the other half of the tokenizer: every word splits to characters
-    * and each merge applies once, in rank order, as the same greedy
-    * gaps-and-islands rewrite [[bpeTrain]] uses. This is the
-    * single-pass rank-order variant (subword-nmt's loop re-scans for
-    * the best REMAINING pair, which later merges can re-create; one
-    * pass per merge is deterministic, plan-static, and what a
-    * streaming-friendly encoder wants — documented difference, not an
-    * accident). Returns (id, n_syms, enc): the subword count and the
-    * space-joined symbol sequence.
-    *
-    * Scale shape — the decisive trick: encoding is a function of the
-    * WORD alone, so the whole merge cascade runs on the DISTINCT
-    * vocabulary (bounded — millions of rows against a corpus of
-    * trillions), and the encoded-word table broadcasts back onto the
-    * corpus word stream. All `merges.size` rewrite stages are windows
-    * over `wd`, stacked on ONE vocab-sized Exchange; merges that
-    * chain the same symbol (`l == r`) pay the gaps-and-islands pass,
-    * every other merge short-circuits to `valid = start` (consecutive
-    * starts are impossible when `l != r`). The corpus pays one word
-    * explode, one broadcast join, one per-doc reassembly groupBy.
-    *
-    * `broadcastVocab` caveat: the default broadcasts the encoded-word
-    * table, which is right while the DISTINCT vocabulary fits an
-    * executor (a natural-language vocab does — Heaps' law keeps it in
-    * the millions even at web scale). Corpora whose "words" don't
-    * deduplicate (code identifiers, URLs, noisy OCR) can outgrow a
-    * broadcast: pass `broadcastVocab = false` and the join degrades
-    * gracefully to a shuffle hash join on `wd` — the corpus word stream
-    * shuffles once, still no cartesian anywhere.
-    *
-    * Plan-depth bound (`checkpointEvery`): a real tokenizer ships ~32k
-    * merges, and each merge is another window stage stacked on the same
-    * plan — unchecked, that's a 32k-stage Catalyst plan that dies in
-    * analysis/janino long before data cost matters. Every
-    * `checkpointEvery` stages the vocab posting table is eagerly
-    * localCheckpoint'd (vocab-bounded rows, the same generation-release
-    * hygiene [[bpeTrain]] uses), so the LONGEST plan Catalyst ever sees
-    * is `checkpointEvery` stages regardless of merge count; superseded
-    * checkpoint generations are released inside the loop, and the final
-    * generation lives until the returned frame is consumed. */
-  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String,
-      merges: Seq[(String, String)],
-      broadcastVocab: Boolean = true,
-      checkpointEvery: Int = 64): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
-    import org.apache.spark.sql.graftops.PlanApi
-    val words = df
-      .select(col(idCol).as("id"),
-        posexplode(split(normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
-      .filter(length(col("wd")) > 0)
-    var posts = words.select("wd").distinct()
-      .select(col("wd"),
-        posexplode(transform(sequence(lit(1), length(col("wd"))),
-          i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
-    val wv = Window.partitionBy("wd").orderBy("pos")
-    val cum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var stage = 0
-    var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
-    for ((l, r) <- merges) {
-      val started = posts.withColumn("start",
-        col("sym") === lit(l) && lead(col("sym"), 1).over(wv) === lit(r))
-      val validated =
-        if (l != r) started.withColumn("valid", col("start"))
-        else started
-          .withColumn("srn", count(when(col("start"), 1)).over(cum))
-          .withColumn("island", when(col("start"), col("pos") - col("srn")))
-          .withColumn("ifirst", min(when(col("start"), col("pos")))
-            .over(Window.partitionBy("wd", "island")))
-          .withColumn("valid",
-            col("start") && (col("pos") - col("ifirst")) % 2 === 0)
-      posts = validated
-        .withColumn("pvalid", lag(col("valid"), 1, false).over(wv))
-        .filter(!col("pvalid"))
-        .withColumn("sym", when(col("valid"), lit(l + r)).otherwise(col("sym")))
-        .withColumn("pos", row_number().over(wv) - 1)
-        .select("wd", "pos", "sym")
-      stage += 1
-      if (stage % checkpointEvery == 0) {
-        val ck = posts.localCheckpoint(true)
-        prevCkpt.foreach(PlanApi.releaseCheckpointBlocks)
-        prevCkpt = Some(ck)
-        posts = ck
-      }
-    }
-    val encVocab = posts.groupBy("wd")
-      .agg(count(lit(1)).as("n"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("sym")))),
-          s => s.getField("sym"))).as("e"))
-    val joined =
-      if (broadcastVocab) words.join(broadcast(encVocab), Seq("wd"))
-      // SHUFFLE_HASH, not sort-merge: the vocab side is the smaller one
-      // by construction and per-word rows need no order
-      else words.join(encVocab.hint("shuffle_hash"), Seq("wd"))
-    joined
-      .groupBy("id")
-      .agg(sum(col("n")).as("n_syms"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("wpos"), col("e")))),
-          s => s.getField("e"))).as("enc"))
   }
 
   /** PMI-style collocation extraction — the top-K word bigrams by lift

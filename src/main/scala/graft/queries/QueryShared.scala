@@ -165,7 +165,7 @@ private[queries] object QueryShared {
     * block that counts adjacent symbol pairs, takes the deterministic
     * argmax, and applies the greedy left-to-right merge via the same
     * gaps-and-islands formulation the Spark operator uses ([[
-    * graft.operators.TextAnalysis.bpeTrain]]) — the oracle DERIVES
+    * graft.operators.Bpe.bpeTrain]]) — the oracle DERIVES
     * every merge, no learned state is embedded. */
   def bpeOracle(k: Int): String = {
     val head =
@@ -209,7 +209,7 @@ private[queries] object QueryShared {
   }
 
   /** The `ta_bpe_train_batched` oracle: `rounds` unrolled BATCH rounds
-    * ([[graft.operators.TextAnalysis.bpeTrainBatched]]) — per round, pairs
+    * ([[graft.operators.Bpe.bpeTrainBatched]]) — per round, pairs
     * rank by (count desc, pair asc) within a `window`-deep candidate
     * list, the conflict-free prefix (no shared symbol with ANY higher
     * rank) is picked up to `batchSize`, and one gaps-and-islands rewrite

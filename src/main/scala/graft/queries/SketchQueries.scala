@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ewma, Similarity, TextAnalysis, TextSketches}
 import QueryShared._
 
 /** Mergeable-sketch and tokenizer-training family: count-min / HLL /
@@ -27,7 +27,7 @@ private[queries] object SketchQueries {
       (s, d) => {
         val sh = graft.operators.TextAnalysis.shingleStream(
           T(s, d, "documents"), "text", 3)
-        val regs = graft.operators.TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+        val regs = graft.operators.TextSketches.hllRegisters(sh, col("sg"), p = 8)
         val est = regs.agg(
           count(lit(1)).as("m"),
           sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
@@ -68,7 +68,7 @@ private[queries] object SketchQueries {
     // sketch (≤64 integer buckets, map-side-collapsing, shards merge by
     // adding counts) next to the exact-quantile lengthProfile.
     Q("ta_token_histogram",
-      (s, d) => graft.operators.TextAnalysis.tokenHistogram(
+      (s, d) => graft.operators.TextSketches.tokenHistogram(
         T(s, d, "documents"), "text").orderBy("bucket"),
       Some("""WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
                                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
@@ -97,14 +97,14 @@ private[queries] object SketchQueries {
     Q("ta_heavy_hitters",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val sketch = graft.operators.TextAnalysis.countMinSketch(docs, "text",
+        val sketch = graft.operators.TextSketches.countMinSketch(docs, "text",
           depth = 4, width = 64)
         val toks = docs.select(explode(split(
             graft.operators.TextAnalysis.normalize(col("text")), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
         val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-        graft.operators.TextAnalysis.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
+        graft.operators.TextSketches.cmEstimate(sketch, top, "tok", depth = 4, width = 64)
           .join(top, Seq("tok"))
           .select(col("tok").as("token"), col("exact_cnt"), col("cm_est"),
             (col("cm_est") - col("exact_cnt")).as("overcount"))
@@ -135,14 +135,14 @@ private[queries] object SketchQueries {
 
     // Sketch MERGEABILITY proven cross-engine: Spark sketches three
     // doc_id%3 shards separately and merges by ADDING cells
-    // (TextAnalysis.cmMerge); the oracle sketches the whole corpus in one
+    // (TextSketches.cmMerge); the oracle sketches the whole corpus in one
     // pass. Hash-equality IS the lossless-merge property that lets
     // per-shard sketches roll up at 100 TB without touching row data
     Q("ta_cm_merge",
       (s, d) => {
         val docs = T(s, d, "documents")
-        TextAnalysis.cmMerge((0 until 3).map(k =>
-          TextAnalysis.countMinSketch(
+        TextSketches.cmMerge((0 until 3).map(k =>
+          TextSketches.countMinSketch(
             docs.filter(pmod(col("doc_id"), lit(3)) === k), "text",
             depth = 4, width = 64)))
           .orderBy("row", "col")
@@ -165,8 +165,8 @@ private[queries] object SketchQueries {
     Q("ta_hist_merge",
       (s, d) => {
         val docs = T(s, d, "documents")
-        TextAnalysis.histogramMerge((0 until 3).map(k =>
-          TextAnalysis.tokenHistogram(
+        TextSketches.histogramMerge((0 until 3).map(k =>
+          TextSketches.tokenHistogram(
             docs.filter(pmod(col("doc_id"), lit(3)) === k), "text")))
           .orderBy("bucket")
       },
@@ -196,10 +196,10 @@ private[queries] object SketchQueries {
     Q("ta_hll_merge",
       (s, d) => {
         val docs = T(s, d, "documents")
-        TextAnalysis.hllMerge((0 until 3).map { k =>
+        TextSketches.hllMerge((0 until 3).map { k =>
           val sh = TextAnalysis.shingleStream(
             docs.filter(pmod(col("doc_id"), lit(3)) === k), "text", 3)
-          TextAnalysis.hllRegisters(sh, col("sg"), p = 8)
+          TextSketches.hllRegisters(sh, col("sg"), p = 8)
         }).orderBy("bucket")
       },
       Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
@@ -226,7 +226,7 @@ private[queries] object SketchQueries {
     // learned merges is smuggled in as a literal. Counts are integer,
     // tie-breaks lexicographic, so the merge sequence is engine-exact.
     Q("ta_bpe_train",
-      (s, d) => graft.operators.TextAnalysis.bpeTrain(
+      (s, d) => graft.operators.Bpe.bpeTrain(
         T(s, d, "documents"), "text", numMerges = 8).orderBy("it"),
       Some(bpeOracle(8))),
 
@@ -236,7 +236,7 @@ private[queries] object SketchQueries {
     // (conflict-free prefix of the rank order) — same merge quality,
     // ~1/batchSize the driver round-trips; the 32k-merge scale fix.
     Q("ta_bpe_train_batched",
-      (s, d) => graft.operators.TextAnalysis.bpeTrainBatched(
+      (s, d) => graft.operators.Bpe.bpeTrainBatched(
         T(s, d, "documents"), "text", numMerges = 8, batchSize = 4)
         .orderBy("it"),
       Some(bpeBatchedOracle(numMerges = 8, batchSize = 4))),
@@ -247,7 +247,7 @@ private[queries] object SketchQueries {
     // production artifact shape): every merge stage rides ONE Exchange
     // as stacked windows; word boundaries partition merges apart.
     Q("ta_bpe_encode",
-      (s, d) => graft.operators.TextAnalysis.bpeEncode(
+      (s, d) => graft.operators.Bpe.bpeEncode(
         T(s, d, "documents"), "doc_id", "text",
         graft.operators.BpeMerges.merges).orderBy("id"),
       Some(bpeEncodeOracle(graft.operators.BpeMerges.merges)))

@@ -95,11 +95,11 @@ object CorpusStream {
     * Layout: `statsDir/cm` holds the count-min partials, `statsDir/hll`
     * the HLL register partials ([[readTokenCardinality]]). */
   def readTokenStats(spark: SparkSession, statsDir: String): DataFrame =
-    graft.operators.TextAnalysis.cmMerge(Seq(spark.read.parquet(s"$statsDir/cm")))
+    graft.operators.TextSketches.cmMerge(Seq(spark.read.parquet(s"$statsDir/cm")))
 
   /** Distinct-token cardinality from the accumulated HLL register
     * partials — the companion read to [[readTokenStats]]: registers
-    * merge by per-bucket max ([[graft.operators.TextAnalysis.hllMerge]]
+    * merge by per-bucket max ([[graft.operators.TextSketches.hllMerge]]
     * — max is associative AND idempotent, so a replayed tick's partial
     * cannot inflate the fold the way a replayed count row would), and
     * the one-row summary carries the exact register state (m, v_zero,
@@ -122,7 +122,7 @@ object CorpusStream {
       s"HLL partials under $statsDir/hll were written with mixed " +
         s"statsHllP values ${ps.mkString(", ")} and cannot be max-merged; " +
         "rebuild the stats with one p")
-    val regs = graft.operators.TextAnalysis.hllMerge(Seq(raw))
+    val regs = graft.operators.TextSketches.hllMerge(Seq(raw))
     val m = regs.count() // 2^p, densified by hllRegisters' spine join
     // second line of defense, for unstamped/corrupt partials: the fold
     // must cover a full 2^p bucket grid or numberOfTrailingZeros would
@@ -227,11 +227,11 @@ object CorpusStream {
             graft.operators.TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
             .filter(length(col("tok")) > 0)
           (sd,
-            graft.operators.TextAnalysis.countMinSketch(novel, textCol,
+            graft.operators.TextSketches.countMinSketch(novel, textCol,
               statsDepth, statsWidth),
             // stamp the partial with its p: readTokenCardinality refuses
             // to max-merge partials written at different statsHllP
-            graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), statsHllP)
+            graft.operators.TextSketches.hllRegisters(toks, col("tok"), statsHllP)
               .withColumn("p", lit(statsHllP)))
         }
         batchId match {

@@ -55,6 +55,10 @@ object GenCorpus {
 
   private val langs = Array("en", "de", "fr", "es", "zh")
 
+  /** The fixture's language assignment for doc `i` (shared with
+    * [[GenLake]]). */
+  private[tools] def langOf(i: Long): String = langs((i % 5L).toInt)
+
   /** 64-dim float embedding for vec `i`: one of 8 anchor directions plus
     * small noise; `i % 10 == 0` is a jittered copy of `i + 1` (the
     * planted incremental-probe hit). */
@@ -90,7 +94,7 @@ object GenCorpus {
     import spark.implicits._
     spark.range(nDocs).map { i =>
       val text = finalText(i)
-      (i, text, langs((i % 5L).toInt), "src" + (i % 20L), text.length.toLong)
+      (i, text, langOf(i), "src" + (i % 20L), text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.range(nVecs).map { i =>

@@ -5,8 +5,8 @@ import org.scalacheck.Gen
 
 /** Property evidence for the batched BPE trainer's core algebraic claim:
   * with `batchSize = 1` the conflict-free-prefix selection degenerates
-  * to the classic per-merge argmax, so [[TextAnalysis.bpeTrainBatched]]
-  * must reproduce [[TextAnalysis.bpeTrain]] EXACTLY — merge pairs,
+  * to the classic per-merge argmax, so [[Bpe.bpeTrainBatched]]
+  * must reproduce [[Bpe.bpeTrain]] EXACTLY — merge pairs,
   * order, and counts — on arbitrary corpora, not just the hand-built
   * fixtures. Deterministic seeds over raw scalacheck Gen (same rolled
   * forAll as NemCsvPropertySpec — the scalatestplus bridge isn't in the
@@ -39,8 +39,8 @@ class BpePropertySpec extends SparkSpec {
       def rows(out: org.apache.spark.sql.DataFrame) =
         out.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
           .sortBy(_._1).toSeq
-      val classic = rows(TextAnalysis.bpeTrain(df, "text", numMerges = 4))
-      val batched = rows(TextAnalysis.bpeTrainBatched(df, "text", numMerges = 4, batchSize = 1))
+      val classic = rows(Bpe.bpeTrain(df, "text", numMerges = 4))
+      val batched = rows(Bpe.bpeTrainBatched(df, "text", numMerges = 4, batchSize = 1))
       assert(batched === classic)
     }
   }
@@ -72,7 +72,7 @@ class BpePropertySpec extends SparkSpec {
       val expected = expectedFirstRound(docs, batchSize = 4)
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       // ask for exactly one round's worth so the table prefix IS round 1
-      val got = TextAnalysis.bpeTrainBatched(df, "text",
+      val got = Bpe.bpeTrainBatched(df, "text",
           numMerges = expected.length.max(1), batchSize = 4)
         .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
       assert(got === expected) // empty expected ⇒ no pairs exist ⇒ empty table

@@ -37,7 +37,7 @@ class BpeScaleSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val sc = spark.sparkContext
     sc.setJobGroup("bpe_1k", "1024-merge batched train")
-    val got = TextAnalysis.bpeTrainBatched(docs, "text",
+    val got = Bpe.bpeTrainBatched(docs, "text",
         numMerges = 1024, batchSize = 128)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
@@ -71,7 +71,7 @@ class BpeScaleSpec extends SparkSpec {
       posexplode(transform(sequence(lit(1), length(col("wd"))),
         i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
     val wv = Window.partitionBy("wd").orderBy("pos")
-    val sel = TextAnalysis.candidatePairs(posts, wv, 1L)
+    val sel = Bpe.candidatePairs(posts, wv, 1L)
       .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(8)
     sel.collect()
     val plan = sel.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
@@ -97,7 +97,7 @@ class BpeScaleSpec extends SparkSpec {
     val merges = Seq(("a", "b"), ("ab", "c"), ("abc", "d")) ++ filler ++
       filler.map { case (l, r) => (r, l) } // 3 + 511 + 511 = 1025 ≥ 1024
     val docs = Seq((1L, "abcd e"), (2L, "abcd abcd")).toDF("doc_id", "text")
-    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    val out = Bpe.bpeEncode(docs, "doc_id", "text", merges)
     val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got(1L) === ((2L, "abcd e")))
     assert(got(2L) === ((2L, "abcd abcd")))

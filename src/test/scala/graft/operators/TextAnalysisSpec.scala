@@ -151,13 +151,13 @@ class TextAnalysisSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val depth = 3
     val width = 8 // tiny width forces collisions — the estimate must still bound
-    val sketch = TextAnalysis.countMinSketch(df, "text", depth, width)
+    val sketch = TextSketches.countMinSketch(df, "text", depth, width)
     // every row of the sketch counts every token occurrence exactly once
     val rowMass = sketch.groupBy("row").agg(sum("cnt").as("mass"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rowMass === (0 until depth).map(_ -> 8L).toMap) // 8 tokens total
     val cands = Seq("alpha", "beta", "gamma", "delta", "unseen").toDF("tok")
-    val est = TextAnalysis.cmEstimate(sketch, cands, "tok", depth, width)
+    val est = TextSketches.cmEstimate(sketch, cands, "tok", depth, width)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 1L, "delta" -> 1L)
     // CM guarantee: estimate never undercounts; a never-counted token
@@ -173,7 +173,7 @@ class TextAnalysisSpec extends SparkSpec {
     val p = 8
     val m = 1 << p
     def regs(df: org.apache.spark.sql.DataFrame) =
-      TextAnalysis.hllRegisters(df, col("k"), p)
+      TextSketches.hllRegisters(df, col("k"), p)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val (ra, rb) = (regs(a), regs(b))
     val ru = regs(a.union(b))
@@ -197,14 +197,14 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "banana banana banana"),
       (2L, "bandana bandana")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+    val out = Bpe.bpeTrain(docs, "text", numMerges = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
     assert(out === Seq((0, "a", "n", 10L), (1, "an", "a", 5L), (2, "b", "an", 5L)))
     // overlapping-run greedy: "aaaa" merges to "aa","aa" then "aaaa" —
     // counts: iter0 (a,a)=3, iter1 (aa,aa)=1
     val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
-    val rout = TextAnalysis.bpeTrain(runs, "text", numMerges = 5)
+    val rout = Bpe.bpeTrain(runs, "text", numMerges = 5)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
     assert(rout === Seq((0, "a", "a", 3L), (1, "aa", "aa", 1L)))
@@ -220,8 +220,8 @@ class TextAnalysisSpec extends SparkSpec {
     // including the (an,a)-vs-(b,an) count tie broken lexicographically
     val docs = Seq((1L, "banana banana banana"), (2L, "bandana bandana"))
       .toDF("doc_id", "text")
-    assert(rows(TextAnalysis.bpeTrainBatched(docs, "text", numMerges = 3, batchSize = 1))
-      === rows(TextAnalysis.bpeTrain(docs, "text", numMerges = 3)))
+    assert(rows(Bpe.bpeTrainBatched(docs, "text", numMerges = 3, batchSize = 1))
+      === rows(Bpe.bpeTrain(docs, "text", numMerges = 3)))
     // 8 pairwise-disjoint top pairs (16 distinct symbols, counts 16..9):
     // the conflict-free prefix takes all 8 in ONE round, and because
     // disjoint merges don't perturb each other's counts the merge table
@@ -231,10 +231,10 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val sc = spark.sparkContext
     sc.setJobGroup("bpe_seq", "sequential train")
-    val seq = rows(TextAnalysis.bpeTrain(corpus, "text", numMerges = 8))
+    val seq = rows(Bpe.bpeTrain(corpus, "text", numMerges = 8))
     val seqJobs = sc.statusTracker.getJobIdsForGroup("bpe_seq").length
     sc.setJobGroup("bpe_bat", "batched train")
-    val bat = rows(TextAnalysis.bpeTrainBatched(corpus, "text", numMerges = 8, batchSize = 8))
+    val bat = rows(Bpe.bpeTrainBatched(corpus, "text", numMerges = 8, batchSize = 8))
     val batJobs = sc.statusTracker.getJobIdsForGroup("bpe_bat").length
     sc.clearJobGroup()
     assert(bat === seq)
@@ -254,7 +254,7 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "aaab aab"),
       (2L, "aab")  // same word as doc 1's second — one vocab row encodes both
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+    val out = Bpe.bpeEncode(docs, "doc_id", "text",
         Seq(("a", "a"), ("aa", "b")))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(out(1L) === ((4L, "aa a b aab")))
@@ -272,7 +272,7 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, ""),                         // 0 tokens → bucket 0 [0,0]
       (7L, null.asInstanceOf[String])   // skipped
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.tokenHistogram(docs, "text")
+    val out = TextSketches.tokenHistogram(docs, "text")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out === Map(
@@ -326,21 +326,21 @@ class TextAnalysisSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, s"tok${i % 7} tok${i % 5} shared"))
       .toDF("doc_id", "text")
-    val whole = TextAnalysis.countMinSketch(docs, "text", depth = 4, width = 32)
-    val merged = TextAnalysis.cmMerge((0 until 3).map(k =>
-      TextAnalysis.countMinSketch(docs.filter($"doc_id" % 3 === k), "text",
+    val whole = TextSketches.countMinSketch(docs, "text", depth = 4, width = 32)
+    val merged = TextSketches.cmMerge((0 until 3).map(k =>
+      TextSketches.countMinSketch(docs.filter($"doc_id" % 3 === k), "text",
         depth = 4, width = 32)))
     assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
-    val rWhole = TextAnalysis.hllRegisters(docs, col("text"), p = 6)
-    val rMerged = TextAnalysis.hllMerge((0 until 3).map(k =>
-      TextAnalysis.hllRegisters(docs.filter($"doc_id" % 3 === k), col("text"), p = 6)))
+    val rWhole = TextSketches.hllRegisters(docs, col("text"), p = 6)
+    val rMerged = TextSketches.hllMerge((0 until 3).map(k =>
+      TextSketches.hllRegisters(docs.filter($"doc_id" % 3 === k), col("text"), p = 6)))
     assert(rMerged.except(rWhole).isEmpty && rWhole.except(rMerged).isEmpty)
     // histogram: shards span different buckets; counts add, cum re-derives
     val vdocs = (1L to 30L).map(i => (i, ("w " * (i % 5 + 1).toInt).trim))
       .toDF("doc_id", "text")
-    val hWhole = TextAnalysis.tokenHistogram(vdocs, "text")
-    val hMerged = TextAnalysis.histogramMerge((0 until 3).map(k =>
-      TextAnalysis.tokenHistogram(vdocs.filter($"doc_id" % 3 === k), "text")))
+    val hWhole = TextSketches.tokenHistogram(vdocs, "text")
+    val hMerged = TextSketches.histogramMerge((0 until 3).map(k =>
+      TextSketches.tokenHistogram(vdocs.filter($"doc_id" % 3 === k), "text")))
     assert(hMerged.except(hWhole).isEmpty && hWhole.except(hMerged).isEmpty)
   }
 

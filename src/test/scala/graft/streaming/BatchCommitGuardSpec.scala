@@ -52,9 +52,9 @@ class BatchCommitGuardSpec extends SparkSpec {
     val toks = Seq("alpha", "beta", "gamma", "delta").toDF("tok")
     // two ticks written at DIFFERENT p — the merged dense grids union to
     // the larger grid (a power of two!), so only the p stamp catches it
-    graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), p = 4)
+    graft.operators.TextSketches.hllRegisters(toks, col("tok"), p = 4)
       .withColumn("p", lit(4)).write.mode("append").parquet(s"$statsDir/hll")
-    graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), p = 5)
+    graft.operators.TextSketches.hllRegisters(toks, col("tok"), p = 5)
       .withColumn("p", lit(5)).write.mode("append").parquet(s"$statsDir/hll")
     val ex = intercept[IllegalArgumentException] {
       CorpusStream.readTokenCardinality(spark, statsDir)
@@ -79,7 +79,7 @@ class BatchCommitGuardSpec extends SparkSpec {
     import spark.implicits._
     val statsDir = tmpDir("hll_good")
     val toks = Seq("alpha", "beta", "gamma", "delta").toDF("tok")
-    graft.operators.TextAnalysis.hllRegisters(toks, col("tok"), p = 4)
+    graft.operators.TextSketches.hllRegisters(toks, col("tok"), p = 4)
       .withColumn("p", lit(4)).write.mode("append").parquet(s"$statsDir/hll")
     val row = CorpusStream.readTokenCardinality(spark, statsDir).head()
     assert(row.getAs[Long]("m") === 16L)
