@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * change. Everything runs on the word-frequency VOCABULARY posting
   * table (one corpus scan, then vocabulary-bounded iterations), with
   * gaps-and-islands rewrites instead of sequential folds — windows and
-  * codegen\u0027d expressions only, no interpreted lambdas in the loop.
+  * codegen'd expressions only, no interpreted lambdas in the loop.
   */
 object Bpe {
 

@@ -667,6 +667,22 @@ object Similarity {
     * Scale shape: both inputs are already k-bounded per probe, so the
     * fusion join, scoring, and re-rank all operate on O(probes · k)
     * rows — negligible next to the arms that produced them. */
+  def rrfFuse(rankA: DataFrame, rankB: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val a = rankA.select(col("probe_id"), col("cand_id"), col("rn").as("rn_a"))
+    val b = rankB.select(col("probe_id"), col("cand_id"), col("rn").as("rn_b"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    a.join(b, Seq("probe_id", "cand_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rn_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rn_b")), lit(0.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), col("rn_a"), col("rn_b"),
+        col("score"), col("rn"))
+  }
+
   /** Outcome of a drift-triggered IVF maintenance pass
     * ([[ivfMaintain]]): the drift magnitudes that drove the decision,
     * whether a re-train ran, and the centroids to search with from now
@@ -679,15 +695,17 @@ object Similarity {
     * exact integer per-dim comparison between the snapshot the index
     * was trained on (`reference`) and the corpus as it stands now
     * (`current`), plus `retrain_needed` = does ANY dimension's
-    * |mean_shift| (int8-code units) exceed `threshold`. The unpartitioned
-    * max window runs over ≤ dim rows — the already-aggregated report,
-    * never the corpus. */
+    * |mean_shift| (int8-code units) exceed `threshold`. The global max
+    * is a one-row aggregate broadcast back onto the ≤ dim-row report —
+    * not an unpartitioned window, which would route through a
+    * single-partition WindowExec (harmless at dim rows, but the plan
+    * shouldn't carry the shape that degrades at scale). */
   def ivfDriftReport(reference: DataFrame, current: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    embeddingDrift(current, reference, idCol, vecCol)
-      .withColumn("retrain_needed",
-        max(abs(col("mean_shift"))).over(Window.partitionBy()) > threshold)
+    val report = embeddingDrift(current, reference, idCol, vecCol)
+    val decision = report
+      .agg((max(abs(col("mean_shift"))) > threshold).as("retrain_needed"))
+    report.crossJoin(broadcast(decision))
   }
 
   /** Drift-triggered IVF index maintenance — the lifecycle piece of the
@@ -717,19 +735,4 @@ object Similarity {
     else IvfMaintenance(mx, av, retrained = false, centroids)
   }
 
-  def rrfFuse(rankA: DataFrame, rankB: DataFrame, k: Int,
-      rrfK: Int = 60): DataFrame = {
-    val a = rankA.select(col("probe_id"), col("cand_id"), col("rn").as("rn_a"))
-    val b = rankB.select(col("probe_id"), col("cand_id"), col("rn").as("rn_b"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
-    a.join(b, Seq("probe_id", "cand_id"), "full_outer")
-      .withColumn("score",
-        coalesce(lit(1.0) / (lit(rrfK) + col("rn_a")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("rn_b")), lit(0.0)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("cand_id"), col("rn_a"), col("rn_b"),
-        col("score"), col("rn"))
-  }
 }

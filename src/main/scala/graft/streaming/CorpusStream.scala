@@ -108,20 +108,29 @@ object CorpusStream {
     * the corpus is never rescanned. */
   def readTokenCardinality(spark: SparkSession, statsDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = spark.read.parquet(s"$statsDir/hll")
+    // mergeSchema: the p-stamp check must see EVERY partial's schema —
+    // the default single-footer sample could miss the p column entirely
+    // when stamped and pre-stamp files coexist (footers here are
+    // tick-count-bounded, so the extra reads are noise)
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$statsDir/hll")
     // partials are stamped with the p they were written at (ingestBatch):
     // a max-merge across DIFFERENT p values is silently wrong even when
     // the merged bucket count happens to be a power of two (a dense
     // p=4 grid unioned with a dense p=5 grid is just the p=5 grid), so
     // the stamp — not the fold shape — is the authoritative check
-    val ps: Seq[Int] =
-      if (raw.columns.contains("p"))
-        raw.select("p").distinct().collect().map(_.getInt(0)).sorted.toSeq
-      else Seq.empty
-    require(ps.lengthCompare(1) <= 0,
+    val (ps: Seq[Int], anyUnstamped: Boolean) =
+      if (raw.columns.contains("p")) {
+        // rows from pre-stamp files surface p as null under parquet
+        // schema merge — treat those as unstamped, don't NPE on getInt
+        val d = raw.select("p").distinct().collect()
+        (d.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).sorted.toSeq,
+          d.exists(_.isNullAt(0)))
+      } else (Seq.empty[Int], false)
+    require(ps.lengthCompare(1) <= 0 && !(anyUnstamped && ps.nonEmpty),
       s"HLL partials under $statsDir/hll were written with mixed " +
-        s"statsHllP values ${ps.mkString(", ")} and cannot be max-merged; " +
-        "rebuild the stats with one p")
+        s"statsHllP values ${ps.mkString(", ")}" +
+        (if (anyUnstamped) " plus unstamped partials" else "") +
+        " and cannot be max-merged; rebuild the stats with one p")
     val regs = graft.operators.TextSketches.hllMerge(Seq(raw))
     val m = regs.count() // 2^p, densified by hllRegisters' spine join
     // second line of defense, for unstamped/corrupt partials: the fold

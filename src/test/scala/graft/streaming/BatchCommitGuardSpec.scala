@@ -62,6 +62,23 @@ class BatchCommitGuardSpec extends SparkSpec {
     assert(ex.getMessage.contains("mixed"))
   }
 
+  test("readTokenCardinality: stamped + unstamped partials mixed in one dir are refused") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val statsDir = tmpDir("hll_mixedstamp")
+    val toks = Seq("alpha", "beta").toDF("tok")
+    graft.operators.TextSketches.hllRegisters(toks, col("tok"), p = 4)
+      .withColumn("p", lit(4)).write.mode("append").parquet(s"$statsDir/hll")
+    // a pre-stamp partial: same grid, no p column — its rows surface p
+    // as null under schema merge, which must refuse, not NPE
+    graft.operators.TextSketches.hllRegisters(toks, col("tok"), p = 4)
+      .write.mode("append").parquet(s"$statsDir/hll")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStream.readTokenCardinality(spark, statsDir)
+    }
+    assert(ex.getMessage.contains("unstamped"))
+  }
+
   test("readTokenCardinality: truncated (non-power-of-two) unstamped partials are refused") {
     import spark.implicits._
     val statsDir = tmpDir("hll_truncated")
