@@ -331,6 +331,55 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(o => Set(5L, 6L, 8L).contains(o._2)))
   }
 
+  test("EventStream.streamingSessionizeBuffered: randomized batch-operator parity once the watermark drains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded random events for 2 keys over ~20 min, delivered in three
+    // time-sliced shuffled batches whose slice jitter stays well inside
+    // the 10-min lateness — so NO row is dropped, and once sentinel
+    // batches push the watermark past everything, the full emitted log
+    // must equal the BATCH operator's numbering row for row (the
+    // buffered form's whole contract)
+    val rnd = new scala.util.Random(421L)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val evs = (1 to 30).map { i =>
+      val key = 7L + (i % 2)
+      val offSec = rnd.nextInt(1200)
+      EventStream.Ev(key, i.toLong,
+        java.sql.Timestamp.from(base.plusSeconds(offSec)))
+    }
+    def slice(lo: Int, hi: Int) = rnd.shuffle(
+      evs.filter(e => { val s = (e.ts.getTime - base.toEpochMilli) / 1000
+        s >= lo && s < hi }))
+    val batches = Seq(slice(0, 400), slice(400, 800), slice(800, 1200))
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.streamingSessionizeBuffered(mem.toDS(),
+        gapSeconds = 90, lateness = "10 minutes").writeStream
+      .format("memory").queryName("sess_buf_parity").outputMode("append").start()
+    batches.filter(_.nonEmpty).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    // sentinel key 999: two far-future batches — the first advances the
+    // watermark past every real row, the second triggers the idle-key
+    // timeout flush under that watermark
+    mem.addData(EventStream.Ev(999L, 1000L,
+      java.sql.Timestamp.from(base.plusSeconds(4000))))
+    q.processAllAvailable()
+    mem.addData(EventStream.Ev(999L, 1001L,
+      java.sql.Timestamp.from(base.plusSeconds(5000))))
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "SELECT event_id, session_n FROM sess_buf_parity WHERE user_id < 999")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = graft.operators.TimeSeries.sessionize(
+        evs.toDF("user_id", "event_id", "ts"), "user_id", "ts", "event_id", 90L)
+      .select("event_id", "session_n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size === 30, s"all real rows must flush, got ${streamed.size}")
+    assert(streamed === batch)
+  }
+
   test("EventStream.streamingEwmaEventTime: late point beyond watermark cannot rewrite history") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
