@@ -60,6 +60,17 @@ object GenLake {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    writeLake(spark, outDir, m, nDocs, nVecs, srcDir)
+    val counts = graft.Tables.all.map(n =>
+      s"$n=${spark.read.parquet(s"$outDir/$n.parquet").count()}").mkString(" ")
+    println(s"[genlake] wrote ${m}x lake to $outDir: $counts")
+    spark.stop()
+  }
+
+  /** The generation body, session-injected so specs can drive the real
+    * writers (GenLakeSpec asserts the replication invariants). */
+  def writeLake(spark: SparkSession, outDir: String, m: Int,
+      nDocs: Long, nVecs: Long, srcDir: String): Unit = {
     import spark.implicits._
 
     def t(name: String) = graft.Tables(spark, srcDir, name)
@@ -98,10 +109,5 @@ object GenLake {
       (i, GenCorpus.vec(i, nVecs), (i % 8L).toInt)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
-    val counts = graft.Tables.all.map(n =>
-      s"$n=${spark.read.parquet(s"$outDir/$n.parquet").count()}").mkString(" ")
-    println(s"[genlake] wrote ${m}x lake to $outDir: $counts")
-    spark.stop()
   }
 }
