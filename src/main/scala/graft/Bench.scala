@@ -36,7 +36,14 @@ object Bench {
     // codegen cache makes it "first touch after cache sweep" instead — the
     // rep-1 cold is the only true cold, which is why the runs array records
     // rep order. WARM = immediate re-runs (steady-state dashboard shape),
-    // median of warmRuns samples. A query that throws records -1.
+    // median of warmRuns samples. A query that throws records -1 — EXCEPT
+    // a Dedup bucket-guard refusal, which records -2: on beyond-fixture
+    // lakes the pinned exact-all-pairs oracle anchors REFUSE by design
+    // (their scale-anchored _scaled siblings run instead), and the
+    // artifact must distinguish that designed refusal from a broken query.
+    def isGuardRefusal(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+        .exists(t => t.getMessage != null && t.getMessage.contains("bucket guard"))
     def runSuite(): Map[String, (Double, Double, Seq[Double])] =
       SparkEntry.queries.map { case (name, fn) =>
         def run(): Double = {
@@ -44,11 +51,15 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        val cold = try run() catch { case _: Throwable => -1.0 }
+        val cold = try run() catch {
+          case e: Throwable => if (isGuardRefusal(e)) -2.0 else -1.0
+        }
         val warms =
-          if (cold < 0) Seq(-1.0)
-          else Seq.fill(warmRuns)(try run() catch { case _: Throwable => -1.0 })
-        val warm = if (warms.exists(_ < 0)) -1.0 else median(warms)
+          if (cold < 0) Seq(cold)
+          else Seq.fill(warmRuns)(try run() catch {
+            case e: Throwable => if (isGuardRefusal(e)) -2.0 else -1.0
+          })
+        val warm = if (warms.exists(_ < 0)) warms.min else median(warms)
         // per-query session hygiene, BOTH layers: catalog caches (persist)
         // AND rdd-level blocks (localCheckpoint generations) — the latter
         // are invisible to clearCache and otherwise accumulate across the
@@ -99,13 +110,19 @@ object Bench {
     // (median rep's per-query medians); cold times ride behind it, and
     // bench_full.json carries full precision plus every warm sample so the
     // judge can read the spread even if the stdout line is truncated again
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"runs":$runsJson,"sf":"$sfDir","queries":$qs,"queries_cold":$colds}"""
+    // guard refusals (warm = -2) surfaced as a first-class list: a lake
+    // artifact must show WHICH -1-looking entries are the pinned oracle
+    // anchors refusing by design (their _scaled siblings carry the
+    // capability), vs a genuinely broken query (-1)
+    val refused = byCost.collect { case (k, (_, w, _)) if w == -2.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, (c, w, ws)) =>
         val samples = ws.map(f3).mkString("[", ", ", "]")
         s"""    "$k": {"cold": ${f3(c)}, "warm": ${f3(w)}, "warm_min": ${f3(ws.min)}, "warm_samples": $samples}"""
       }.mkString(
-        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "queries": {\n""",
+        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
         ",\n", "\n  }\n}\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full)
     } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort

@@ -526,6 +526,45 @@ object Dedup {
       .groupBy("id")
       .agg(min(struct(col("d"), col("cell"))).getField("cell").as("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    dedupWithinCells(vecs, cells, minCosine, maxBucket, bucketGuard)
+  }
+
+  /** SemDeDup with a DATA-INDEPENDENT quantizer: cells are the `2^h`
+    * sign-bit codes of `numPlanes = h` fixed random hyperplanes instead
+    * of nearest pre-trained centroids — the scale-anchored sibling of
+    * [[semanticDedup]]. A trained quantizer drifts with the corpus and
+    * its cell count is pinned at train time; the hyperplane code needs
+    * no training pass, assigns in one map-side scan (no centroid
+    * broadcast), and its cell population shrinks geometrically in `h`,
+    * so `h` scales with the corpus (`h ≈ log2(n / targetCellSize)`).
+    * Within-cell pairing, exact-cosine verification, components and
+    * min-id reps are IDENTICAL to [[semanticDedup]] — including the
+    * deterministic rep-star degrade for cells past `maxBucket`, which
+    * is what lets a registry query run unchanged from the sf0.01 oracle
+    * fixture to a 20× lake with no guard refusal. */
+  def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int = 8, seed: Long = 7L, minCosine: Double = 0.4,
+      maxBucket: Int = DefaultMaxBucket,
+      bucketGuard: Option[Int] = None): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val vecs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val bits = Similarity.lshSignature(col("vec"), planes)
+    val cells = vecs.select(col("id"),
+        (0 until numPlanes).map(i => bits.getItem(i) * lit(1 << i))
+          .reduce(_ + _).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dedupWithinCells(vecs, cells, minCosine, maxBucket, bucketGuard)
+  }
+
+  /** Shared tail of the SemDeDup family: candidate pairs within cells
+    * (rep-star past `maxBucket`), exact-cosine verify, connected
+    * components, min-id keep flag. `cells` must be (id, cell) — one row
+    * per doc — and should be persisted by the caller (it is read by the
+    * pair join, the component step's eager edge count, and the final
+    * audit join). */
+  private def dedupWithinCells(vecs: DataFrame, cells: DataFrame,
+      minCosine: Double, maxBucket: Int, bucketGuard: Option[Int]): DataFrame = {
     val cands = cappedBucketPairs(cells, Seq("cell"), Nil, maxBucket, bucketGuard)
     val pairs = cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))

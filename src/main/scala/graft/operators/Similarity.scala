@@ -699,7 +699,13 @@ object Similarity {
     * is a one-row aggregate broadcast back onto the ≤ dim-row report —
     * not an unpartitioned window, which would route through a
     * single-partition WindowExec (harmless at dim rows, but the plan
-    * shouldn't carry the shape that degrades at scale). */
+    * shouldn't carry the shape that degrades at scale).
+    *
+    * An empty reference/current frame yields an EMPTY report (the
+    * inner join has nothing to match) — deliberately lazy, no require:
+    * this is a composable query, and the eager maintenance decision
+    * that must not run on no evidence is [[ivfMaintain]], which fails
+    * loudly instead. */
   def ivfDriftReport(reference: DataFrame, current: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val report = embeddingDrift(current, reference, idCol, vecCol)
@@ -728,6 +734,13 @@ object Similarity {
       .agg(max(abs(col("mean_shift"))).as("mx"),
         avg(abs(col("mean_shift"))).as("av"))
       .head()
+    // The drift report inner-joins per-dim stats: an empty reference or
+    // current frame (or zero overlapping dims) yields null aggregates.
+    // Fail with signal, not a getDouble NPE — a maintenance decision
+    // made from no evidence is a bug at the call site.
+    require(!agg.isNullAt(0) && !agg.isNullAt(1),
+      "ivfMaintain: drift report is empty — reference/current snapshot " +
+        "has no rows or no overlapping dimensions; cannot decide retrain")
     val (mx, av) = (agg.getDouble(0), agg.getDouble(1))
     if (mx > threshold)
       IvfMaintenance(mx, av, retrained = true,

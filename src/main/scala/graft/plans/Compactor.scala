@@ -45,6 +45,17 @@ object Compactor {
   private val NewPrefix = ".compact_new"
   private val Manifest = ".compact_manifest"
 
+  // Generation ids must be STRUCTURALLY unique, not just
+  // probably-unique: two compactions of the same partition within one
+  // millisecond (fast tests, clock step-back) must not reuse names, or
+  // the recovery invariant "a new generation never collides with the
+  // manifest-listed old one" silently weakens. millis gives cross-process
+  // ordering for humans reading the lake; the counter gives in-process
+  // uniqueness regardless of the clock.
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[plans] def nextGen(): String =
+    s"${System.currentTimeMillis()}x${genCounter.incrementAndGet()}"
+
   /** A compacted OUTPUT file: the single-file `compacted.parquet`
     * (reference parity) or one of a bounded multi-file generation
     * `compacted-g<gen>-<i>.parquet` ([[compactPartition]]'s
@@ -134,7 +145,7 @@ object Compactor {
       .option("compression", compression).parquet(tmp.toString)
     val partsOut = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val gen = System.currentTimeMillis()
+    val gen = nextGen()
     val hidden = partsOut.zipWithIndex.map { case (p, i) =>
       val hn =
         if (partsOut.length == 1) NewFile

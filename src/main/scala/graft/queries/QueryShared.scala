@@ -146,6 +146,23 @@ private[queries] object QueryShared {
       .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
       .mkString(", ")
 
+  /** 32-plane variant for the scale-anchored embedding near-dup sibling
+    * (`dd_embed_neardup_scaled`): 8-bit bands → 256 bucket values per
+    * band, so buckets stay small as the corpus grows. Same seed, same
+    * deterministic round-trip argument as [[planeLiterals]]. */
+  lazy val planeLiterals32: String =
+    Similarity.hyperplanes(32, 64, 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
+      .mkString(", ")
+
+  /** The 8 fixed hyperplanes whose sign-bit code is the 256-cell
+    * data-independent quantizer of `dd_semantic_scaled`
+    * ([[graft.operators.Dedup.semanticDedupLsh]]). */
+  lazy val cellPlaneLiterals: String =
+    Similarity.hyperplanes(8, 64, 7L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
+      .mkString(", ")
+
   /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
     * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */
   lazy val centroidLiterals: String =

@@ -58,6 +58,109 @@ private[queries] object SemanticDedupQueries {
               ORDER BY id_a, id_b""")),
 
 
+    // Scale-anchored sibling of dd_embed_neardup (r12 verdict): the
+    // configuration you'd RUN at lake scale — 8-bit bands (256 bucket
+    // values per band, vs the pinned query's 16) and the graceful
+    // DefaultMaxBucket degrade instead of a guard refusal. Buckets past
+    // the cap contribute their deterministic min-id rep-star pairs, and
+    // the oracle reproduces BOTH branches, so the query is hash-exact at
+    // the sf0.01 gate and still runs — linearly — at a 20× lake where
+    // the pinned sibling's guard fires by design.
+    Q("dd_embed_neardup_scaled",
+      (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, minCosine = 0.4, numPlanes = 32, bandBits = 8,
+          maxBucket = Dedup.DefaultMaxBucket)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH planes(pi, pv) AS (VALUES $planeLiterals32),
+                   bits AS (SELECT v.vec_id, p.pi,
+                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
+                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+                                   THEN 1 ELSE 0 END AS bit
+                            FROM embeddings v CROSS JOIN planes p),
+                   bands AS (SELECT vec_id, pi // 8 AS band, string_agg(bit, ',' ORDER BY pi) AS bkey
+                             FROM bits GROUP BY 1, 2),
+                   sized AS (SELECT vec_id, band, bkey,
+                               count(*) OVER (PARTITION BY band, bkey) AS n,
+                               min(vec_id) OVER (PARTITION BY band, bkey) AS rep
+                             FROM bands),
+                   cand AS (SELECT DISTINCT id_a, id_b FROM (
+                              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                              FROM sized a JOIN sized b
+                                ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+                              WHERE a.n <= ${Dedup.DefaultMaxBucket}
+                              UNION
+                              SELECT rep, vec_id FROM sized
+                              WHERE n > ${Dedup.DefaultMaxBucket} AND vec_id <> rep)),
+                   cos AS (SELECT c.id_a, c.id_b,
+                             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+                           FROM cand c
+                           JOIN embeddings va ON va.vec_id = c.id_a
+                           JOIN embeddings vb ON vb.vec_id = c.id_b)
+              SELECT id_a, id_b, cosine
+              FROM cos WHERE cosine >= 0.4::DOUBLE
+              ORDER BY id_a, id_b""")),
+
+
+    // Scale-anchored sibling of dd_semantic (r12 verdict): the 256-cell
+    // DATA-INDEPENDENT quantizer — cells are the sign-bit codes of 8
+    // fixed hyperplanes, so there is no training pass to drift and no
+    // pinned-at-train-time cell count; occupancy shrinks geometrically
+    // in the plane count, and cells that still outgrow DefaultMaxBucket
+    // degrade to the deterministic min-id rep-star instead of tripping a
+    // guard. Exact within-cell at every benched scale (sf0.01 ≈ 1/cell,
+    // 20× lake ≈ 156/cell), hash-exact vs the two-branch oracle.
+    Q("dd_semantic_scaled",
+      (s, d) => Dedup.semanticDedupLsh(T(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, numPlanes = 8, seed = 7L, minCosine = 0.4,
+          maxBucket = Dedup.DefaultMaxBucket)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE planes(pi, pv) AS (VALUES $cellPlaneLiterals),
+                   bits AS (SELECT v.vec_id, p.pi,
+                              CASE WHEN list_sum(list_transform(list_zip(v.embedding, p.pv),
+                                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+                                   THEN (1 << p.pi) ELSE 0 END AS bitval
+                            FROM embeddings v CROSS JOIN planes p),
+                   cells AS (SELECT vec_id, CAST(sum(bitval) AS INTEGER) AS cell
+                             FROM bits GROUP BY 1),
+                   sized AS (SELECT vec_id, cell,
+                               count(*) OVER (PARTITION BY cell) AS n,
+                               min(vec_id) OVER (PARTITION BY cell) AS rep
+                             FROM cells),
+                   cand AS (SELECT DISTINCT id_a, id_b FROM (
+                              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                              FROM sized a JOIN sized b
+                                ON a.cell = b.cell AND a.vec_id < b.vec_id
+                              WHERE a.n <= ${Dedup.DefaultMaxBucket}
+                              UNION
+                              SELECT rep, vec_id FROM sized
+                              WHERE n > ${Dedup.DefaultMaxBucket} AND vec_id <> rep)),
+                   pairsq AS (SELECT c.id_a, c.id_b
+                              FROM cand c
+                              JOIN embeddings va ON va.vec_id = c.id_a
+                              JOIN embeddings vb ON vb.vec_id = c.id_b
+                              WHERE list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                                    / (sqrt(list_sum(list_transform(va.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                       * sqrt(list_sum(list_transform(vb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                                    >= 0.4::DOUBLE),
+                   edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+                             UNION SELECT id_b, id_a FROM pairsq),
+                   reach(src, dst) AS (
+                     SELECT src, dst FROM edges
+                     UNION
+                     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+                   comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component
+                            FROM reach GROUP BY src)
+              SELECT c.vec_id AS id, c.cell,
+                     coalesce(p.component, c.vec_id) AS component,
+                     coalesce(p.component, c.vec_id) = c.vec_id AS keep
+              FROM cells c LEFT JOIN comp p USING (vec_id)
+              ORDER BY id""")),
+
+
     // SemDeDup: cluster-then-dedup in embedding space — the pre-trained
     // coarse quantizer bounds candidate pairs to within-cell equi-joins,
     // exact cosine verifies, connected groups keep their min-id rep.

@@ -32,8 +32,28 @@ import org.apache.spark.sql.functions._
   *   [nDocs=100000] [nVecs=20000] [srcDir=/root/testdata/sf0.1]` */
 object GenLake {
 
-  private def replicate(df: DataFrame, m: Int, shifts: Seq[(String, Long)]): DataFrame = {
+  private[tools] def replicate(df: DataFrame, m: Int, shifts: Seq[(String, Long)]): DataFrame = {
     val spark = df.sparkSession
+    // Shifted keys are cast back to the source dtype; a narrow key column
+    // (int/short) would silently WRAP once (m-1)*stride + max(key) exceeds
+    // its range, breaking the uniqueness/referential-integrity invariants
+    // the copies are built on. Refuse loudly instead of wrapping.
+    shifts.foreach { case (k, stride) =>
+      // stride = max(key)+1, so max original key = stride-1; exact math so
+      // the CHECK itself can't wrap on absurd multipliers
+      val maxShifted =
+        Math.addExact(Math.multiplyExact(m.toLong - 1, stride), stride - 1)
+      val bound = df.schema(k).dataType.typeName match {
+        case "integer" => Int.MaxValue.toLong
+        case "short"   => Short.MaxValue.toLong
+        case "byte"    => Byte.MaxValue.toLong
+        case _         => Long.MaxValue
+      }
+      require(maxShifted <= bound,
+        s"GenLake: replicated key '$k' overflows its ${df.schema(k).dataType.typeName} " +
+          s"column (max shifted key $maxShifted > $bound); lower the multiplier " +
+          "or widen the fixture key to long")
+    }
     val copies = broadcast(spark.range(m).toDF("__copy"))
     shifts.foldLeft(df.crossJoin(copies)) { case (d, (k, stride)) =>
       d.withColumn(k, (col(k) + col("__copy") * stride).cast(d.schema(k).dataType))

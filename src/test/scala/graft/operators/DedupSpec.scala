@@ -353,6 +353,41 @@ class DedupSpec extends SparkSpec {
     // clustering is the tractability mechanism, not just a filter)
   }
 
+  test("semanticDedupLsh: sign-bit cells group like vectors; degrade past maxBucket is the deterministic rep-star") {
+    import spark.implicits._
+    // dim 4 so the fixed seed-7 planes are tiny; near-identical pairs
+    // must land in the same sign-bit cell (same side of every plane)
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)),   // ~identical to 1
+      (3L, Seq(-1.0, 0.0, 0.0, 0.0)),     // antipode: different cell
+      (4L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupLsh(docs, "vec_id", "embedding",
+      dim = 4, numPlanes = 8, minCosine = 0.99)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId.size === 4) // one row per input doc
+    assert(byId(1L)._1 === byId(2L)._1, "near-identical vectors share a cell")
+    assert(byId(1L)._1 !== byId(3L)._1, "antipodal vectors split cells")
+    assert(byId(1L) === ((byId(1L)._1, 1L, true)))
+    assert(byId(2L)._2 === 1L && !byId(2L)._3) // collapsed into 1
+    assert(byId(3L)._3 && byId(4L)._3)
+
+    // degrade branch: many copies of one vector overflow maxBucket — the
+    // candidate set must be the min-id star (O(n)), and grouping survives
+    val many = (1L to 50L).map(i => (i, Seq(1.0, 0.001 * i, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val star = Dedup.semanticDedupLsh(many, "vec_id", "embedding",
+      dim = 4, numPlanes = 8, minCosine = 0.9, maxBucket = 10)
+    val rows = star.collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === 50)
+    assert(rows.count(_._3) >= 1)
+    // every non-keeper collapsed onto the min id of its cell's star
+    val comps = rows.map(_._2).distinct
+    assert(comps.forall(c => rows.exists(r => r._1 == c && r._3)))
+  }
+
   test("qualityReport: keep true/false branches and null-text three-valued logic") {
     import spark.implicits._
     val docs = Seq(

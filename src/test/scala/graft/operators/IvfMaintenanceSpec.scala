@@ -88,4 +88,16 @@ class IvfMaintenanceSpec extends SparkSpec {
     val calmReport = Similarity.ivfDriftReport(ref, ref, "vec_id", "embedding", 1.0)
     assert(calmReport.collect().forall(!_.getAs[Boolean]("retrain_needed")))
   }
+
+  test("ivfMaintain fails loudly (not NPE) when a snapshot is empty") {
+    val ref = corpus(refAngles)
+    val empty = ref.filter("vec_id < 0")
+    val stale = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfMaintain(ref, empty, "vec_id", "embedding", stale, threshold = 1.0)
+    }
+    assert(e.getMessage.contains("drift report is empty"), e.getMessage)
+    // the lazy report form stays composable: empty in, empty out, no throw
+    assert(Similarity.ivfDriftReport(ref, empty, "vec_id", "embedding", 1.0).count() === 0L)
+  }
 }

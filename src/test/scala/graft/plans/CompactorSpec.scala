@@ -202,4 +202,12 @@ class CompactorSpec extends SparkSpec {
     assert(files.toSeq === Seq("compacted-g99-00000.parquet", "compacted-g99-00001.parquet"))
     assert(spark.read.parquet(s"$lake/T---HC---1").count() === 1000) // no loss, no dup
   }
+
+  test("generation ids are structurally unique, even within one millisecond") {
+    // the crash-recovery invariant ("a new generation never collides with
+    // the manifest-listed old one") must hold under same-millis compactions
+    // and clock step-back — a wall-clock-only id doesn't guarantee that
+    val gens = (1 to 1000).map(_ => Compactor.nextGen())
+    assert(gens.distinct.size === gens.size)
+  }
 }

@@ -46,6 +46,21 @@ class GenLakeSpec extends SparkSpec {
       col("l_orderkey") === col("o_orderkey")).count()
     assert(scaledJoin === 2 * srcJoin)
   }
+
+  test("replicate refuses multipliers whose shifted keys overflow a narrow column") {
+    import spark.implicits._
+    // int key column with max near the top of the int range: multiplier 2
+    // would need keys > Int.MaxValue — must refuse, not wrap
+    val near = Seq(Int.MaxValue - 10, 5).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      GenLake.replicate(near, 2, Seq("k" -> (Int.MaxValue - 9).toLong)).count()
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+    // a long key column with the same values is fine
+    val wide = Seq((Int.MaxValue - 10).toLong, 5L).toDF("k")
+    val r = GenLake.replicate(wide, 2, Seq("k" -> (Int.MaxValue - 9).toLong))
+    assert(r.select("k").distinct().count() === 4)
+  }
 }
 
 /** Drives GenLake's generation logic against an existing session (the
