@@ -27,7 +27,9 @@ private[queries] object SemanticDedupQueries {
           // oracle is exact all-pairs and must stay pinned to it. The
           // guard trips when the fixture outgrows exact all-pairs
           // (expected around sf≈1 at 4 band bits — the fix then is more
-          // planes/bits, not a bigger cap)
+          // planes/bits, not a bigger cap). dd_embed_neardup_scaled below
+          // IS that fix, registered: it runs at every lake (Bench records
+          // this query's refusal as -2/refused_by_guard, not an error)
           maxBucket = Int.MaxValue,
           bucketGuard = Some(Dedup.ExactPairsBucketGuard))
         .orderBy("id_a", "id_b"),
@@ -171,7 +173,9 @@ private[queries] object SemanticDedupQueries {
           graft.operators.IvfQuantizer.centroids, minCosine = 0.4,
           // oracle is exact all-pairs-within-cell: pin it, guard loudly
           // (cells at the sf0.1 fixture hold ~125 vecs; the guard trips
-          // when a cell outgrows exact pairing — the fix is more cells)
+          // when a cell outgrows exact pairing — the fix is more cells,
+          // and dd_semantic_scaled above is that fix registered: 256
+          // sign-bit cells, runs at every lake, 26× faster at 10×)
           maxBucket = Int.MaxValue,
           bucketGuard = Some(Dedup.ExactPairsBucketGuard))
         .orderBy("id"),
