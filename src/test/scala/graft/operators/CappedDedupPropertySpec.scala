@@ -68,6 +68,23 @@ class CappedDedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("banding exchange is REUSED at runtime: the signature pipeline executes once") {
+    import spark.implicits._
+    // the all-pairs side join + star branch read the same banded subplan;
+    // the 100 TB cost model assumes the expensive signature computation
+    // executes ONCE into shuffle files. Assert it on the FINAL adaptive
+    // plan (collect() first — an unexecuted AdaptiveSparkPlan shows the
+    // initial tree, where the three branches print as three pipelines)
+    val docs = (1L to 40L).map(i => (i, Seq(1.0, 0.01 * i, 0.5, -0.25))).toDF("vec_id", "embedding")
+    val df = Dedup.embeddingNearDupPairs(docs, "vec_id", "embedding",
+      dim = 4, minCosine = 0.9, numPlanes = 8, bandBits = 4, maxBucket = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.next().contains("isFinalPlan=true"), p.linesIterator.next())
+    assert("ReusedExchange".r.findAllIn(p).size >= 1,
+      s"banding subplan no longer reused — signature pipeline would run per branch:\n${p.take(2000)}")
+  }
+
   test("capped embeddingNearDupPairs verified pairs ⊆ exact verified pairs") {
     import spark.implicits._
     forAll(corpusGen, cases = 5) { docs =>
