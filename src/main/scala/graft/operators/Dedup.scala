@@ -546,6 +546,10 @@ object Dedup {
       dim: Int, numPlanes: Int = 8, seed: Long = 7L, minCosine: Double = 0.4,
       maxBucket: Int = DefaultMaxBucket,
       bucketGuard: Option[Int] = None): DataFrame = {
+    // cell code is Σ bit_i << i in a 32-bit int; 30 planes = 1G cells is
+    // already far past any useful occupancy, so refuse rather than wrap
+    require(numPlanes >= 1 && numPlanes <= 30,
+      s"numPlanes must be in [1, 30], got $numPlanes")
     val planes = Similarity.hyperplanes(numPlanes, dim, seed)
     val vecs = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
