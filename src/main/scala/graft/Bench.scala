@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Guard-refusal classification, split from [[Bench]]'s main so specs can
+  * drive it directly (BenchGuardSpec). */
+object BenchGuard {
+  /** True iff the failure chain contains raise_error's exception —
+    * a [[org.apache.spark.SparkThrowable]] with the USER_RAISED_EXCEPTION
+    * condition — carrying [[graft.operators.Dedup.BucketGuardMarker]]: a
+    * DESIGNED bucket-guard refusal, not a broken query. Condition + class
+    * + marker, so an unrelated error that merely EMBEDS the guard literal
+    * (codegen dump, analysis tree) still reports broken (-1). */
+  def isGuardRefusal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists {
+        case t: org.apache.spark.SparkThrowable =>
+          val msg = t.asInstanceOf[Throwable].getMessage
+          t.getCondition == "USER_RAISED_EXCEPTION" && msg != null &&
+            msg.contains(graft.operators.Dedup.BucketGuardMarker)
+        case _ => false
+      }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,9 +62,10 @@ object Bench {
     // lakes the pinned exact-all-pairs oracle anchors REFUSE by design
     // (their scale-anchored _scaled siblings run instead), and the
     // artifact must distinguish that designed refusal from a broken query.
-    def isGuardRefusal(e: Throwable): Boolean =
-      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
-        .exists(t => t.getMessage != null && t.getMessage.contains("bucket guard"))
+    // Matching is class + marker (see Dedup.BucketGuardMarker), so a
+    // broken query whose error merely EMBEDS the guard literal (codegen
+    // dump, analysis tree) still records -1.
+    def isGuardRefusal(e: Throwable): Boolean = BenchGuard.isGuardRefusal(e)
     def runSuite(): Map[String, (Double, Double, Seq[Double])] =
       SparkEntry.queries.map { case (name, fn) =>
         def run(): Double = {

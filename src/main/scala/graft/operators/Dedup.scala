@@ -231,6 +231,15 @@ object Dedup {
     * fail loudly instead of slowly. */
   val ExactPairsBucketGuard: Int = 4096
 
+  /** The marker every [[cappedBucketPairs]] guard refusal carries. Bench
+    * classifies a query failure as a DESIGNED refusal (-2 /
+    * `refused_by_guard`) only when an exception in the cause chain is a
+    * SparkRuntimeException (raise_error's class) whose message carries
+    * this marker — matching class + marker, not a bare substring, so an
+    * unrelated error that merely EMBEDS the guard literal (a codegen
+    * dump, an analysis tree) is still reported as broken (-1). */
+  val BucketGuardMarker: String = "graft.Dedup bucket guard"
+
   /** All-pairs within ≤`maxBucket` buckets of `keys`, rep-star within
     * oversized ones (see [[DefaultMaxBucket]]). `banded0` must have one
     * row per (`id`, keys…, payload…); returns (id_a, id_b) plus
@@ -268,7 +277,7 @@ object Dedup {
     // pass that computes n — no extra job, no driver-side count
     val small = bucketGuard.fold(col("n") <= maxBucket) { g =>
       when(col("n") > g, raise_error(format_string(
-        s"graft.Dedup bucket guard: band bucket of %s docs exceeds $g; " +
+        s"$BucketGuardMarker: band bucket of %s docs exceeds $g; " +
           "exact all-pairs would go quadratic — raise band bits/planes " +
           "or run with a finite maxBucket", col("n"))).cast("boolean"))
         .otherwise(col("n") <= maxBucket)

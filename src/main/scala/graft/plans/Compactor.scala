@@ -45,16 +45,21 @@ object Compactor {
   private val NewPrefix = ".compact_new"
   private val Manifest = ".compact_manifest"
 
-  // Generation ids must be STRUCTURALLY unique, not just
-  // probably-unique: two compactions of the same partition within one
-  // millisecond (fast tests, clock step-back) must not reuse names, or
-  // the recovery invariant "a new generation never collides with the
-  // manifest-listed old one" silently weakens. millis gives cross-process
-  // ordering for humans reading the lake; the counter gives in-process
-  // uniqueness regardless of the clock.
+  // Generation ids must not repeat: two compactions of the same
+  // partition within one millisecond (fast tests, clock step-back) must
+  // not reuse names, or the recovery invariant "a new generation never
+  // collides with the manifest-listed old one" silently weakens. millis
+  // gives cross-process ordering for humans reading the lake; the
+  // counter gives STRUCTURAL uniqueness within a process regardless of
+  // the clock; the per-process random nonce covers the restart case
+  // (counter reset + clock step-back re-producing an old id) — that
+  // last layer is probabilistic (2^-64 per colliding pair), not
+  // structural, which is the honest limit without lake-side state.
   private val genCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val procNonce: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
   private[plans] def nextGen(): String =
-    s"${System.currentTimeMillis()}x${genCounter.incrementAndGet()}"
+    s"${System.currentTimeMillis()}x${procNonce}x${genCounter.incrementAndGet()}"
 
   /** A compacted OUTPUT file: the single-file `compacted.parquet`
     * (reference parity) or one of a bounded multi-file generation

@@ -141,27 +141,26 @@ private[queries] object QueryShared {
               SELECT probe_id, cand_id, sim, rn
               FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn"""
 
-  lazy val planeLiterals: String =
-    Similarity.hyperplanes(16, 64, 42L).zipWithIndex
+  /** `Similarity.hyperplanes(n, 64, seed)` rendered as DuckDB VALUES
+    * rows — ONE renderer so the (count, seed) pairs below stay the only
+    * thing to keep aligned with the operator defaults. */
+  private def planeLits(numPlanes: Int, seed: Long): String =
+    Similarity.hyperplanes(numPlanes, 64, seed).zipWithIndex
       .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
       .mkString(", ")
+
+  lazy val planeLiterals: String = planeLits(16, 42L)
 
   /** 32-plane variant for the scale-anchored embedding near-dup sibling
     * (`dd_embed_neardup_scaled`): 8-bit bands → 256 bucket values per
     * band, so buckets stay small as the corpus grows. Same seed, same
     * deterministic round-trip argument as [[planeLiterals]]. */
-  lazy val planeLiterals32: String =
-    Similarity.hyperplanes(32, 64, 42L).zipWithIndex
-      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
-      .mkString(", ")
+  lazy val planeLiterals32: String = planeLits(32, 42L)
 
   /** The 8 fixed hyperplanes whose sign-bit code is the 256-cell
     * data-independent quantizer of `dd_semantic_scaled`
-    * ([[graft.operators.Dedup.semanticDedupLsh]]). */
-  lazy val cellPlaneLiterals: String =
-    Similarity.hyperplanes(8, 64, 7L).zipWithIndex
-      .map { case (p, i) => s"($i, [${p.map(dlit).mkString(", ")}])" }
-      .mkString(", ")
+    * ([[graft.operators.Dedup.semanticDedupLsh]], seed 7). */
+  lazy val cellPlaneLiterals: String = planeLits(8, 7L)
 
   /** The pre-trained IVF quantizer ([[graft.operators.IvfQuantizer]]) as
     * DuckDB VALUES rows — same round-trip argument as [[planeLiterals]]. */

@@ -37,12 +37,16 @@ object GenLake {
     // Shifted keys are cast back to the source dtype; a narrow key column
     // (int/short) would silently WRAP once (m-1)*stride + max(key) exceeds
     // its range, breaking the uniqueness/referential-integrity invariants
-    // the copies are built on. Refuse loudly instead of wrapping.
+    // the copies are built on. Refuse loudly instead of wrapping. The max
+    // original key is measured from the DATA (one tiny agg per key), not
+    // assumed to be stride-1 — a caller passing a stride smaller than
+    // max(key)+1 must not slip past the check while the cast still wraps.
     shifts.foreach { case (k, stride) =>
-      // stride = max(key)+1, so max original key = stride-1; exact math so
-      // the CHECK itself can't wrap on absurd multipliers
+      val maxRow = df.agg(max(col(k)).cast("long")).head()
+      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty/all-null: nothing to wrap
+      // exact math so the CHECK itself can't wrap on absurd multipliers
       val maxShifted =
-        Math.addExact(Math.multiplyExact(m.toLong - 1, stride), stride - 1)
+        Math.addExact(Math.multiplyExact(m.toLong - 1, stride), maxKey)
       val bound = df.schema(k).dataType.typeName match {
         case "integer" => Int.MaxValue.toLong
         case "short"   => Short.MaxValue.toLong

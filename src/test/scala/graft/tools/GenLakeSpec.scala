@@ -56,6 +56,16 @@ class GenLakeSpec extends SparkSpec {
       GenLake.replicate(near, 2, Seq("k" -> (Int.MaxValue - 9).toLong)).count()
     }
     assert(e.getMessage.contains("overflows"), e.getMessage)
+    // the check measures max(key) from the DATA: a small stride with a
+    // huge actual key must also refuse (stride-derived max alone would
+    // pass — (m-1)*100 + (stride-1) is tiny; the true max wraps)
+    val e2 = intercept[IllegalArgumentException] {
+      GenLake.replicate(near, 2, Seq("k" -> 100L)).count()
+    }
+    assert(e2.getMessage.contains("overflows"), e2.getMessage)
+    // and exactly-fits is allowed: max shifted key == Int.MaxValue
+    assert(GenLake.replicate(near, 2, Seq("k" -> 10L))
+      .select("k").distinct().count() === 4)
     // a long key column with the same values is fine
     val wide = Seq((Int.MaxValue - 10).toLong, 5L).toDF("k")
     val r = GenLake.replicate(wide, 2, Seq("k" -> (Int.MaxValue - 9).toLong))
