@@ -13,9 +13,12 @@ import pandas as pd
 import numpy as np
 
 def load_tables(con, sfdir):
+    # driver testdata tables are single files (<t>.parquet); generated
+    # lakes (GenLake/GenCorpus) are Spark-written DIRECTORIES of parts
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p)[:-8]
-        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
