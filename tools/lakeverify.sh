@@ -5,26 +5,36 @@
 # degrade branches change nothing (PLANS.md round 13).
 #
 # Usage: tools/lakeverify.sh <lakeDir> [querySubset]
-#   querySubset: comma-separated names; default = the 63 lake-friendly
-#   queries (relational+window+panel families plus the exact/scaled
-#   dedup and linear ta_* scans — the heavy recursive-CTE text oracles
-#   are excluded only because DuckDB needs hours on 100k docs, not
-#   because they'd differ).
+#   querySubset: comma-separated names; default = the lake-friendly set —
+#   the full relational/window/set/panel families (p*/a*/j*/w*/u*/sql_*,
+#   INCLUDING letter-suffixed variants like j05b/w01b/w01c) plus the
+#   exact/scaled dedup and linear ta_* scans. The heavy recursive-CTE
+#   text oracles are excluded only because DuckDB needs hours on 100k
+#   docs, not because they'd differ. Names come from the NEWEST
+#   CORRECTNESS_r*.json so queries added each round are picked up.
 set -eu
+cd "$(dirname "$0")/.."
 LAKE=${1:?lake dir}
 DEFAULT=$(python3 - << 'EOF'
-import json
-d = json.load(open('CORRECTNESS_r12.json'))
-names = [k for k in d if k.split('_')[0].rstrip('0123456789') in ('p','a','j','w','u') or k.startswith('sql_')]
+import json, glob, re
+latest = max(glob.glob('CORRECTNESS_r*.json'))
+d = json.load(open(latest))
+names = [k for k in d if re.match(r'^[pajwu]\d', k) or k.startswith('sql_')]
 names += ['nem_settlement', 'nem_crunch_pipeline',
           'dd_semantic_scaled', 'dd_embed_neardup_scaled', 'dd_exact_groups',
           'dd_fingerprint', 'dd_incremental', 'ta_tokens', 'ta_quality',
           'ta_langid', 'ta_token_histogram', 'ta_scrub_pii']
-print(','.join(sorted(set(names))))
+print(','.join(sorted(set(n for n in names if n in d or n.endswith('_scaled')))))
 EOF
 )
 SUB=${2:-$DEFAULT}
 OUT=$(mktemp -d /tmp/graft_lakeverify.XXXXXX)
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch "runMain graft.Verify $LAKE $OUT $SUB" >/dev/null 2>&1
+LOG="$OUT/verify.log"
+trap 'rm -rf "$OUT"' EXIT
+if ! SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+    sbt -batch "runMain graft.Verify \"$LAKE\" \"$OUT\" $SUB" > "$LOG" 2>&1; then
+  echo "graft.Verify failed — last lines of $LOG:" >&2
+  tail -20 "$LOG" >&2
+  exit 1
+fi
 python3 tools/localverify.py "$LAKE" "$OUT" "$SUB"
-rm -rf "$OUT"
