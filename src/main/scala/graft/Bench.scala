@@ -9,9 +9,15 @@ object BenchGuard {
     * condition — carrying [[graft.operators.Dedup.BucketGuardMarker]]: a
     * DESIGNED bucket-guard refusal, not a broken query. Condition + class
     * + marker, so an unrelated error that merely EMBEDS the guard literal
-    * (codegen dump, analysis tree) still reports broken (-1). */
-  def isGuardRefusal(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+    * (codegen dump, analysis tree) still reports broken (-1). The walk is
+    * identity-deduped (not depth-capped) so a deeply wrapped refusal —
+    * long Spark wrapper chains exceed any small fixed bound — is still
+    * classified, while a cyclic cause chain terminates. */
+  def isGuardRefusal(e: Throwable): Boolean = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    Iterator.iterate(e)(_.getCause)
+      .takeWhile(t => t != null && seen.add(t))
       .exists {
         case t: org.apache.spark.SparkThrowable =>
           val msg = t.asInstanceOf[Throwable].getMessage
@@ -19,6 +25,7 @@ object BenchGuard {
             msg.contains(graft.operators.Dedup.BucketGuardMarker)
         case _ => false
       }
+  }
 }
 
 object Bench {
@@ -81,7 +88,13 @@ object Bench {
           else Seq.fill(warmRuns)(try run() catch {
             case e: Throwable => if (isGuardRefusal(e)) -2.0 else -1.0
           })
-        val warm = if (warms.exists(_ < 0)) warms.min else median(warms)
+        // a mixed failure set must surface the GENUINE failure: -1 beats
+        // -2 (a warm set holding both means something actually broke, not
+        // just a designed guard refusal), and any failure beats a median
+        val warm =
+          if (warms.contains(-1.0)) -1.0
+          else if (warms.exists(_ < 0)) warms.min
+          else median(warms)
         // per-query session hygiene, BOTH layers: catalog caches (persist)
         // AND rdd-level blocks (localCheckpoint generations) — the latter
         // are invisible to clearCache and otherwise accumulate across the

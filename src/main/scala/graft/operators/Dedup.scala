@@ -234,8 +234,11 @@ object Dedup {
   /** The marker every [[cappedBucketPairs]] guard refusal carries. Bench
     * classifies a query failure as a DESIGNED refusal (-2 /
     * `refused_by_guard`) only when an exception in the cause chain is a
-    * SparkRuntimeException (raise_error's class) whose message carries
-    * this marker — matching class + marker, not a bare substring, so an
+    * [[org.apache.spark.SparkThrowable]] whose condition is
+    * `USER_RAISED_EXCEPTION` (raise_error's error condition — the class
+    * itself is `private[spark]` in scalasig, so [[graft.BenchGuard]]
+    * matches the public interface + condition) AND whose message carries
+    * this marker — condition + marker, not a bare substring, so an
     * unrelated error that merely EMBEDS the guard literal (a codegen
     * dump, an analysis tree) is still reported as broken (-1). */
   val BucketGuardMarker: String = "graft.Dedup bucket guard"

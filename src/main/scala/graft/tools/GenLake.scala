@@ -41,22 +41,28 @@ object GenLake {
     // original key is measured from the DATA (one tiny agg per key), not
     // assumed to be stride-1 — a caller passing a stride smaller than
     // max(key)+1 must not slip past the check while the cast still wraps.
-    shifts.foreach { case (k, stride) =>
-      val maxRow = df.agg(max(col(k)).cast("long")).head()
-      val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) // empty/all-null: nothing to wrap
-      // exact math so the CHECK itself can't wrap on absurd multipliers
-      val maxShifted =
-        Math.addExact(Math.multiplyExact(m.toLong - 1, stride), maxKey)
+    // all key maxima in ONE aggregate (not one Spark job per shifted key)
+    val maxRow = df.agg(max(col(shifts.head._1)).cast("long"),
+      shifts.tail.map { case (k, _) => max(col(k)).cast("long") }: _*).head()
+    shifts.zipWithIndex.foreach { case ((k, stride), i) =>
+      val maxKey = if (maxRow.isNullAt(i)) 0L else maxRow.getLong(i) // empty/all-null: nothing to wrap
       val bound = df.schema(k).dataType.typeName match {
         case "integer" => Int.MaxValue.toLong
         case "short"   => Short.MaxValue.toLong
         case "byte"    => Byte.MaxValue.toLong
         case _         => Long.MaxValue
       }
-      require(maxShifted <= bound,
+      def overflow(shifted: String): Nothing = throw new IllegalArgumentException(
         s"GenLake: replicated key '$k' overflows its ${df.schema(k).dataType.typeName} " +
-          s"column (max shifted key $maxShifted > $bound); lower the multiplier " +
+          s"column (max shifted key $shifted > $bound); lower the multiplier " +
           "or widen the fixture key to long")
+      // exact math so the CHECK itself can't wrap on absurd multipliers;
+      // an ArithmeticException from the check implies the key overflows
+      // LONG — rethrow as the same crafted message, never a raw error
+      val maxShifted =
+        try Math.addExact(Math.multiplyExact(m.toLong - 1, stride), maxKey)
+        catch { case _: ArithmeticException => overflow("beyond Long range") }
+      if (maxShifted > bound) overflow(maxShifted.toString)
     }
     val copies = broadcast(spark.range(m).toDF("__copy"))
     shifts.foldLeft(df.crossJoin(copies)) { case (d, (k, stride)) =>

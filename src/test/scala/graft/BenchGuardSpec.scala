@@ -25,6 +25,27 @@ class BenchGuardSpec extends SparkSpec {
       s"real guard refusal not classified: ${caught.getClass} ${caught.getMessage}")
   }
 
+  test("a deeply wrapped refusal still classifies; a cyclic chain terminates") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, Seq(1.0, 0.001 * i, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val real = intercept[Throwable] {
+      Dedup.semanticDedupLsh(docs, "vec_id", "embedding",
+        dim = 4, numPlanes = 4, minCosine = 0.9,
+        maxBucket = Int.MaxValue, bucketGuard = Some(10)).count()
+    }
+    // 40 wrapper layers — deeper than any fixed small depth cap; long
+    // Spark wrapper chains must not demote a designed refusal to -1
+    val deep = (1 to 40).foldLeft(real)((e, i) => new RuntimeException(s"wrap$i", e))
+    assert(BenchGuard.isGuardRefusal(deep))
+    // a cause CYCLE (two exceptions each other's cause) must terminate,
+    // and an unrelated cycle must classify as broken, not hang
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b", a)
+    a.initCause(b)
+    assert(!BenchGuard.isGuardRefusal(a))
+  }
+
   test("an error that merely embeds the guard text does NOT classify as refusal") {
     // e.g. a codegen dump or analysis tree containing the raise_error literal
     val fake = new RuntimeException(

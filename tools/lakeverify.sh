@@ -17,7 +17,9 @@ cd "$(dirname "$0")/.."
 LAKE=${1:?lake dir}
 DEFAULT=$(python3 - << 'EOF'
 import json, glob, re
-latest = max(glob.glob('CORRECTNESS_r*.json'))
+# numeric round sort — a lexicographic max would pick r99 over r100
+latest = max(glob.glob('CORRECTNESS_r*.json'),
+             key=lambda p: int(re.search(r'_r(\d+)', p).group(1)))
 d = json.load(open(latest))
 names = [k for k in d if re.match(r'^[pajwu]\d', k) or k.startswith('sql_')]
 names += ['nem_settlement', 'nem_crunch_pipeline',
