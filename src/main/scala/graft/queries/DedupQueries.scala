@@ -14,6 +14,39 @@ import QueryShared._
   * Entries split from the monolithic Registry verbatim. */
 private[queries] object DedupQueries {
 
+  /** One oracle for BOTH incremental near-dup registry forms — in-query
+    * index (`dd_incremental_neardup`) and stored index
+    * (`dd_incremental_neardup_stored`): the signature table round-trips
+    * parquet bit-exactly (BIGINT minhashes), so probing the store must
+    * reproduce the in-query result hash-for-hash. */
+  private val incNearDupOracle: String =
+    """WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                         FROM documents),
+                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
+                   sh AS (SELECT doc_id,
+                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
+                          FROM w),
+                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+                   sigs AS (SELECT doc_id, r.i AS i,
+                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
+                            FROM posts CROSS JOIN range(16) r(i) GROUP BY 1, 2),
+                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
+                             FROM sigs GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+                            FROM bands b JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
+                            WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+                   agree AS (SELECT cd.batch_id, cd.corpus_id,
+                               CAST(sum(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+                             FROM cand cd
+                             JOIN sigs sb ON sb.doc_id = cd.batch_id
+                             JOIN sigs sc ON sc.doc_id = cd.corpus_id AND sc.i = sb.i
+                             GROUP BY 1, 2)
+              SELECT batch_id, corpus_id, n_agree,
+                     CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+              FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5::DOUBLE
+              ORDER BY batch_id, corpus_id"""
+
   val all: Seq[Q] = Seq(
 
 
@@ -182,32 +215,34 @@ private[queries] object DedupQueries {
             minAgree = 0.5, hashFamily = Dedup.portableFamily)
           .orderBy("batch_id", "corpus_id")
       },
-      Some("""WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-                         FROM documents),
-                   w AS (SELECT doc_id, string_split(t, ' ') AS w FROM d),
-                   sh AS (SELECT doc_id,
-                            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                                 ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) END AS s
-                          FROM w),
-                   posts AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-                   sigs AS (SELECT doc_id, r.i AS i,
-                            min(('0x' || substr(md5(sg || '#' || CAST(r.i AS VARCHAR)), 18, 15))::BIGINT) AS mh
-                            FROM posts CROSS JOIN range(16) r(i) GROUP BY 1, 2),
-                   bands AS (SELECT doc_id, i // 4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
-                             FROM sigs GROUP BY 1, 2),
-                   cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-                            FROM bands b JOIN bands c ON b.band = c.band AND b.bkey = c.bkey
-                            WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
-                   agree AS (SELECT cd.batch_id, cd.corpus_id,
-                               CAST(sum(CASE WHEN sb.mh = sc.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
-                             FROM cand cd
-                             JOIN sigs sb ON sb.doc_id = cd.batch_id
-                             JOIN sigs sc ON sc.doc_id = cd.corpus_id AND sc.i = sb.i
-                             GROUP BY 1, 2)
-              SELECT batch_id, corpus_id, n_agree,
-                     CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
-              FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5::DOUBLE
-              ORDER BY batch_id, corpus_id""")),
+      Some(incNearDupOracle)),
+
+
+    // STORED-index form of dd_incremental_neardup — the shape production
+    // actually runs at 100 TB: the corpus signature index is MATERIALIZED
+    // to parquet once (the ann_topk_*_stored pattern) and every arriving
+    // batch probes the store, paying O(batch) work — never O(corpus)
+    // re-shingling/re-hashing per batch. The in-query sibling above keeps
+    // the self-contained oracle anchor; this one is the scale posture.
+    // Cold bench rep pays the one-time index build; warm reps measure the
+    // probe alone. Same oracle — the BIGINT signatures round-trip parquet
+    // bit-exactly, so results must match hash-for-hash.
+    Q("dd_incremental_neardup_stored",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val store = IndexStore.cached("mhsig", d) { p =>
+          Dedup.minhashSignature(docs.filter(col("doc_id") % 10 =!= 7),
+              "doc_id", "text", shingleLen = 3, numHashes = 16,
+              hashFamily = Dedup.portableFamily)
+            .write.mode("overwrite").parquet(p)
+        }
+        Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 7),
+            s.read.parquet(store),
+            "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
+            minAgree = 0.5, hashFamily = Dedup.portableFamily)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(incNearDupOracle)),
 
 
     Q("dd_simhash_neardup",
