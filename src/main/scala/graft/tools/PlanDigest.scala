@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonical physical-plan SHAPE digest for the plan-golden regression
+  * gate (PlanGoldenSpec): join strategies, exchange counts, scan counts
+  * and pushed-filter presence, extracted from the EXECUTED adaptive
+  * plan. The digest deliberately excludes partition counts, row counts
+  * and object ids — anything AQE may retune per host — so it pins
+  * exactly the decisions that matter at 100 TB (did the broadcast stay
+  * a broadcast, did a new shuffle appear, did the filter still reach
+  * the scan) and nothing that legitimately varies. */
+object PlanDigest {
+
+  /** Digest of `df`'s final executed plan. Runs the query (collect):
+    * an unexecuted AdaptiveSparkPlan carries only the initial plan, and
+    * the final plan is where AQE's join re-strategies and reused
+    * exchanges become visible. */
+  def digest(df: DataFrame): String = {
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan renders "== Final Plan ==" followed by
+    // "== Initial Plan ==": measure the final section only, else every
+    // feature double-counts (and pre-AQE shuffles that the runtime
+    // removed would still be counted)
+    val fin = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    def n(lit: String): Int = {
+      var c = 0
+      var i = fin.indexOf(lit)
+      while (i >= 0) { c += 1; i = fin.indexOf(lit, i + lit.length) }
+      c
+    }
+    val joins = Seq(
+      "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(j => j -> n(j)).filter(_._2 > 0)
+      .map { case (j, c) => s"$j=$c" }.mkString(",")
+    val xchg = Seq(
+      "hash" -> n("Exchange hashpartitioning"),
+      "range" -> n("Exchange rangepartitioning"),
+      "single" -> n("Exchange SinglePartition"),
+      "bcast" -> n("BroadcastExchange"),
+      "reused" -> n("ReusedExchange"))
+      .map { case (k, c) => s"$k=$c" }.mkString(",")
+    val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(fin).length
+    s"joins[$joins] xchg[$xchg] scans=${n("FileScan")} " +
+      s"local=${n("LocalTableScan")} inmem=${n("InMemoryTableScan")} pushed=$pushed"
+  }
+}

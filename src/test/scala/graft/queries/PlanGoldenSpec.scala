@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.tools.PlanDigest
+
+/** Plan-golden regression gate: the physical-plan SHAPE of the most
+  * expensive / most plan-sensitive registry queries is pinned as a
+  * digest (join strategies, exchange counts, scan counts, pushed
+  * filters — see [[graft.tools.PlanDigest]]). A lost broadcast, a new
+  * shuffle, or a filter that stops reaching the scan fails `sbt test`
+  * here, instead of surfacing rounds later as an unexplained bench
+  * regression.
+  *
+  * Goldens live in `src/test/resources/plan_goldens.txt`; after a
+  * DELIBERATE plan change, regenerate with
+  * `GRAFT_REGEN_PLAN_GOLDENS=1 sbt "testOnly graft.queries.PlanGoldenSpec"`
+  * and review the diff — the file diff IS the plan-change review. */
+class PlanGoldenSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  val goldenPath = "src/test/resources/plan_goldens.txt"
+
+  /** The gated set: the bench's most expensive lazily-planned queries
+    * plus the queries whose whole point is a plan property (broadcast
+    * chains, pushdown, bucketing, zero-corpus-shuffle probes). Eager
+    * driver-loop queries (dd_dup_groups, nem roundtrips, BPE trains)
+    * are excluded — their returned frame is a LocalTableScan and the
+    * digest would be vacuous. */
+  val gated: Seq[String] = Seq(
+    "ann_topk_int8", "dd_simhash_neardup", "ta_pmi_bigrams",
+    "dd_semantic", "dd_minhash_estimate", "dd_minhash_neardup",
+    "ta_corpus_shuffle", "dd_ngram_jaccard", "dd_embed_neardup",
+    "j01_left_join", "j02_inner_composite", "j02b_inner_bucketed",
+    "j05b_asof_native", "j07_multiway_chain",
+    "ann_topk_ivfpq", "ann_embed_drift",
+    "dd_incremental_neardup", "dd_incremental_neardup_stored",
+    "dd_embed_neardup_scaled", "dd_semantic_scaled",
+    "dd_bloom_decontaminate", "w01b_ewma_catalyst",
+    "ta_tfidf_keywords", "p06_filter_range", "w08_sessionize")
+
+  private def computeDigest(name: String): String = {
+    // suite-order independence: other suites in the same JVM may have
+    // left caches whose reuse would swap FileScan for InMemoryTableScan
+    spark.catalog.clearCache()
+    PlanDigest.digest(Registry.queries(name)(spark, sf))
+  }
+
+  test("executed plans match their pinned golden digests") {
+    val computed = gated.map(n => n -> computeDigest(n))
+    if (sys.env.contains("GRAFT_REGEN_PLAN_GOLDENS")) {
+      val body = computed.map { case (n, d) => s"$n\t$d" }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(goldenPath), body)
+      info(s"regenerated $goldenPath — review the diff")
+    } else {
+      val golden = scala.io.Source.fromFile(goldenPath).getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, d) = l.split("\t", 2); n -> d
+        }.toMap
+      val missing = gated.filterNot(golden.contains)
+      assert(missing.isEmpty,
+        s"no golden digest for: $missing — regenerate with GRAFT_REGEN_PLAN_GOLDENS=1")
+      val drifted = computed.collect {
+        case (n, d) if golden(n) != d => s"$n:\n  golden:   ${golden(n)}\n  computed: $d"
+      }
+      assert(drifted.isEmpty,
+        "plan shape drifted (deliberate? regenerate goldens and review the diff):\n" +
+          drifted.mkString("\n"))
+    }
+  }
+
+  test("the gate actually fires: killing auto-broadcast changes digests") {
+    // injected regression — if this stops failing the digest compare,
+    // the gate has gone vacuous
+    val before = computeDigest("j01_left_join")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val after = computeDigest("j01_left_join")
+      assert(before != after,
+        "autoBroadcastJoinThreshold=-1 left j01's digest unchanged — " +
+          "the digest is not capturing join strategy")
+      assert(before.contains("BroadcastHashJoin") && !after.contains("BroadcastHashJoin"),
+        s"expected a lost broadcast to be visible:\n before: $before\n after:  $after")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
