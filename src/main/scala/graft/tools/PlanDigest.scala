@@ -38,12 +38,17 @@ object PlanDigest {
       "BroadcastNestedLoopJoin", "CartesianProduct")
       .map(j => j -> n(j)).filter(_._2 > 0)
       .map { case (j, c) => s"$j=$c" }.mkString(",")
+    // deliberately NOT counted: BroadcastExchange / ReusedExchange. Their
+    // final-plan rendering depends on cross-query materialization state
+    // (a broadcast feeding a BHJ over an already-materialized cached
+    // stage can drop its own exchange line), so counts drift with suite
+    // order while nothing about the query's plan regressed. A LOST
+    // broadcast still fails the gate — the join strategy itself moves
+    // out of joins[] (BroadcastHashJoin → SortMergeJoin).
     val xchg = Seq(
       "hash" -> n("Exchange hashpartitioning"),
       "range" -> n("Exchange rangepartitioning"),
-      "single" -> n("Exchange SinglePartition"),
-      "bcast" -> n("BroadcastExchange"),
-      "reused" -> n("ReusedExchange"))
+      "single" -> n("Exchange SinglePartition"))
       .map { case (k, c) => s"$k=$c" }.mkString(",")
     val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(fin).length
     s"joins[$joins] xchg[$xchg] scans=${n("FileScan")} " +
