@@ -321,6 +321,11 @@ private[queries] object SemanticDedupQueries {
           Dedup.semanticIndex(
               emb.filter(pmod(col("vec_id"), lit(10)) =!= 0),
               "vec_id", "embedding", graft.operators.IvfQuantizer.centroids)
+            // one task per cell → ONE file per cell dir: the probe's
+            // warm cost is file listing + footer reads, and a task×cell
+            // fragment layout made the stored probe pay more IO overhead
+            // than the in-query re-assignment at small corpus sizes
+            .repartition(16, col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(p)
         }
         Dedup.incrementalSemanticDedup(
