@@ -330,7 +330,14 @@ private[queries] object SemanticDedupQueries {
         }
         Dedup.incrementalSemanticDedup(
             emb.filter(pmod(col("vec_id"), lit(10)) === 0),
-            s.read.parquet(store),
+            // a SMALL stored index (fixture: 18 MB) coalesces into 1-2
+            // scan tasks under files.maxPartitionBytes, which serializes
+            // the verify fan-out (16.8M cosine pairs at the 20x lake ran
+            // 3x slower than the in-query form purely from lost scan
+            // parallelism — measured, round 14). Spreading the tiny
+            // index read restores it; a production-sized index splits
+            // naturally and the repartition cost stays O(index).
+            s.read.parquet(store).repartition(s.sparkContext.defaultParallelism),
             "vec_id", "embedding", graft.operators.IvfQuantizer.centroids,
             minCosine = 0.4, nprobe = 2)
           .orderBy("batch_id", "corpus_id")
