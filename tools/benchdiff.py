@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Sentinel-normalized bench regression compare.
+
+Operationalizes the reading rule from PLANS.md ("Round 14: bench
+host-regime sentinel"): three rounds (r7, r12, r13) burned time
+adjudicating whether a slower bench was a regression or a contended
+host. The sentinel series answers the regime question; this tool does
+the per-query arithmetic so the answer is a report, not an argument.
+
+    python3 tools/benchdiff.py OLD.json NEW.json [--threshold 1.5] [--floor 0.3]
+
+OLD/NEW are full-format bench artifacts (bench_full.json /
+bench_lake*.json — the shape graft.Bench writes next to the repo).
+
+Method:
+  * regime ratio = NEW.sentinel_med / OLD.sentinel_med. The sentinel is
+    a fixed data-independent workload, so any ratio > 1 is host noise,
+    not engine change. NEW warms are divided by max(ratio, 1.0) before
+    comparison — contention is normalized out, genuine regressions are
+    NOT (an engine 2x on a quiet host has ratio ~1).
+  * a query regresses when normalized_new / old > threshold AND the
+    absolute delta > floor seconds (sub-floor queries jitter on JVM
+    noise; a 0.05 s -> 0.12 s "2.4x" is not signal).
+  * status changes are first-class: ok -> -1 (broken) always fails;
+    ok <-> -2 (guard refusal) is reported — refusals are by design on
+    beyond-fixture lakes, but an UNEXPECTED refusal transition should
+    be read, not scrolled past.
+
+Exit 0: no regressions. Exit 1: regression or breakage. Exit 2: usage.
+Artifacts without a sentinel (pre-r14) compare unnormalized with a
+warning — the ambiguity this tool exists to remove.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d:
+        sys.exit(f"[benchdiff] {path}: not a full-format bench artifact "
+                 "(no 'queries' key)")
+    return d
+
+
+def warm(v):
+    # full format: {"cold":…, "warm":…, …}; tolerate bare numbers
+    return v["warm"] if isinstance(v, dict) else float(v)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag when normalized new/old exceeds this (default 1.5)")
+    ap.add_argument("--floor", type=float, default=0.3,
+                    help="ignore regressions smaller than this many seconds (default 0.3)")
+    a = ap.parse_args()
+
+    old, new = load(a.old), load(a.new)
+    so, sn = old.get("sentinel_med"), new.get("sentinel_med")
+    if so and sn and so > 0:
+        ratio = sn / so
+        norm = max(ratio, 1.0)
+        print(f"[regime] sentinel {so:.3f}s -> {sn:.3f}s (ratio {ratio:.2f}) "
+              f"— normalizing NEW warms by {norm:.2f}"
+              + ("  ** CONTENDED WINDOW **" if ratio > 1.3 else ""))
+    else:
+        norm = 1.0
+        print("[regime] WARNING: sentinel series missing from one side — "
+              "comparing unnormalized; contention and regression are "
+              "indistinguishable in this report")
+
+    oq, nq = old["queries"], new["queries"]
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print(f"[added]   {len(added)}: {', '.join(added)}")
+    if removed:
+        print(f"[removed] {len(removed)}: {', '.join(removed)}")
+
+    broken, refusal_changes, regressions, improvements = [], [], [], []
+    for name in sorted(set(oq) & set(nq)):
+        wo, wn = warm(oq[name]), warm(nq[name])
+        if wo < 0 or wn < 0:
+            if wo >= 0 and wn == -1:
+                broken.append(name)
+            elif (wo < 0) != (wn < 0) or wo != wn:
+                refusal_changes.append((name, wo, wn))
+            continue
+        adj = wn / norm
+        if wo > 0 and adj / wo > a.threshold and adj - wo > a.floor:
+            regressions.append((name, wo, wn, adj))
+        elif adj > 0 and wo / adj > a.threshold and wo - adj > a.floor:
+            improvements.append((name, wo, wn, adj))
+
+    for name, wo, wn, adj in improvements:
+        print(f"[faster]  {name}: {wo:.2f}s -> {wn:.2f}s "
+              f"(normalized {adj:.2f}s, {wo/adj:.1f}x)")
+    for name, wo, wn in refusal_changes:
+        print(f"[status]  {name}: {wo} -> {wn} "
+              "(guard-refusal transition — expected on lake-scale inputs "
+              "for the pinned oracle anchors, read PLANS.md if elsewhere)")
+    for name in broken:
+        print(f"[BROKEN]  {name}: ok -> -1")
+    for name, wo, wn, adj in regressions:
+        print(f"[SLOWER]  {name}: {wo:.2f}s -> {wn:.2f}s "
+              f"(normalized {adj:.2f}s, {adj/wo:.1f}x over threshold "
+              f"{a.threshold})")
+
+    tw_o, tw_n = old.get("total_warm"), new.get("total_warm")
+    if tw_o and tw_n:
+        print(f"[total]   warm {tw_o:.1f}s -> {tw_n:.1f}s "
+              f"(normalized {tw_n / norm:.1f}s)")
+    if broken or regressions:
+        print(f"[benchdiff] FAIL: {len(broken)} broken, "
+              f"{len(regressions)} regressed")
+        sys.exit(1)
+    print("[benchdiff] ok: no sentinel-normalized regressions over "
+          f"{a.threshold}x (+{a.floor}s floor)")
+
+
+if __name__ == "__main__":
+    main()
