@@ -193,15 +193,23 @@ object Bench {
     // capability), vs a genuinely broken query (-1)
     val refused = byCost.collect { case (k, (_, w, _)) if w == -2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
+    // regime self-description: cpus + driver heap ride in every artifact.
+    // Round-14 lesson: a cpus=32-vs-8 artifact compare reads as a bimodal
+    // 2x "regression" (parallel queries slower, tiny queries faster) with
+    // a quiet sentinel, and the sentinel BASELINE itself is cpus-dependent
+    // (~0.2 s at 8 threads, ~0.55 s at 32 — dispatch overhead). Sentinel
+    // ratios only adjudicate contention between same-config artifacts.
+    val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"cpus":$cpus,"driver_mem":"$driverMem","sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, (c, w, ws)) =>
         val samples = ws.map(f3).mkString("[", ", ", "]")
         s"""    "$k": {"cold": ${f3(c)}, "warm": ${f3(w)}, "warm_min": ${f3(ws.min)}, "warm_samples": $samples}"""
       }.mkString(
-        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
+        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "cpus": $cpus,\n  "driver_mem": "$driverMem",\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
         ",\n", "\n  }\n}\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full)
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
     println("===GRAFT_BENCH_JSON===")
     println(line)

@@ -1,0 +1,44 @@
+package graft.tools
+
+/** Time ONE registry query N times in a fresh session — the
+  * single-query adjudication probe the full `graft.Bench` sweep can't
+  * give (round 14: j02's lake-20 warms degraded 28→59 s across samples
+  * at local[32] while its cold matched the prior round exactly; this
+  * tool showed flat 18–19 s warms at BOTH 8g and 24g heaps, exonerating
+  * the heap hypothesis in one 3-minute run per size — the suite-context
+  * inflation was one-off regime noise, confirmed by a clean full re-run).
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
+  *     sbt "runMain graft.tools.ProbeQuery j02_inner_composite /tmp/graft_lake20 4"
+  *
+  * Prints per-run wall seconds plus used-heap after each run (the creep
+  * signature: monotonically rising times WITH rising retained heap =
+  * allocation outrunning GC in an undersized heap; flat times = healthy).
+  * Matches Bench's execution shape exactly: `.count()` per run, cache +
+  * persistent-RDD sweep only AFTER the last run. */
+object ProbeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: ProbeQuery <query> [sfDir] [n]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(2).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.local(cpus)
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name' — keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.take(10).mkString(", ")}…"))
+    val rt = Runtime.getRuntime
+    val times = (1 to n).map { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      System.err.println(f"[probe] $name run $i: $s%7.3f s  heapMB=$heapMb%5d")
+      s
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    println(f"[probe] $name ${times.map(t => f"$t%.3f").mkString("/")} s " +
+      f"(cpus=$cpus heap=${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")})")
+    spark.stop()
+  }
+}

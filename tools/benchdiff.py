@@ -60,6 +60,12 @@ def main():
     a = ap.parse_args()
 
     old, new = load(a.old), load(a.new)
+    co, cn = old.get("cpus"), new.get("cpus")
+    if co != cn and (co or cn):
+        print(f"[config] WARNING: artifacts ran at different CPU counts "
+              f"({co} vs {cn}) — per-query ratios reflect parallelism, not "
+              "engine change (round-14 lesson: a cpus=32 vs cpus=8 compare "
+              "reads as a bimodal 2x 'regression' with a quiet sentinel)")
     so, sn = old.get("sentinel_med"), new.get("sentinel_med")
     if so and sn and so > 0:
         ratio = sn / so
