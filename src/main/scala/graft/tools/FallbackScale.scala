@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     comparison.
   *  2. `TextAnalysis.packAssignments` shard scaling — the one-window-
   *     per-shard design claims parallelism ∝ shards; measured at
-  *     1/8/64 shards over 5M synthetic token counts.
+  *     1/8/64 shards over 50M synthetic token counts.
   *
-  * Usage: `runMain graft.tools.FallbackScale [nNodes=1280000] [chain=32]`.
+  * Usage: `runMain graft.tools.FallbackScale [nNodes=1280000] [chain=32]
+  * [packDocs=50000000]`.
   * Prints a PLANS.md-ready table; exits nonzero on any mismatch. */
 object FallbackScale {
 
@@ -56,17 +57,26 @@ object FallbackScale {
       f"distributed=${tDist}%.1f s (mismatches=$badDist) " +
       f"driver=${tDrv}%.1f s (mismatches=$badDrv)")
 
-    // pack shard scaling: deterministic token counts, 5M docs
-    val counts = spark.range(5000000L)
+    // pack shard scaling: deterministic token counts. Default 50M docs —
+    // at 5M the whole window fits one task's cache and every shard count
+    // measures ~0.1 s; the serialization the shard design removes only
+    // shows once the single-shard window is forced to stream
+    val packDocs = args.lift(2).map(_.toLong).getOrElse(50000000L)
+    val counts = spark.range(packDocs)
       .select(col("id"), (pmod(col("id") * 2654435761L, lit(900)) + 100).as("n_tokens"))
       .persist()
     counts.count()
     val packTimes = Seq(1, 8, 64).map { shards =>
-      val (_, t) = timed {
+      // aggregate OVER the window-derived column: a bare .count() lets
+      // Catalyst prune the unused Window node entirely (first cut of this
+      // tool measured 0.5 s for a "50M-row single-partition window" —
+      // i.e. measured nothing)
+      val (packs, t) = timed {
         graft.operators.TextAnalysis.packAssignmentsFromCounts(
-          counts, "id", "n_tokens", tokenBudget = 4096, shards = shards).count()
+          counts, "id", "n_tokens", tokenBudget = 4096, shards = shards)
+          .agg(max(col("pack_id"))).first().getLong(0) + 1
       }
-      println(f"[pack] shards=$shards%-3d 5M docs: ${t}%.1f s")
+      println(f"[pack] shards=$shards%-3d $packDocs docs, $packs packs: ${t}%.1f s")
       t
     }
     println(f"[fallback-scale] cc_dist=${tDist}%.1f cc_driver=${tDrv}%.1f " +
