@@ -29,6 +29,21 @@ object BenchGuard {
 }
 
 object Bench {
+  /** Force FULL evaluation of every output column via the built-in noop
+    * sink. Round-14 lesson (PLANS.md, surfaced by FallbackScale and then
+    * confirmed across the whole registry by tools/ForceAudit): forcing
+    * with `.count()` lets Catalyst prune any node whose output nobody
+    * reads — ColumnPruning removes output-less Window nodes and strips
+    * shingle-exploding Generates and final-Project expressions,
+    * EliminateSorts drops the deterministic orderBy — so count-forced
+    * timings skipped the Window in 20 queries and most of the Generate
+    * fan-out in the sketch family. A noop write demands every column of
+    * every row (the same evaluation shape as Verify's parquet write,
+    * minus the encode/IO), so the timed work is the work the query
+    * actually declares. */
+  def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Run the fixed host-regime sentinel once and return its seconds: a
     * data-independent CPU + small-shuffle workload (identical at every
     * sf dir and lake), interleaved through the suite so the committed
@@ -95,6 +110,14 @@ object Bench {
     // host-regime sentinel cadence: one fixed-workload sample at suite
     // start and every N queries, recorded per rep (see Bench.sentinel)
     val sentinelEvery = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "10").toInt
+    // evaluation forcing: "noop" (default — full-column noop-sink write,
+    // see Bench.force) or "count" (the pre-round-14 shape, kept selectable
+    // so cross-round artifact compares can reproduce the old measurement).
+    // Stamped into every artifact: a count-forced and a noop-forced run
+    // are NOT comparable for the window/generate-heavy families.
+    val forceMode = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
+    val forceDf: org.apache.spark.sql.DataFrame => Unit =
+      if (forceMode == "count") df => { df.count(); () } else force _
     def runSuite(): (Map[String, (Double, Double, Seq[Double])], Seq[Double]) = {
       val sentinels = scala.collection.mutable.ArrayBuffer(sentinel(spark))
       var sinceSentinel = 0
@@ -106,7 +129,7 @@ object Bench {
         }
         def run(): Double = {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          forceDf(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
         val cold = try run() catch {
@@ -200,13 +223,13 @@ object Bench {
     // (~0.2 s at 8 threads, ~0.55 s at 32 — dispatch overhead). Sentinel
     // ratios only adjudicate contention between same-config artifacts.
     val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"cpus":$cpus,"driver_mem":"$driverMem","sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"cpus":$cpus,"driver_mem":"$driverMem","force":"$forceMode","sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, (c, w, ws)) =>
         val samples = ws.map(f3).mkString("[", ", ", "]")
         s"""    "$k": {"cold": ${f3(c)}, "warm": ${f3(w)}, "warm_min": ${f3(ws.min)}, "warm_samples": $samples}"""
       }.mkString(
-        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "cpus": $cpus,\n  "driver_mem": "$driverMem",\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
+        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "cpus": $cpus,\n  "driver_mem": "$driverMem",\n  "force": "$forceMode",\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
         ",\n", "\n  }\n}\n")
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)

@@ -15,7 +15,9 @@ package graft.tools
   * Prints per-run wall seconds plus used-heap after each run (the creep
   * signature: monotonically rising times WITH rising retained heap =
   * allocation outrunning GC in an undersized heap; flat times = healthy).
-  * Matches Bench's execution shape exactly: `.count()` per run, cache +
+  * Matches Bench's execution shape exactly: full-column noop-sink force
+  * per run (`Bench.force` — count() would let Catalyst prune windows,
+  * generates and final sorts; see PLANS.md round 14), cache +
   * persistent-RDD sweep only AFTER the last run. */
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
@@ -29,7 +31,7 @@ object ProbeQuery {
     val rt = Runtime.getRuntime
     val times = (1 to n).map { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      graft.Bench.force(fn(spark, sfDir))
       val s = (System.nanoTime() - t0) / 1e9
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       System.err.println(f"[probe] $name run $i: $s%7.3f s  heapMB=$heapMb%5d")

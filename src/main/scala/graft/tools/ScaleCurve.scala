@@ -28,9 +28,14 @@ object ScaleCurve {
       else "events"
     val rows = graft.Tables(spark, sfDir, table).count()
     val fn = graft.SparkEntry.queries(name)
+    // timed sample forces EVERY output column (Bench.force) — a count()
+    // here skipped the pruned-under-count work (windows, generates, final
+    // projections; PLANS.md round 14). The informational output-row count
+    // is taken by a second, untimed execution after the sample.
     val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
+    graft.Bench.force(fn(spark, sfDir))
     val sec = (System.nanoTime() - t0) / 1e9
+    val n = fn(spark, sfDir).count()
     println(f"$name ${sfDir.split('/').last} input=$rows out=$n cold=$sec%.2f")
     spark.stop()
   }

@@ -114,7 +114,9 @@ object Soak {
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
         val q0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // full-column force, matching Bench (count() would prune the
+        // window/generate-heavy queries this soak exists to stress)
+        graft.Bench.force(fn(spark, sfDir))
         val dt = (System.nanoTime() - q0) / 1e9
         if (dt > worst._2) worst = (name, dt)
         spark.catalog.clearCache()

@@ -66,6 +66,14 @@ def main():
               f"({co} vs {cn}) — per-query ratios reflect parallelism, not "
               "engine change (round-14 lesson: a cpus=32 vs cpus=8 compare "
               "reads as a bimodal 2x 'regression' with a quiet sentinel)")
+    fo, fn = old.get("force", "count"), new.get("force", "count")
+    if fo != fn:
+        print(f"[config] WARNING: artifacts used different evaluation "
+              f"forcing ({fo} vs {fn}) — count-forced runs let Catalyst "
+              "prune windows/generates/final sorts out of the timed plan "
+              "(round-14 ForceAudit), so per-query deltas for the "
+              "window/sketch families measure the forcing change, not the "
+              "engine")
     so, sn = old.get("sentinel_med"), new.get("sentinel_med")
     if so and sn and so > 0:
         ratio = sn / so
