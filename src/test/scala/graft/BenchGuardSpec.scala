@@ -25,6 +25,24 @@ class BenchGuardSpec extends SparkSpec {
       s"real guard refusal not classified: ${caught.getClass} ${caught.getMessage}")
   }
 
+  test("a refusal thrown through the noop-force write path classifies as refusal") {
+    // round 14 moved Bench's forcing from count() to Bench.force (noop
+    // sink write) — the write path wraps task failures differently than
+    // an action does, and the lake artifacts' -2 classification must
+    // survive that wrapping (lake20's dd_semantic/dd_embed_neardup
+    // refuse by design through exactly this path)
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, Seq(1.0, 0.001 * i, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val caught = intercept[Throwable] {
+      Bench.force(Dedup.semanticDedupLsh(docs, "vec_id", "embedding",
+        dim = 4, numPlanes = 4, minCosine = 0.9,
+        maxBucket = Int.MaxValue, bucketGuard = Some(10)))
+    }
+    assert(BenchGuard.isGuardRefusal(caught),
+      s"refusal through noop write not classified: ${caught.getClass} ${caught.getMessage}")
+  }
+
   test("a deeply wrapped refusal still classifies; a cyclic chain terminates") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, Seq(1.0, 0.001 * i, 0.0, 0.0)))
