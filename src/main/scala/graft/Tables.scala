@@ -30,6 +30,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every engine session gets the sort-sampling deferral (idempotent;
+    // see DeferExpensiveSortProject — a global sort otherwise executes
+    // expensive projections twice via the range-bounds sampling pass)
+    graft.plans.DeferExpensiveSortProject.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(spark, df) else df
   }
