@@ -77,10 +77,19 @@ object TextAnalysis {
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
 
-  /** Whitespace token count (0 for blank text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** The fused one-pass char/token profile ([[graft.functions.TextProfile]]).
+    * Several helpers below read different fields of the SAME profile call;
+    * whole-stage codegen's subexpression elimination evaluates the pass
+    * once per row however many fields a projection touches. */
+  private def profile(text: Column): Column =
+    org.apache.spark.sql.graftops.PlanApi.column(
+      graft.functions.TextProfile(
+        org.apache.spark.sql.graftops.PlanApi.expression(text)))
+
+  /** Whitespace token count (0 for blank text). Split semantics, fused:
+    * `size(split(trim(text), "\\s+"))` with the blank guard — see the
+    * parity contract on [[graft.functions.TextProfile]]. */
+  def tokenCount(text: Column): Column = profile(text).getField("n_tokens")
 
   /** BPE-ish subword pre-token count: letter runs, digit runs, single
     * punctuation marks — the GPT-2-style pre-tokenizer split, minus
@@ -98,18 +107,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(normalize(text).cast("binary"))
 
-  /** Ratio of non-alphanumeric/space chars to total length (0 if empty). */
+  /** Ratio of non-alphanumeric/space chars to total length (0 if empty).
+    * Counts come from the fused profile pass, not a regexp_replace walk. */
   def punctRatio(text: Column): Column = {
-    val total = length(text)
-    val punct = total - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
-    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+    val p = profile(text)
+    val total = p.getField("n_chars")
+    when(total === 0, lit(0.0))
+      .otherwise(p.getField("n_punct").cast("double") / total.cast("double"))
   }
 
   /** Mean token length (0 if no tokens). */
   def meanTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
+    val p = profile(text)
+    val n = p.getField("n_tokens")
     when(n === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n.cast("double"))
+      .otherwise(p.getField("n_nonws").cast("double") / n.cast("double"))
   }
 
   /** Simple quality score in [0,1]: favors mid-length docs with low
@@ -735,9 +747,11 @@ object TextAnalysis {
     val fStop = Seq("the", "and", "of", "is")
       .map(wd => when(marked.contains(s" $wd "), 1).otherwise(0))
       .reduce(_ + _).cast("double") / lit(4.0)
-    val fDigit = when(length(t) === 0, lit(0.0)).otherwise(
-      (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
-        / length(t).cast("double"))
+    val fDigit = {
+      val p = profile(t)
+      when(length(t) === 0, lit(0.0)).otherwise(
+        p.getField("n_digit").cast("double") / p.getField("n_chars").cast("double"))
+    }
     Seq(fLen, fPunct, fMtl, fStop, fDigit)
   }
 
