@@ -85,6 +85,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.attach(spark)
     val rt = Runtime.getRuntime
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -115,7 +116,13 @@ object Bench {
     // so cross-round artifact compares can reproduce the old measurement).
     // Stamped into every artifact: a count-forced and a noop-forced run
     // are NOT comparable for the window/generate-heavy families.
+    // Fail fast on anything but the two known modes: a typo ("Count",
+    // "noopp") would otherwise silently run noop forcing while stamping
+    // the unrecognized string into the artifact's force field, poisoning
+    // later benchdiff compares (r14 ADVICE).
     val forceMode = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
+    require(forceMode == "noop" || forceMode == "count",
+      s"SPARK_GRAFT_FORCE must be 'noop' or 'count', got '$forceMode'")
     val forceDf: org.apache.spark.sql.DataFrame => Unit =
       if (forceMode == "count") df => { df.count(); () } else force _
     def runSuite(): (Map[String, (Double, Double, Seq[Double])], Seq[Double]) = {

@@ -44,6 +44,19 @@ object GraftSession {
     .config("spark.ui.retainedStages", "100")
     .config("spark.ui.retainedTasks", "1000")
 
+  /** Session-level engine registration — the rules an extensions-
+    * configured deployment gets from [[graft.GraftExtensions]], attached
+    * here for sessions the engine builds itself. ONE registration path
+    * per session kind: extensions sessions get the rule from
+    * `injectOptimizerRule` only, engine-built sessions from
+    * `extraOptimizations` only (registering from a table-read helper, as
+    * before round 15, put it in BOTH optimizer batches on extensions
+    * sessions and mutated session state from a reader). Idempotent. */
+  def attach(s: SparkSession): SparkSession = {
+    graft.plans.DeferExpensiveSortProject.register(s)
+    s
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4, tz: String = "UTC"): SparkSession = {
     val s = tune(
@@ -57,6 +70,6 @@ object GraftSession {
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    attach(s)
   }
 }

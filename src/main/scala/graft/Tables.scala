@@ -30,10 +30,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // every engine session gets the sort-sampling deferral (idempotent;
-    // see DeferExpensiveSortProject — a global sort otherwise executes
-    // expensive projections twice via the range-bounds sampling pass)
-    graft.plans.DeferExpensiveSortProject.register(spark)
+    // NOTE: the sort-sampling deferral rule is NOT registered here.
+    // Engine-built sessions get it from GraftSession.attach, extensions
+    // sessions from GraftExtensions — registering from a table reader
+    // put it in two optimizer batches on extensions sessions (r14
+    // ADVICE) and mutated session state from a read helper.
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(spark, df) else df
   }

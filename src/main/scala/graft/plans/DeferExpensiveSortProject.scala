@@ -51,8 +51,12 @@ object DeferExpensiveSortProject extends Rule[LogicalPlan] {
 
   /** Per-row cost classes worth a second shuffle column: compiled-regex
     * walks, JSON parses, formatter-driven timestamp parse/format,
-    * interpreted lambda loops, black-box UDFs. */
-  private def isExpensive(e: Expression): Boolean = e.exists {
+    * interpreted lambda loops, black-box UDFs. Shared with
+    * [[graft.tools.PlanDigest]], which counts gated-class expressions
+    * below the range exchange so the plan-golden gate pins this rule's
+    * effect (a dropped registration fails `sbt test`, not a lake bench
+    * mystery). */
+  private[graft] def isExpensive(e: Expression): Boolean = e.exists {
     case _: RegExpReplace | _: RegExpExtractBase | _: RLike => true
     case _: GetJsonObject | _: JsonToStructs | _: StringToMap => true
     case _: StringSplit | _: SplitPart => true
@@ -64,15 +68,22 @@ object DeferExpensiveSortProject extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Sorts feeding a Limit plan as TakeOrderedAndProject (no range
-    // sampling) — leave them alone. Structural equality is fine here: a
-    // false positive only skips an optimization.
+    // sampling) — leave them alone, including the Limit(Project(Sort))
+    // shape TakeOrderedAndProject also matches: rewriting there would
+    // stack a second Project between limit and sort, and if
+    // CollapseProject declines to merge them (deferred alias referenced
+    // more than once) the limit query pays a full global sort it never
+    // had. Structural equality is fine here: a false positive only
+    // skips an optimization.
     val underLimit: Set[LogicalPlan] = plan.collect {
-      case GlobalLimit(_, LocalLimit(_, s: Sort)) => s
-      case LocalLimit(_, s: Sort) => s
-    }.toSet
+      case GlobalLimit(_, LocalLimit(_, s: Sort)) => Seq(s)
+      case GlobalLimit(_, LocalLimit(_, Project(_, s: Sort))) => Seq(s)
+      case LocalLimit(_, s: Sort) => Seq(s)
+      case LocalLimit(_, Project(_, s: Sort)) => Seq(s)
+    }.flatten.toSet
 
     plan.transform {
-      case s @ Sort(order, true, p @ Project(projectList, child), _)
+      case s @ Sort(order, true, p @ Project(projectList, child), hint)
           if !underLimit.contains(s) =>
         val orderRefs = AttributeSet(order.flatMap(_.references))
         val (deferred, kept) = projectList.partition {
@@ -94,7 +105,9 @@ object DeferExpensiveSortProject extends Rule[LogicalPlan] {
             case a: Alias if deferred.exists(_.exprId == a.exprId) => a
             case ne => ne.toAttribute
           }
-          Project(upper, Sort(order, global = true, slim))
+          // hint passes through — the 3-arg constructor would silently
+          // drop a SortHint carried by the original node (r14 ADVICE)
+          Project(upper, Sort(order, global = true, slim, hint))
         }
     }
   }

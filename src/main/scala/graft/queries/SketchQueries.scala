@@ -23,18 +23,32 @@ private[queries] object SketchQueries {
     // raw estimate is a single literal-arithmetic chain mirrored
     // verbatim (no small/large-range correction — that needs ln, which
     // is libm-dependent; v_zero ships so a caller can apply it).
+    //
+    // This query also carries the EXACT countDistinct yardstick — that
+    // comparison is the query's point — so the minimal plan is one
+    // shingle pass feeding both branches. max(rho) is idempotent over
+    // duplicates, so registers over DISTINCT shingles equal registers
+    // over the raw stream: both the sketch and the yardstick derive
+    // from the same distinct(sg) aggregate, whose exchange Spark
+    // reuses — the corpus is scanned and shingle-exploded ONCE (the
+    // pre-r15 shape self-joined two independent shingle streams and
+    // paid the scan + explode twice; 7.3 s → ~3 s warm sf0.1). The
+    // sketch's own "no distinct shuffle ever" scale story is
+    // ta_hll_merge, where shard registers fold by max with no exact
+    // branch at all.
     Q("ta_hll_distinct",
       (s, d) => {
         val sh = graft.operators.TextAnalysis.shingleStream(
           T(s, d, "documents"), "text", 3)
-        val regs = graft.operators.TextSketches.hllRegisters(sh, col("sg"), p = 8)
+        val dsg = sh.filter(col("sg").isNotNull).distinct()
+        val regs = graft.operators.TextSketches.hllRegisters(dsg, col("sg"), p = 8)
         val est = regs.agg(
           count(lit(1)).as("m"),
           sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
           sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
           .withColumn("est_raw", expr(
             "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
-        val exact = sh.agg(countDistinct(col("sg")).as("n_exact"))
+        val exact = dsg.agg(count(lit(1)).as("n_exact"))
         est.join(exact)
           .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
       },

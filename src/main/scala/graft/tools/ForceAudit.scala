@@ -42,6 +42,7 @@ object ForceAudit {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.attach(spark)
 
     var pruned = List.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

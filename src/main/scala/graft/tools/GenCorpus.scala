@@ -91,6 +91,7 @@ object GenCorpus {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.attach(spark)
     import spark.implicits._
     spark.range(nDocs).map { i =>
       val text = finalText(i)

@@ -90,6 +90,7 @@ object GenLake {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.attach(spark)
     writeLake(spark, outDir, m, nDocs, nVecs, srcDir)
     val counts = graft.Tables.all.map(n =>
       s"$n=${spark.read.parquet(s"$outDir/$n.parquet").count()}").mkString(" ")

@@ -1,6 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Canonical physical-plan SHAPE digest for the plan-golden regression
   * gate (PlanGoldenSpec): join strategies, exchange counts, scan counts
@@ -52,6 +56,41 @@ object PlanDigest {
       .map { case (k, c) => s"$k=$c" }.mkString(",")
     val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(fin).length
     s"joins[$joins] xchg[$xchg] scans=${n("FileScan")} " +
-      s"local=${n("LocalTableScan")} inmem=${n("InMemoryTableScan")} pushed=$pushed"
+      s"local=${n("LocalTableScan")} inmem=${n("InMemoryTableScan")} " +
+      s"pushed=$pushed defer=${expensiveBelowRange(df.queryExecution.executedPlan)}"
+  }
+
+  /** Count of gated-class expensive projections (regex / JSON / split /
+    * timestamp-format / lambda / UDF — [[graft.plans
+    * .DeferExpensiveSortProject.isExpensive]]) sitting in `Project`
+    * nodes BELOW a range-partitioning exchange in the final executed
+    * plan. The range exchange's bounds sampler executes its subtree
+    * twice, so an expensive projection below it pays 2× per-row CPU —
+    * exactly what `DeferExpensiveSortProject` exists to move above the
+    * sort. Pinning this in the digest makes a dropped rule registration
+    * fail the plan-golden gate (`defer=0` → `defer>0`) instead of
+    * resurfacing rounds later as an unexplained 2× lake regression.
+    * Walks through AQE wrappers (`AdaptiveSparkPlanExec.executedPlan`,
+    * `QueryStageExec.plan` — query stages are leaf nodes, so a plain
+    * tree fold would never see below a materialized shuffle). */
+  def expensiveBelowRange(plan: SparkPlan): Int = {
+    var count = 0
+    def walk(node: SparkPlan, belowRange: Boolean): Unit = {
+      node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, belowRange)
+        case q: QueryStageExec => walk(q.plan, belowRange)
+        case ex: ShuffleExchangeLike
+            if ex.outputPartitioning.isInstanceOf[RangePartitioning] =>
+          ex.children.foreach(walk(_, belowRange = true))
+        case p: ProjectExec =>
+          if (belowRange)
+            count += p.projectList.count(
+              graft.plans.DeferExpensiveSortProject.isExpensive)
+          p.children.foreach(walk(_, belowRange))
+        case other => other.children.foreach(walk(_, belowRange))
+      }
+    }
+    walk(plan, belowRange = false)
+    count
   }
 }

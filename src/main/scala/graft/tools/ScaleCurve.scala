@@ -20,6 +20,7 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.attach(spark)
     // input volume: rows of the table family the query reads
     val table = if (name.startsWith("ann_") || name.contains("semantic")
         || name.contains("embed")) "embeddings"

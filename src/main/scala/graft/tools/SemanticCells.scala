@@ -26,6 +26,7 @@ object SemanticCells {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.attach(spark)
     val emb = graft.Tables(spark, sfDir, "embeddings")
     ks.foreach { k =>
       val t0 = System.nanoTime()

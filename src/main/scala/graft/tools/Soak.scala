@@ -108,6 +108,7 @@ object Soak {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.attach(spark)
     val rt = Runtime.getRuntime
     val totals = (1 to passes).map { pass =>
       var worst = ("", 0.0)

@@ -92,6 +92,30 @@ class GraftExtensionsSessionSpec extends AnyFunSuite {
       assert(ntzPlan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
         s"NTZ cast bound not pushed in an extensions session:\n$ntzPlan")
       assert(ntz.count() === 2)
+
+      // --- DeferExpensiveSortProject (injected): an expensive
+      // projection not referenced by the sort keys moves ABOVE the
+      // global sort, so the range-bounds sampling pass doesn't execute
+      // it twice — proven on the extensions registration path, which
+      // bypasses GraftSession.attach entirely
+      val deferDir = tmpDir("ext_defer") + "/t"
+      Seq((2L, """{"x":2}"""), (1L, """{"x":1}"""))
+        .toDF("k", "js").write.parquet(deferDir)
+      val deferQ = ext.read.parquet(deferDir)
+        .select(col("k"), get_json_object(col("js"), "$.x").as("x"))
+        .orderBy("k")
+      import org.apache.spark.sql.catalyst.expressions.GetJsonObject
+      import org.apache.spark.sql.catalyst.plans.logical.{Project => LProject, Sort => LSort}
+      val opt = deferQ.queryExecution.optimizedPlan
+      val deferredAboveSort = opt match {
+        case LProject(pl, s: LSort) =>
+          pl.exists(_.exists(_.isInstanceOf[GetJsonObject])) &&
+            !s.exists(_.expressions.exists(_.exists(_.isInstanceOf[GetJsonObject])))
+        case _ => false
+      }
+      assert(deferredAboveSort,
+        s"DeferExpensiveSortProject did not fire in the extensions session:\n$opt")
+      assert(deferQ.collect().map(_.getString(1)).toSeq === Seq("1", "2"))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -36,7 +36,12 @@ class PlanGoldenSpec extends SparkSpec {
     "dd_incremental_neardup", "dd_incremental_neardup_stored",
     "dd_embed_neardup_scaled", "dd_semantic_scaled",
     "dd_bloom_decontaminate", "w01b_ewma_catalyst",
-    "ta_tfidf_keywords", "p06_filter_range", "w08_sessionize")
+    "ta_tfidf_keywords", "p06_filter_range", "w08_sessionize",
+    // DeferExpensiveSortProject beneficiaries: their digests pin
+    // defer=0 (no gated-class expression left below the range
+    // exchange) — a dropped rule registration fails here, not as a
+    // 2x lake bench mystery (r14 verdict #2)
+    "p19_json_extract", "p13_ts_parse", "ta_quality_logit")
 
   private def computeDigest(name: String): String = {
     // suite-order independence: other suites in the same JVM may have
@@ -82,5 +87,27 @@ class PlanGoldenSpec extends SparkSpec {
       assert(before.contains("BroadcastHashJoin") && !after.contains("BroadcastHashJoin"),
         s"expected a lost broadcast to be visible:\n before: $before\n after:  $after")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("the defer gate actually fires: unregistering DeferExpensiveSortProject changes digests") {
+    // injected regression for verdict-r14 #2: a dropped register() call
+    // must fail the golden compare, so the digest's defer counter has to
+    // SEE the rule's absence (p19's json extraction falls back below the
+    // range exchange where the bounds sampler executes it twice)
+    import graft.plans.DeferExpensiveSortProject
+    val before = computeDigest("p19_json_extract")
+    assert(before.contains("defer=0"),
+      s"with the rule registered, p19 should carry no expensive expression " +
+        s"below the range exchange: $before")
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev.filterNot(_.isInstanceOf[DeferExpensiveSortProject.type])
+      val after = computeDigest("p19_json_extract")
+      assert(before != after && !after.contains("defer=0"),
+        "unregistering DeferExpensiveSortProject left p19's digest " +
+          s"unchanged — the gate would miss a dropped registration:\n" +
+          s" before: $before\n after:  $after")
+    } finally spark.experimental.extraOptimizations = prev
   }
 }
