@@ -99,23 +99,35 @@ object TextSketches {
     * partial aggregation IS the merge, so per-shard register tables
     * roll up without touching row data. Duplicate keys are free (max is
     * idempotent), so feed the raw stream — no upstream DISTINCT needed.
-    * Null keys carry no identity and are skipped. */
+    * Null keys carry no identity and are skipped.
+    *
+    * `withCount = true` adds a `cnt` column (input rows landing in each
+    * bucket, 0 for empty registers) in the SAME per-bucket aggregation —
+    * so a caller that also needs an exact total (feed distinct keys, sum
+    * `cnt`) gets it without a second pass over the input or a second
+    * branch whose exchange the planner may fail to reuse
+    * (`ta_hll_distinct`, round 15: the two-branch self-join form ran the
+    * distinct shuffle twice at the lakes). */
   def hllRegisters(df: org.apache.spark.sql.DataFrame, key: Column,
-      p: Int = 8): org.apache.spark.sql.DataFrame = {
+      p: Int = 8, withCount: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
     val m = 1 << p
     val wBits = 60 - p
     val spark = df.sparkSession
+    val aggs = max(col("rho")).as("rho") +:
+      (if (withCount) Seq(count(lit(1)).as("cnt")) else Nil)
     val regs = df.select(Dedup.portableHash60(key).as("h"))
       .filter(col("h").isNotNull)
       .select(shiftright(col("h"), wBits).as("bucket"),
         (col("h") % lit(1L << wBits)).as("rem"))
       .withColumn("rho", when(col("rem") === 0L, lit(wBits + 1))
         .otherwise(lit(wBits + 1) - length(bin(col("rem")))))
-      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+      .groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq(col("bucket"), coalesce(col("rho"), lit(0)).as("rho")) ++
+      (if (withCount) Seq(coalesce(col("cnt"), lit(0L)).as("cnt")) else Nil)
     spark.range(m).toDF("bucket")
       .join(regs, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("rho"), lit(0)).as("rho"))
+      .select(outCols: _*)
   }
 
   /** Merge token-length histograms ([[tokenHistogram]] output) by ADDING

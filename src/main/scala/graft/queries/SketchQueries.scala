@@ -25,15 +25,19 @@ private[queries] object SketchQueries {
     // is libm-dependent; v_zero ships so a caller can apply it).
     //
     // This query also carries the EXACT countDistinct yardstick — that
-    // comparison is the query's point — so the minimal plan is one
-    // shingle pass feeding both branches. max(rho) is idempotent over
-    // duplicates, so registers over DISTINCT shingles equal registers
-    // over the raw stream: both the sketch and the yardstick derive
-    // from the same distinct(sg) aggregate, whose exchange Spark
-    // reuses — the corpus is scanned and shingle-exploded ONCE (the
-    // pre-r15 shape self-joined two independent shingle streams and
-    // paid the scan + explode twice; 7.3 s → ~3 s warm sf0.1). The
-    // sketch's own "no distinct shuffle ever" scale story is
+    // comparison is the query's point — so the minimal plan is ONE
+    // linear chain: shingle once, distinct once, then per-bucket
+    // max(rho) AND count(*) in the same 256-key aggregation; n_exact is
+    // the sum of per-bucket counts (every distinct shingle lands in
+    // exactly one bucket). max(rho) is idempotent over duplicates, so
+    // registers over DISTINCT shingles equal registers over the raw
+    // stream. No self-join, no second branch: the r14 shape paid the
+    // scan + explode twice (7.3 s warm sf0.1), and an intermediate
+    // two-branches-over-one-distinct form measured WORSE at the lakes
+    // because the planner did not reuse the distinct exchange across
+    // the branches — the one-chain form is reuse-independent
+    // (1.3 s sf0.1; 2.0/3.3 s at the 10×/20× lakes, see PLANS.md).
+    // The sketch's own "no distinct shuffle ever" scale story is
     // ta_hll_merge, where shard registers fold by max with no exact
     // branch at all.
     Q("ta_hll_distinct",
@@ -41,15 +45,15 @@ private[queries] object SketchQueries {
         val sh = graft.operators.TextAnalysis.shingleStream(
           T(s, d, "documents"), "text", 3)
         val dsg = sh.filter(col("sg").isNotNull).distinct()
-        val regs = graft.operators.TextSketches.hllRegisters(dsg, col("sg"), p = 8)
-        val est = regs.agg(
+        val regs = graft.operators.TextSketches.hllRegisters(
+          dsg, col("sg"), p = 8, withCount = true)
+        regs.agg(
           count(lit(1)).as("m"),
           sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_zero"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"))
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)")).as("denom"),
+          sum(col("cnt")).as("n_exact"))
           .withColumn("est_raw", expr(
             "0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0 * 18014398509481984.0E0 / CAST(denom AS DOUBLE)"))
-        val exact = dsg.agg(count(lit(1)).as("n_exact"))
-        est.join(exact)
           .select(col("m"), col("v_zero"), col("denom"), col("est_raw"), col("n_exact"))
       },
       Some("""WITH d AS (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
