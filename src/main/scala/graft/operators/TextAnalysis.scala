@@ -736,24 +736,35 @@ object TextAnalysis {
     *
     * Scale shape: pure per-row expressions inside one codegen stage,
     * zero shuffle, zero joins — the filter rides the corpus scan. */
-  /** The five classifier features over a text Column, in weight order
-    * (length, punctuation, mean-token-length, stopword, digit) — shared
-    * by [[qualityLogit]] and [[qualityLogitExpr]]. */
-  private def qualityFeatures(t: Column): Seq[Column] = {
+  /** The five classifier features in weight order (length, punctuation,
+    * mean-token-length, stopword, digit), built from pre-staged shared
+    * inputs: `p` the one-pass profile struct, `marked` the space-padded
+    * lowercase. Same expression trees as the inline form — the staging
+    * only changes HOW OFTEN the shared inputs evaluate, never a value. */
+  private def qualityFeaturesFrom(t: Column, p: Column, marked: Column): Seq[Column] = {
+    val total = p.getField("n_chars")
     val fLen = least(length(t).cast("double") / lit(500.0), lit(1.0))
-    val fPunct = punctRatio(t)
-    val fMtl = least(meanTokenLen(t) / lit(12.0), lit(1.0))
-    val marked = concat(lit(" "), lower(t), lit(" "))
+    val fPunct = when(total === 0, lit(0.0))
+      .otherwise(p.getField("n_punct").cast("double") / total.cast("double"))
+    val nTok = p.getField("n_tokens")
+    val mtl = when(nTok === 0, lit(0.0))
+      .otherwise(p.getField("n_nonws").cast("double") / nTok.cast("double"))
+    val fMtl = least(mtl / lit(12.0), lit(1.0))
     val fStop = Seq("the", "and", "of", "is")
       .map(wd => when(marked.contains(s" $wd "), 1).otherwise(0))
       .reduce(_ + _).cast("double") / lit(4.0)
-    val fDigit = {
-      val p = profile(t)
-      when(length(t) === 0, lit(0.0)).otherwise(
-        p.getField("n_digit").cast("double") / p.getField("n_chars").cast("double"))
-    }
+    val fDigit = when(length(t) === 0, lit(0.0)).otherwise(
+      p.getField("n_digit").cast("double") / p.getField("n_chars").cast("double"))
     Seq(fLen, fPunct, fMtl, fStop, fDigit)
   }
+
+  /** The five classifier features over a bare text Column — shared by
+    * [[qualityLogitExpr]] (which must stay a single composable Column).
+    * Every feature re-embeds the profile/lower calls; fine inside ONE
+    * consuming expression, but see [[qualityLogit]] for why a
+    * multi-column projection must stage instead. */
+  private def qualityFeatures(t: Column): Seq[Column] =
+    qualityFeaturesFrom(t, profile(t), concat(lit(" "), lower(t), lit(" ")))
 
   /** The null-guarded classifier logit as a composable per-row
     * expression — lets other queries (e.g. the filter-agreement audit)
@@ -770,17 +781,38 @@ object TextAnalysis {
   def qualityLogit(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String,
       weights: Seq[Double] = QualityWeights): org.apache.spark.sql.DataFrame = {
+    require(weights.length == 6,
+      s"need 6 weights (bias + 5 features), got ${weights.length}")
     val t = col(textCol)
-    val Seq(fLen, fPunct, fMtl, fStop, fDigit) = qualityFeatures(t)
-    val logit = qualityLogitExpr(t, weights)
-    df.select(col(idCol).as("id"),
-      when(t.isNotNull, fLen).as("f_len"),
-      when(t.isNotNull, fPunct).as("f_punct"),
-      when(t.isNotNull, fMtl).as("f_mtl"),
-      when(t.isNotNull, fStop).as("f_stop"),
-      when(t.isNotNull, fDigit).as("f_digit"),
-      when(t.isNotNull, logit).as("logit"),
-      when(t.isNotNull, logit > 0).as("keep"))
+    // Stage the two non-cheap shared inputs (the one-pass profile and
+    // the padded lowercase) as their OWN projection. Inlining them into
+    // every feature column — the pre-round-15 form — re-evaluated them
+    // per REFERENCE, not per row: each feature's null guard puts the
+    // profile call inside a CASE branch, and codegen subexpression
+    // elimination does not reach inside conditional branches (the
+    // contract that makes the TextProfile fusion one-pass holds only
+    // for unconditional projections). 8 output columns embedded ~24
+    // profile walks + 12 lower() allocations per row — measured 51 s
+    // warm for 10M docs, vs ~6 s staged. CollapseProject declines to
+    // merge the two projections because a non-trivial alias is
+    // referenced more than once, so the staging survives optimization;
+    // whole-stage codegen still fuses both into one pass over the scan.
+    val staged = df.select(col(idCol).as("id"), t.as("__qt"),
+      profile(t).as("__qp"),
+      concat(lit(" "), lower(t), lit(" ")).as("__qm"))
+    val st = col("__qt")
+    val feats = qualityFeaturesFrom(st, col("__qp"), col("__qm"))
+    val Seq(fLen, fPunct, fMtl, fStop, fDigit) = feats
+    val logit = feats.zip(weights.tail)
+      .foldLeft(lit(weights.head): Column) { case (acc, (f, w)) => acc + lit(w) * f }
+    staged.select(col("id"),
+      when(st.isNotNull, fLen).as("f_len"),
+      when(st.isNotNull, fPunct).as("f_punct"),
+      when(st.isNotNull, fMtl).as("f_mtl"),
+      when(st.isNotNull, fStop).as("f_stop"),
+      when(st.isNotNull, fDigit).as("f_digit"),
+      when(st.isNotNull, logit).as("logit"),
+      when(st.isNotNull, logit > 0).as("keep"))
   }
 
   /** BLOCKLIST (badwords) FILTERING — the C4-style wordlist gate: flag

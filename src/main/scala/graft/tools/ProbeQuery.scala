@@ -26,6 +26,15 @@ object ProbeQuery {
     val n = args.lift(2).map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus)
+    // partition-sizing experiments (SPARK_GRAFT_SHUFFLE_PARTITIONS):
+    // GraftSession.local sizes shuffle partitions = cores, which at
+    // beyond-fixture volumes can put a whole corpus shard's sort/agg
+    // state on one core's slice of the heap — a cluster sizes
+    // partitions independently of cores, and this knob probes that
+    // regime on the bench host (round 15: ta_quality_report at 10M
+    // docs OOMs 8g/32-wide, passes with more, smaller partitions)
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toInt))
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' — keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.take(10).mkString(", ")}…"))
     val rt = Runtime.getRuntime
