@@ -109,16 +109,23 @@ object TextAnalysis {
 
   /** Ratio of non-alphanumeric/space chars to total length (0 if empty).
     * Counts come from the fused profile pass, not a regexp_replace walk. */
-  def punctRatio(text: Column): Column = {
-    val p = profile(text)
+  def punctRatio(text: Column): Column = punctRatioFrom(profile(text))
+
+  /** [[punctRatio]] from a pre-staged profile struct — identical
+    * expression tree; lets a multi-consumer projection evaluate the
+    * profile pass once (see [[qualityLogit]] for why that matters:
+    * codegen subexpression elimination skips conditional branches). */
+  def punctRatioFrom(p: Column): Column = {
     val total = p.getField("n_chars")
     when(total === 0, lit(0.0))
       .otherwise(p.getField("n_punct").cast("double") / total.cast("double"))
   }
 
   /** Mean token length (0 if no tokens). */
-  def meanTokenLen(text: Column): Column = {
-    val p = profile(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenFrom(profile(text))
+
+  /** [[meanTokenLen]] from a pre-staged profile struct. */
+  def meanTokenLenFrom(p: Column): Column = {
     val n = p.getField("n_tokens")
     when(n === 0, lit(0.0))
       .otherwise(p.getField("n_nonws").cast("double") / n.cast("double"))
@@ -126,10 +133,15 @@ object TextAnalysis {
 
   /** Simple quality score in [0,1]: favors mid-length docs with low
     * punctuation and sane token lengths (deterministic heuristic). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreFrom(text, profile(text))
+
+  /** [[qualityScore]] from a pre-staged profile struct — same IEEE
+    * chain, so scores are bit-identical; only the number of profile
+    * evaluations per row changes. */
+  def qualityScoreFrom(text: Column, p: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val tokScore = when(meanTokenLen(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatioFrom(p) * 4.0, lit(1.0))
+    val tokScore = when(meanTokenLenFrom(p).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
     round((lenScore + punctScore + tokScore) / 3.0, 6)
   }
 
@@ -766,14 +778,33 @@ object TextAnalysis {
   private def qualityFeatures(t: Column): Seq[Column] =
     qualityFeaturesFrom(t, profile(t), concat(lit(" "), lower(t), lit(" ")))
 
+  /** The two non-cheap inputs every quality feature shares: the one-pass
+    * profile struct and the space-padded lowercase. Stage them in their
+    * OWN projection (`df.select(..., p.as("__p"), m.as("__m"))`) whenever
+    * a projection's output columns consume them more than once —
+    * CollapseProject keeps the staging (non-trivial alias, multiple
+    * references) and codegen still fuses both projections, so the pass
+    * runs once per row instead of once per reference. */
+  def qualityInputs(text: Column): (Column, Column) =
+    (profile(text), concat(lit(" "), lower(text), lit(" ")))
+
   /** The null-guarded classifier logit as a composable per-row
     * expression — lets other queries (e.g. the filter-agreement audit)
     * score the model in the SAME scan as other predicates, no join. */
   def qualityLogitExpr(t: Column,
       weights: Seq[Double] = QualityWeights): Column = {
+    val (p, m) = qualityInputs(t)
+    qualityLogitExprFrom(t, p, m, weights)
+  }
+
+  /** [[qualityLogitExpr]] from pre-staged inputs — same fixed-order IEEE
+    * fold (w0 + w1*f1 + …, mirrored verbatim in SQL), bit-identical
+    * logits; only the per-row evaluation count of the shared inputs
+    * changes. */
+  def qualityLogitExprFrom(t: Column, p: Column, marked: Column,
+      weights: Seq[Double] = QualityWeights): Column = {
     require(weights.length == 6, s"need 6 weights (bias + 5 features), got ${weights.length}")
-    // fixed-order left fold: w0 + w1*f1 + ... — mirrored verbatim in SQL
-    val logit = qualityFeatures(t).zip(weights.tail)
+    val logit = qualityFeaturesFrom(t, p, marked).zip(weights.tail)
       .foldLeft(lit(weights.head): Column) { case (acc, (f, w)) => acc + lit(w) * f }
     when(t.isNotNull, logit)
   }
@@ -797,9 +828,9 @@ object TextAnalysis {
     // merge the two projections because a non-trivial alias is
     // referenced more than once, so the staging survives optimization;
     // whole-stage codegen still fuses both into one pass over the scan.
+    val (prof, marked) = qualityInputs(t)
     val staged = df.select(col(idCol).as("id"), t.as("__qt"),
-      profile(t).as("__qp"),
-      concat(lit(" "), lower(t), lit(" ")).as("__qm"))
+      prof.as("__qp"), marked.as("__qm"))
     val st = col("__qt")
     val feats = qualityFeaturesFrom(st, col("__qp"), col("__qm"))
     val Seq(fLen, fPunct, fMtl, fStop, fDigit) = feats

@@ -42,9 +42,17 @@ private[queries] object TextQueries {
 
 
     Q("ta_quality",
-      (s, d) => T(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        // stage the profile pass once (r15: inlined, its calls sit in
+        // CASE branches where codegen subexpression elimination can't
+        // reach — ~5 walks per row; see TextAnalysis.qualityInputs)
+        val (prof, _) = TextAnalysis.qualityInputs(col("text"))
+        T(s, d, "documents")
+          .select(col("doc_id"), col("text").as("__t"), prof.as("__p"))
+          .select(col("doc_id"),
+            TextAnalysis.qualityScoreFrom(col("__t"), col("__p")).as("quality"))
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id,
                 round((
                   least(CAST(length(text) AS DOUBLE) / 500.0::DOUBLE, 1.0::DOUBLE)

@@ -355,13 +355,19 @@ private[queries] object TextReportQueries {
     // One scan, both predicates as expressions (qualityLogitExpr), a
     // 4-key aggregate; the oracle joins its two proven formulations
     Q("ta_filter_agreement",
-      (s, d) => T(s, d, "documents")
-        .select(
-          (TextAnalysis.qualityScore(col("text")) >= 0.5).as("heuristic_keep"),
-          (TextAnalysis.qualityLogitExpr(col("text")) > 0).as("model_keep"))
-        .groupBy("heuristic_keep", "model_keep")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("heuristic_keep", "model_keep"),
+      (s, d) => {
+        // both gates read the same profile pass + padded lowercase:
+        // stage them once (see TextAnalysis.qualityInputs)
+        val (prof, marked) = TextAnalysis.qualityInputs(col("text"))
+        T(s, d, "documents")
+          .select(col("text").as("__t"), prof.as("__p"), marked.as("__m"))
+          .select(
+            (TextAnalysis.qualityScoreFrom(col("__t"), col("__p")) >= 0.5).as("heuristic_keep"),
+            (TextAnalysis.qualityLogitExprFrom(col("__t"), col("__p"), col("__m")) > 0).as("model_keep"))
+          .groupBy("heuristic_keep", "model_keep")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("heuristic_keep", "model_keep")
+      },
       Some(s"""WITH ql AS ($qualityLogitOracle),
                     hq AS (SELECT doc_id,
                 round((
