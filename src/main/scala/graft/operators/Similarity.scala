@@ -695,11 +695,11 @@ object Similarity {
     * exact integer per-dim comparison between the snapshot the index
     * was trained on (`reference`) and the corpus as it stands now
     * (`current`), plus `retrain_needed` = does ANY dimension's
-    * |mean_shift| (int8-code units) exceed `threshold`. The global max
-    * is a one-row aggregate broadcast back onto the ≤ dim-row report —
-    * not an unpartitioned window, which would route through a
-    * single-partition WindowExec (harmless at dim rows, but the plan
-    * shouldn't carry the shape that degrades at scale).
+    * |mean_shift| (int8-code units) exceed `threshold`. One-pass shape
+    * ([[driftReportWithDecision]]): the decision and the report rows
+    * come out of a SINGLE aggregation over the ≤dim-row drift frame,
+    * so the corpus is scanned exactly twice (once per snapshot) with
+    * no dependence on exchange reuse.
     *
     * An empty reference/current frame yields an EMPTY report (the
     * inner join has nothing to match) — deliberately lazy, no require:
@@ -707,11 +707,32 @@ object Similarity {
     * that must not run on no evidence is [[ivfMaintain]], which fails
     * loudly instead. */
   def ivfDriftReport(reference: DataFrame, current: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val report = embeddingDrift(current, reference, idCol, vecCol)
-    val decision = report
-      .agg((max(abs(col("mean_shift"))) > threshold).as("retrain_needed"))
-    report.crossJoin(broadcast(decision))
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    driftReportWithDecision(
+      embeddingDrift(current, reference, idCol, vecCol), threshold)
+
+  /** Attach `retrain_needed` to an [[embeddingDrift]] report in ONE
+    * aggregation — the `hllRegisters(withCount)` pattern from
+    * ta_hll_distinct: `collect_list(struct(…)) + max(|mean_shift|)`
+    * folded into a single global agg over the ≤dim-row drift frame,
+    * then exploded back. The earlier `report.crossJoin(broadcast(
+    * report.agg(max…)))` embedded the corpus-scale quantize+posexplode
+    * subtree TWICE in one plan (4 corpus scans instead of 2 unless
+    * ReuseExchange happened to fire — the exact dependence the
+    * ta_hll_distinct lesson forbids betting on). The fold's final merge
+    * is single-partition, but over at most `dim` partially-aggregated
+    * rows — bounded by the embedding width, never the corpus. Exposed
+    * so [[ivfMaintain]] and callers holding a pre-computed report share
+    * the exact plan shape the `ann_ivf_maintain` golden pins. */
+  private[graft] def driftReportWithDecision(report: DataFrame,
+      threshold: Double): DataFrame = {
+    val cols = Seq("dim", "sum_a", "n_a", "sum_b", "n_b",
+      "cross_diff", "mean_shift")
+    report
+      .agg(collect_list(struct(cols.map(col): _*)).as("rows"),
+        (max(abs(col("mean_shift"))) > threshold).as("retrain_needed"))
+      .select(explode(col("rows")).as("r"), col("retrain_needed"))
+      .select(cols.map(c => col(s"r.$c")) :+ col("retrain_needed"): _*)
   }
 
   /** Drift-triggered IVF index maintenance — the lifecycle piece of the
@@ -729,8 +750,19 @@ object Similarity {
     * IvfMaintenanceSpec. */
   def ivfMaintain(reference: DataFrame, current: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
+      threshold: Double, iters: Int = 3): IvfMaintenance =
+    ivfMaintainFromReport(embeddingDrift(current, reference, idCol, vecCol),
+      current, idCol, vecCol, centroids, threshold, iters)
+
+  /** [[ivfMaintain]] over a drift report the caller already holds
+    * ([[embeddingDrift]] output) — so a pipeline that materialized the
+    * oracle-facing report ([[ivfDriftReport]]'s input) does not pay the
+    * two corpus scans a second time to reach the decision. The decision
+    * aggregate reads the ≤dim-row report frame, nothing larger. */
+  def ivfMaintainFromReport(report: DataFrame, current: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Double]],
       threshold: Double, iters: Int = 3): IvfMaintenance = {
-    val agg = embeddingDrift(current, reference, idCol, vecCol)
+    val agg = report
       .agg(max(abs(col("mean_shift"))).as("mx"),
         avg(abs(col("mean_shift"))).as("av"))
       .head()

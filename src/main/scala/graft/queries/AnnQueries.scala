@@ -192,6 +192,91 @@ private[queries] object AnnQueries {
               FROM rep ORDER BY dim""")),
 
 
+    // the decision boundary pinned from BOTH sides (r15 verdict #5).
+    // HOT: the current snapshot is deliberately drifted (+3.0 added to
+    // every component AFTER the double widening, identically on both
+    // engines) so |mean_shift| blows far past the threshold regardless
+    // of sf and retrain_needed=true is hash-pinned. The +3 SHIFT moves
+    // the mean relative to the per-vector scale (a pure scalar multiply
+    // would cancel in quantization and show zero drift). Measured note:
+    // the even/odd fixture above ALSO lands true at the driver's sf0.01
+    // (max |mean_shift| 13.96 — the halves are not distributionally
+    // identical), so the false side needs the _calm entry below, not
+    // the split.
+    Q("ann_ivf_maintain_hot",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val drifted = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            x => x.cast("double") + lit(3.0)).as("embedding"))
+        Similarity.ivfDriftReport(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), // reference snapshot
+          drifted.filter(pmod(col("vec_id"), lit(2)) === 0), // drifted current
+          "vec_id", "embedding", threshold = 0.5).orderBy("dim")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           CASE WHEN vec_id % 2 = 0
+                             THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 3.0)
+                             ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS vec
+                         FROM embeddings),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id, scale,
+                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                         FROM s),
+                   e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': qv[i]}
+                                                for i in range(1, len(qv) + 1)], recursive := true)
+                         FROM q),
+                   sa AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_a, count(*) AS n_a
+                          FROM e WHERE vec_id % 2 = 0 GROUP BY dim),
+                   sb AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_b, count(*) AS n_b
+                          FROM e WHERE vec_id % 2 = 1 GROUP BY dim),
+                   rep AS (SELECT sa.dim, sum_a, n_a, sum_b, n_b,
+                             sum_a * n_b - sum_b * n_a AS cross_diff,
+                             CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b AS mean_shift
+                           FROM sa JOIN sb USING (dim))
+              SELECT dim, sum_a, n_a, sum_b, n_b, cross_diff, mean_shift,
+                     max(abs(mean_shift)) OVER () > 0.5E0 AS retrain_needed
+              FROM rep ORDER BY dim""")),
+
+
+    // CALM: current == reference (the same even half on both sides), so
+    // every per-dim sum matches exactly, mean_shift is an exact 0.0 on
+    // every row, and retrain_needed=false is hash-pinned at ANY sf —
+    // the production no-op case (index stays, nothing re-trains). This
+    // is deliberately snapshot-identity, not a high threshold: a
+    // threshold no data could cross would pin the branch vacuously.
+    Q("ann_ivf_maintain_calm",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        Similarity.ivfDriftReport(even, even,
+          "vec_id", "embedding", threshold = 0.5).orderBy("dim")
+      },
+      Some("""WITH v AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                         FROM embeddings WHERE vec_id % 2 = 0),
+                   s AS (SELECT vec_id, vec,
+                           greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30) / 127.0 AS scale
+                         FROM v),
+                   q AS (SELECT vec_id, scale,
+                           list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                         FROM s),
+                   e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': qv[i]}
+                                                for i in range(1, len(qv) + 1)], recursive := true)
+                         FROM q),
+                   sd AS (SELECT dim, CAST(sum(q) AS BIGINT) AS sum_a, count(*) AS n_a
+                          FROM e GROUP BY dim),
+                   rep AS (SELECT dim, sum_a, n_a, sum_a AS sum_b, n_a AS n_b,
+                             CAST(0 AS BIGINT) AS cross_diff,
+                             0.0E0 AS mean_shift
+                           FROM sd)
+              SELECT dim, sum_a, n_a, sum_b, n_b, cross_diff, mean_shift,
+                     max(abs(mean_shift)) OVER () > 0.5E0 AS retrain_needed
+              FROM rep ORDER BY dim""")),
+
+
     // top-k over the COMPRESSED store: cosine over int8 codes (scales
     // cancel; integer products sum exactly in doubles, so the score is
     // unconditionally engine-exact — no summation-order dependence)

@@ -72,7 +72,16 @@ object PlanDigest {
     * resurfacing rounds later as an unexplained 2× lake regression.
     * Walks through AQE wrappers (`AdaptiveSparkPlanExec.executedPlan`,
     * `QueryStageExec.plan` — query stages are leaf nodes, so a plain
-    * tree fold would never see below a materialized shuffle). */
+    * tree fold would never see below a materialized shuffle).
+    *
+    * The double-executed region ENDS at the nearest lower exchange: the
+    * bounds sampler re-runs only the RDD lineage feeding the range
+    * exchange, and a lower shuffle's map outputs (and a broadcast's
+    * materialized relation) are computed once and re-READ, not re-built.
+    * So `belowRange` resets to false when the walk crosses any lower
+    * non-range exchange boundary — without the reset the counter
+    * over-counts projections that never execute twice (r15 advice:
+    * ann_topk_int8's defer=4 included sub-shuffle projections). */
   def expensiveBelowRange(plan: SparkPlan): Int = {
     var count = 0
     def walk(node: SparkPlan, belowRange: Boolean): Unit = {
@@ -82,6 +91,9 @@ object PlanDigest {
         case ex: ShuffleExchangeLike
             if ex.outputPartitioning.isInstanceOf[RangePartitioning] =>
           ex.children.foreach(walk(_, belowRange = true))
+        case ex: org.apache.spark.sql.execution.exchange.Exchange =>
+          // lower shuffle/broadcast boundary: subtree executes once
+          ex.children.foreach(walk(_, belowRange = false))
         case p: ProjectExec =>
           if (belowRange)
             count += p.projectList.count(

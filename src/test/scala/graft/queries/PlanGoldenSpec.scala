@@ -37,11 +37,19 @@ class PlanGoldenSpec extends SparkSpec {
     "dd_embed_neardup_scaled", "dd_semantic_scaled",
     "dd_bloom_decontaminate", "w01b_ewma_catalyst",
     "ta_tfidf_keywords", "p06_filter_range", "w08_sessionize",
+    // pins scans=2 (one per snapshot): the r15 crossJoin(broadcast(agg))
+    // shape embedded the drift subtree twice and rode on ReuseExchange;
+    // a regression back to 4 scans fails here (r15 verdict #1)
+    "ann_ivf_maintain",
     // DeferExpensiveSortProject beneficiaries: their digests pin
     // defer=0 (no gated-class expression left below the range
     // exchange) — a dropped rule registration fails here, not as a
-    // 2x lake bench mystery (r14 verdict #2)
-    "p19_json_extract", "p13_ts_parse", "ta_quality_logit")
+    // 2x lake bench mystery (r14 verdict #2). ta_quality_logit left
+    // the trio in r16: post-TextProfile its projections carry no
+    // gated-class expression, so its defer=0 had gone vacuous (r15
+    // verdict #7); ta_scrub_pii (RegExpReplace/RegExpExtractAll over
+    // orderBy) keeps the slot honest.
+    "p19_json_extract", "p13_ts_parse", "ta_scrub_pii")
 
   private def computeDigest(name: String): String = {
     // suite-order independence: other suites in the same JVM may have
@@ -108,6 +116,14 @@ class PlanGoldenSpec extends SparkSpec {
         "unregistering DeferExpensiveSortProject left p19's digest " +
           s"unchanged — the gate would miss a dropped registration:\n" +
           s" before: $before\n after:  $after")
+      // ta_scrub_pii replaced ta_quality_logit in the gated trio (r16):
+      // prove the NEW member's defer=0 is non-vacuous too — its regex
+      // projections must reappear below the range exchange without the
+      // rule, else the slot has gone as stale as the one it replaced
+      val piiAfter = computeDigest("ta_scrub_pii")
+      assert(!piiAfter.contains("defer=0"),
+        "unregistering DeferExpensiveSortProject left ta_scrub_pii at " +
+          s"defer=0 — the trio slot is vacuous again: $piiAfter")
     } finally spark.experimental.extraOptimizations = prev
   }
 }
