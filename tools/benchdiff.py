@@ -57,6 +57,13 @@ def main():
                     help="flag when normalized new/old exceeds this (default 1.5)")
     ap.add_argument("--floor", type=float, default=0.3,
                     help="ignore regressions smaller than this many seconds (default 0.3)")
+    ap.add_argument("--divergence", action="store_true",
+                    help="artifact-acceptance mode (r15 verdict #2): fail on "
+                         ">threshold divergence in EITHER direction (a query "
+                         "suddenly 2x FASTER than the committed artifact is "
+                         "just as unexplained as one 2x slower), and print "
+                         "the solo-probe adjudication command per flagged "
+                         "query. Use --threshold 2.0 for acceptance.")
     a = ap.parse_args()
 
     old, new = load(a.old), load(a.new)
@@ -128,6 +135,29 @@ def main():
     if tw_o and tw_n:
         print(f"[total]   warm {tw_o:.1f}s -> {tw_n:.1f}s "
               f"(normalized {tw_n / norm:.1f}s)")
+    if a.divergence:
+        # acceptance mode: improvements are divergences too — both
+        # directions demand the same solo-probe adjudication before the
+        # artifact is accepted (BENCH_r15's ann_ivf_maintain was 15x
+        # SLOWER; its p01 was 4x slower; either sign is "two same-HEAD
+        # artifacts disagree and nobody knows why")
+        diverged = regressions + improvements
+        sf = new.get("sf", old.get("sf", "/root/testdata/sf0.1"))
+        cpus = new.get("cpus", old.get("cpus", 32))
+        for name, wo, wn, adj in diverged:
+            r = max(adj / wo, wo / adj)
+            print(f"[ADJUDICATE] {name}: {wo:.2f}s vs {wn:.2f}s "
+                  f"(normalized {adj:.2f}s, {r:.1f}x) — run: "
+                  f"SPARK_GRAFT_CPUS={cpus} sbt 'runMain "
+                  f"graft.tools.ProbeQuery {name} {sf} 5'")
+        if broken or diverged:
+            print(f"[benchdiff] DIVERGENT: {len(broken)} broken, "
+                  f"{len(diverged)} queries >{a.threshold}x off — "
+                  "adjudicate (or re-run) before accepting this artifact")
+            sys.exit(1)
+        print(f"[benchdiff] ok: artifacts agree within {a.threshold}x "
+              f"(+{a.floor}s floor) on every query")
+        return
     if broken or regressions:
         print(f"[benchdiff] FAIL: {len(broken)} broken, "
               f"{len(regressions)} regressed")
