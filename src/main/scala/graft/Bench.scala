@@ -253,8 +253,15 @@ object Bench {
         val sameConfig = field("sf").contains(sfDir) &&
           field("cpus").contains(cpus.toString) &&
           field("force").contains(forceMode)
-        if (!sameConfig) Seq.empty
-        else {
+        if (!sameConfig) {
+          // a mismatch is usually a real config change, but a scrape
+          // MISS looks identical — distinguish them in the log so a
+          // format drift can't silently no-op the gate (ADVICE r16)
+          System.err.println(s"[bench] divergence gate skipped: prior artifact " +
+            s"config (sf=${field("sf")}, cpus=${field("cpus")}, force=${field("force")}) " +
+            s"!= this run ($sfDir, $cpus, $forceMode)")
+          Seq.empty
+        } else {
           val prevSent = field("sentinel_med").map(_.toDouble).getOrElse(-1.0)
           val norm =
             if (prevSent > 0 && sentMed > 0) math.max(sentMed / prevSent, 1.0)
@@ -263,6 +270,14 @@ object Bench {
             "\"([A-Za-z0-9_]+)\":\\s*\\{\"cold\":\\s*[-0-9.]+,\\s*\"warm\":\\s*([-0-9.]+)".r
           val prevWarm = qre.findAllMatchIn(prev)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // the per-query pattern is coupled to Bench's own write format;
+          // if the config fields matched but zero queries scraped, the
+          // format drifted — shout rather than silently pass (ADVICE r16)
+          if (prevWarm.isEmpty)
+            System.err.println("[bench] WARNING: divergence gate matched the " +
+              s"artifact config at $benchOutPath but scraped ZERO per-query " +
+              "warms — the artifact format drifted from the scrape pattern; " +
+              "the gate is NOT checking anything this run")
           byCost.flatMap { case (k, (_, w, _)) =>
             prevWarm.get(k) match {
               case Some(o) if o > 0 && w > 0 =>
@@ -280,7 +295,15 @@ object Bench {
           }
         }
       }
-    } catch { case _: Throwable => Seq.empty }
+    } catch {
+      case e: Throwable =>
+        // a broken gate must be VISIBLE, not indistinguishable from
+        // "no divergences" — the exact silent-miss mode it exists to
+        // prevent (ADVICE r16)
+        System.err.println(s"[bench] WARNING: divergence gate threw " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage} — gate disabled this run")
+        Seq.empty
+    }
     val divergencesJson = divergences.mkString("[", ",", "]")
     if (divergences.nonEmpty)
       System.err.println(s"[bench] ${divergences.size} divergence(s) vs the artifact " +

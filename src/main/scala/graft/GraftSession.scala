@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Central SparkSession configuration for the graft engine.
   *
@@ -10,10 +10,15 @@ import org.apache.spark.sql.SparkSession
   *  - `nanosAsLong`: the synthetic `events` table stores
   *    TIMESTAMP(NANOS) which Spark's TimestampType (µs) cannot hold;
   *    we read the raw int64 and truncate to µs in [[Tables]].
-  *  - Shuffle WIDTH comes from AQE, not from a hand-picked count:
-  *    shuffles plan 512-way and coalesce to the 64 MB advisory size
-  *    from observed map stats. `spark.sql.shuffle.partitions` (set by
-  *    callers to cores) only governs the rare non-adaptive path.
+  *  - Shuffle WIDTH: session width = cores; the explode-heavy
+  *    pipelines widen their OWN shuffles from input-size estimates
+  *    via [[explodeWidth]]. Round 16 tried the blunt alternative —
+  *    session-wide `initialPartitionNum=512` — and it regressed the
+  *    iterative/fixture paths 2–8× (each pointer-jump round of
+  *    dd_dup_groups paid 512-way planning + a 512-partition eager
+  *    checkpoint) and shifted join-size stats enough to demote a
+  *    broadcast join to SMJ. Width belongs to the operator whose
+  *    data is wide, not to the session.
   */
 object GraftSession {
 
@@ -29,19 +34,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // Shuffle width sized from DATA, not from an env var (r15 verdict
-    // #4): shuffles PLAN wide (512-way) and AQE coalesces to the
-    // advisory partition size from observed map-output stats. With the
-    // old width (= cores), one core's slice of a heavy shuffle had to
-    // hold the whole partition's sort/agg state: ta_quality_report at
-    // 10M docs carried ~9 GB of shingle rows into 32 partitions →
-    // ~300 MB of row state per task → OOM at the 8 g bench default,
-    // "fixed" only by hand-exporting SPARK_GRAFT_SHUFFLE_PARTITIONS=256.
-    // At 100 TB nobody hand-picks partition counts; the initial width
-    // is the safety margin and the advisory size is the real knob.
-    // Fixture-scale queries lose nothing: AQE coalesces 512 near-empty
-    // map outputs back to a handful of partitions before the reduce.
-    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+    // NO session-wide initialPartitionNum override (r16 verdict #1):
+    // planning every shuffle 512-wide multiplied per-round fixed cost
+    // across dd_dup_groups' pointer-jump iterations (2–8× regression)
+    // and flipped a broadcast join to SMJ. The heavy explode pipelines
+    // size their own shuffles from data via [[explodeWidth]] instead.
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
@@ -59,6 +56,47 @@ object GraftSession {
     .config("spark.ui.retainedJobs", "100")
     .config("spark.ui.retainedStages", "100")
     .config("spark.ui.retainedTasks", "1000")
+
+  /** Data-derived shuffle width for an explode-heavy subtree, or None
+    * when the session width already bounds per-task state.
+    *
+    * The problem (r15, measured): `ta_quality_report` at 10M docs
+    * explodes ~1.7 GB of parquet into ~9 GB of word/shingle rows;
+    * shuffled cores-wide (32) that is ~300 MB of sort/agg state per
+    * task → OOM at the 8 g bench default, while 256-wide completes on
+    * the same heap. On a 1000-executor cluster the same arithmetic
+    * holds — partition count, not heap, is the real memory knob for
+    * exploded data.
+    *
+    * The fix is LOCAL: callers that explode text (word posts, shingle
+    * postings) ask for a width derived from the INPUT's optimizer size
+    * estimate × an expansion factor, targeting ~64 MB of exploded rows
+    * per task, and insert an explicit `repartition(w, keys)` only when
+    * that exceeds the session width. Fixture-scale inputs return None,
+    * so small-data plans (and the plan goldens pinning them) are
+    * byte-identical to the unwidened form. Unknown statistics (Catalyst
+    * propagates `Long.MaxValue`-ish sentinels through unestimable
+    * subtrees) also return None — never widen on garbage stats.
+    *
+    * `expansion` is bytes-of-exploded-rows per byte-of-input-estimate.
+    * For parquet text the estimate is COMPRESSED bytes; n-gram shingle
+    * rows ≈ 3–4× the uncompressed text (each word lands in n shingles
+    * plus per-row overhead), so the measured 1.7 GB → ~9 GB case is
+    * ~5.3×; the default 8 keeps margin without over-splitting. */
+  def explodeWidth(input: DataFrame, expansion: Double = 8.0,
+      targetBytes: Long = 64L << 20, maxWidth: Int = 2048): Option[Int] = {
+    val base = input.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats sentinel for "unknown" is defaultSizeInBytes (Long.MaxValue
+    // unless tuned); anything within 2^10 of it is propagation garbage
+    if (bytes <= 0 || bytes >= (BigInt(Long.MaxValue) >> 10)) None
+    else {
+      val derived = ((BigInt((bytes.toDouble * expansion).toLong) +
+        targetBytes - 1) / targetBytes).toInt
+      val w = math.min(maxWidth, derived)
+      if (w > base) Some(w) else None
+    }
+  }
 
   /** Session-level engine registration — the rules an extensions-
     * configured deployment gets from [[graft.GraftExtensions]], attached

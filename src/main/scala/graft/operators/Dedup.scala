@@ -54,11 +54,21 @@ object Dedup {
     * them. Repartition by id up front: a small parquet file arrives as
     * ONE split, serializing the normalize/explode work; hashing by id
     * here also satisfies downstream per-id windows' required
-    * distribution (no 2nd shuffle). */
+    * distribution (no 2nd shuffle). Beyond-fixture inputs widen this
+    * shuffle from the input-size estimate ([[graft.GraftSession
+    * .explodeWidth]]): the per-id window sorts EXPLODED rows, and a
+    * cores-wide layout put ~300 MB of sort state on each task at 10M
+    * docs (r15 OOM); fixture inputs take the unwidened branch, keeping
+    * small-data plans and their goldens byte-identical. */
   private[operators] def wordPosts(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    df.repartition(col(idCol)).select(col(idCol).as("id"),
+      textCol: String): DataFrame = {
+    val parted = graft.GraftSession.explodeWidth(df) match {
+      case Some(w) => df.repartition(w, col(idCol))
+      case None    => df.repartition(col(idCol))
+    }
+    parted.select(col(idCol).as("id"),
       posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+  }
 
   /** Distinct word `n`-gram postings (id, shingle), persisted.
     * Codegen-friendly: normalize+split once per doc, posexplode, window
@@ -70,11 +80,21 @@ object Dedup {
     val w = Window.partitionBy("id").orderBy("pos")
     val words = wordPosts(df, idCol, textCol)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
-    words
+    val posts = words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
       .withColumn("sh", concat_ws(" ", parts: _*)) // concat_ws skips nulls
       .filter(col("last_w").isNotNull || col("pos") === 0)
       .select(col("id"), col("sh").as("s"))
+    // The distinct's reduce side holds the (id, s) hash state — mostly-
+    // unique shingles collapse little, so a cores-wide reduce carries
+    // the whole exploded volume / cores per task. Beyond-fixture inputs
+    // pre-partition to the data-derived width; distinct then reuses
+    // that distribution (no second exchange). Fixture inputs: no-op.
+    val distParted = graft.GraftSession.explodeWidth(df) match {
+      case Some(wide) => posts.repartition(wide, col("id"), col("s"))
+      case None       => posts
+    }
+    distParted
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
   }

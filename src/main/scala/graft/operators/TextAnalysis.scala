@@ -53,11 +53,19 @@ object TextAnalysis {
     val w = Window.partitionBy("id").orderBy("pos")
     val words = Dedup.wordPosts(df, idCol, textCol)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
-    val grams = words
+    val grams0 = words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
       .withColumn("g", concat_ws(" ", parts: _*))
       .filter(col("last_w").isNotNull || col("pos") === 0)
       .select(col("id"), col("g"))
+    // (id, g) pairs are mostly unique, so the first agg's reduce side
+    // carries ~the whole exploded gram volume; beyond-fixture inputs
+    // pre-partition to the data-derived width so the agg reuses that
+    // distribution (graft.GraftSession.explodeWidth — fixture: no-op)
+    val grams = graft.GraftSession.explodeWidth(df) match {
+      case Some(wide) => grams0.repartition(wide, col("id"), col("g"))
+      case None       => grams0
+    }
     grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_count"))
       .select(col("id"), col("n_grams"), col("top_gram_count"),
@@ -408,7 +416,15 @@ object TextAnalysis {
     * aggregate and the per-doc rollup. */
   def noveltyProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
-    val posts = Dedup.shinglePosts(df, idCol, textCol, n)
+    val posts0 = Dedup.shinglePosts(df, idCol, textCol, n)
+    // the document-frequency agg and the postings side of the join both
+    // need clustering on `s`; beyond-fixture inputs take ONE wide
+    // exchange here that serves both (fixture inputs: no-op, plans and
+    // goldens unchanged) — see graft.GraftSession.explodeWidth
+    val posts = graft.GraftSession.explodeWidth(df) match {
+      case Some(wide) => posts0.repartition(wide, col("s"))
+      case None       => posts0
+    }
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df_s"))
     posts.join(dfreq, Seq("s"))
       .groupBy("id").agg(

@@ -32,6 +32,7 @@ warning — the ambiguity this tool exists to remove.
 """
 import argparse
 import json
+import re
 import sys
 
 
@@ -84,7 +85,13 @@ def main():
     so, sn = old.get("sentinel_med"), new.get("sentinel_med")
     if so and sn and so > 0:
         ratio = sn / so
-        norm = max(ratio, 1.0)
+        # one-sided clamp for the regression report (a quiet re-run must
+        # not normalize real slowness away), but two-sided in divergence
+        # mode: there both directions are unexplained, and a committed
+        # artifact recorded under contention would otherwise flag a quiet
+        # re-run's uniformly lower times as "faster" divergences that are
+        # pure host regime (ADVICE r16)
+        norm = ratio if a.divergence else max(ratio, 1.0)
         print(f"[regime] sentinel {so:.3f}s -> {sn:.3f}s (ratio {ratio:.2f}) "
               f"— normalizing NEW warms by {norm:.2f}"
               + ("  ** CONTENDED WINDOW **" if ratio > 1.3 else ""))
@@ -103,6 +110,7 @@ def main():
         print(f"[removed] {len(removed)}: {', '.join(removed)}")
 
     broken, refusal_changes, regressions, improvements = [], [], [], []
+    pairs = {}
     for name in sorted(set(oq) & set(nq)):
         wo, wn = warm(oq[name]), warm(nq[name])
         if wo < 0 or wn < 0:
@@ -112,6 +120,7 @@ def main():
                 refusal_changes.append((name, wo, wn))
             continue
         adj = wn / norm
+        pairs[name] = (wo, wn, adj)
         if wo > 0 and adj / wo > a.threshold and adj - wo > a.floor:
             regressions.append((name, wo, wn, adj))
         elif adj > 0 and wo / adj > a.threshold and wo - adj > a.floor:
@@ -142,6 +151,30 @@ def main():
         # SLOWER; its p01 was 4x slower; either sign is "two same-HEAD
         # artifacts disagree and nobody knows why")
         diverged = regressions + improvements
+        # family-cluster rule (r16 verdict #6): r16's dedup family sat
+        # at 1.7-1.95x — each under the 2x per-query gate, but TEN of
+        # them moved together, which is a plan change, not jitter. When
+        # >=3 same-family queries shift >=1.5x in the SAME direction
+        # (past the floor), the whole cluster is flagged at 1.5x.
+        flagged = {d[0] for d in diverged}
+        clusters = {}
+        for name, (wo, wn, adj) in pairs.items():
+            if wo <= 0 or adj <= 0:
+                continue
+            up = adj / wo > 1.5 and adj - wo > a.floor
+            dn = wo / adj > 1.5 and wo - adj > a.floor
+            if up or dn:
+                famkey = (re.match(r"[a-z]+", name).group(0), up)
+                clusters.setdefault(famkey, []).append((name, wo, wn, adj))
+        for (famname, up), members in sorted(clusters.items()):
+            if len(members) >= 3:
+                extra = [m for m in members if m[0] not in flagged]
+                if extra:
+                    print(f"[cluster] family '{famname}': {len(members)} "
+                          f"queries moved >1.5x {'slower' if up else 'faster'} "
+                          "together — flagging the whole cluster (a family "
+                          "shift is a plan property, not jitter)")
+                diverged = diverged + extra
         sf = new.get("sf", old.get("sf", "/root/testdata/sf0.1"))
         cpus = new.get("cpus", old.get("cpus", 32))
         for name, wo, wn, adj in diverged:

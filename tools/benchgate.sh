@@ -55,11 +55,13 @@ EOF
 )
 OUT=$(mktemp /tmp/graft_benchgate.XXXXXX.json)
 LOG=$(mktemp /tmp/graft_benchgate.XXXXXX.log)
-trap 'rm -f "$OUT"' EXIT
+# clean both on exit; the Bench-failure path below re-arms the trap to
+# RETAIN the log (that's the one case its contents matter — ADVICE r16)
+trap 'rm -f "$OUT" "$LOG"' EXIT
 echo "[benchgate] re-running Bench at sf=$SF cpus=$CPUS force=$FORCE reps=$REPS (log: $LOG)"
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_FORCE="$FORCE" SPARK_GRAFT_BENCH_REPS="$REPS" \
   SPARK_GRAFT_BENCH_OUT="$OUT" \
   sbt -batch "runMain graft.Bench" > "$LOG" 2>&1 \
-  || { echo "[benchgate] Bench run FAILED — tail of $LOG:" >&2; tail -30 "$LOG" >&2; exit 1; }
+  || { trap 'rm -f "$OUT"' EXIT; echo "[benchgate] Bench run FAILED — tail of $LOG (retained):" >&2; tail -30 "$LOG" >&2; exit 1; }
 python3 tools/benchdiff.py "$ART" "$OUT"
