@@ -94,7 +94,13 @@ object GraftSession {
       val derived = ((BigInt((bytes.toDouble * expansion).toLong) +
         targetBytes - 1) / targetBytes).toInt
       val w = math.min(maxWidth, derived)
-      if (w > base) Some(w) else None
+      if (w > base) {
+        // beyond-fixture only (fixture inputs return None before this),
+        // so the line is adjudication evidence, not log spam
+        System.err.println(s"[explode-width] input ~$bytes bytes est. " +
+          s"x$expansion -> $w partitions (session width $base)")
+        Some(w)
+      } else None
     }
   }
 

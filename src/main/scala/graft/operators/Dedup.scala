@@ -85,18 +85,28 @@ object Dedup {
       .withColumn("sh", concat_ws(" ", parts: _*)) // concat_ws skips nulls
       .filter(col("last_w").isNotNull || col("pos") === 0)
       .select(col("id"), col("sh").as("s"))
-    // The distinct's reduce side holds the (id, s) hash state — mostly-
-    // unique shingles collapse little, so a cores-wide reduce carries
-    // the whole exploded volume / cores per task. Beyond-fixture inputs
-    // pre-partition to the data-derived width; distinct then reuses
-    // that distribution (no second exchange). Fixture inputs: no-op.
-    val distParted = graft.GraftSession.explodeWidth(df) match {
-      case Some(wide) => posts.repartition(wide, col("id"), col("s"))
-      case None       => posts
-    }
-    distParted
+    // No explicit repartition before the distinct: [[wordPosts]]'
+    // hash(id) layout (widened beyond fixture) survives the window and
+    // projection, and HashPartitioning(id) SATISFIES the distinct's
+    // ClusteredDistribution(id, s) — same-(id,s) rows share an id — so
+    // the distinct runs as a per-partition aggregate with no exchange
+    // at either scale. (An explicit repartition(w, id, s) here, tried
+    // first in r17, ADDED a corpus-sized shuffle and broke the subset
+    // property for downstream per-id aggregates.)
+    //
+    // Storage level splits by regime: at fixture scale the postings fit
+    // comfortably in the storage pool (MEMORY_AND_DISK); beyond fixture
+    // the stream is corpus-sized (~9 GB at 10M docs) and heap-caching
+    // it starves execution memory for the sorts/aggs that read it — and
+    // the plan-keyed blocks survive into the NEXT run of the same query
+    // in a long-lived session (r17 probe: run 1 completed with 6.8 GB
+    // retained, run 2 OOMed at 8 g). DISK_ONLY keeps the multi-branch
+    // reuse without competing for the heap.
+    posts
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(if (graft.GraftSession.explodeWidth(df).isDefined)
+                 StorageLevel.DISK_ONLY
+               else StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Default seed-varied 64-bit hash family: xxhash64 of `s#i` — fastest

@@ -53,19 +53,16 @@ object TextAnalysis {
     val w = Window.partitionBy("id").orderBy("pos")
     val words = Dedup.wordPosts(df, idCol, textCol)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
-    val grams0 = words
+    val grams = words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
       .withColumn("g", concat_ws(" ", parts: _*))
       .filter(col("last_w").isNotNull || col("pos") === 0)
       .select(col("id"), col("g"))
-    // (id, g) pairs are mostly unique, so the first agg's reduce side
-    // carries ~the whole exploded gram volume; beyond-fixture inputs
-    // pre-partition to the data-derived width so the agg reuses that
-    // distribution (graft.GraftSession.explodeWidth — fixture: no-op)
-    val grams = graft.GraftSession.explodeWidth(df) match {
-      case Some(wide) => grams0.repartition(wide, col("id"), col("g"))
-      case None       => grams0
-    }
+    // No repartition here: wordPosts' hash(id) layout (widened beyond
+    // fixture via graft.GraftSession.explodeWidth) satisfies BOTH
+    // aggregates' clustering — (id, g) and (id) are supersets of the
+    // partitioning key — so the whole profile runs exchange-free after
+    // the postings shuffle, at fixture width or the widened one.
     grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_count"))
       .select(col("id"), col("n_grams"), col("top_gram_count"),
