@@ -82,18 +82,29 @@ object GraftSession {
     * For parquet text the estimate is COMPRESSED bytes; n-gram shingle
     * rows ≈ 3–4× the uncompressed text (each word lands in n shingles
     * plus per-row overhead), so the measured 1.7 GB → ~9 GB case is
-    * ~5.3×; the default 8 keeps margin without over-splitting. */
+    * ~5.3×; the default 8 keeps margin without over-splitting.
+    *
+    * `spark.graft.explode.targetBytes`, when set on the session,
+    * overrides `targetBytes` — the deterministic handle integration
+    * tests use to force the widened branch at fixture scale (and an
+    * ops escape hatch if 64 MB/task is wrong for a deployment). */
   def explodeWidth(input: DataFrame, expansion: Double = 8.0,
       targetBytes: Long = 64L << 20, maxWidth: Int = 2048): Option[Int] = {
     val base = input.sparkSession.sessionState.conf.numShufflePartitions
     val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = input.sparkSession.conf
+      .getOption("spark.graft.explode.targetBytes")
+      .map(_.toLong).filter(_ > 0).getOrElse(targetBytes)
     // stats sentinel for "unknown" is defaultSizeInBytes (Long.MaxValue
     // unless tuned); anything within 2^10 of it is propagation garbage
     if (bytes <= 0 || bytes >= (BigInt(Long.MaxValue) >> 10)) None
     else {
-      val derived = ((BigInt((bytes.toDouble * expansion).toLong) +
-        targetBytes - 1) / targetBytes).toInt
-      val w = math.min(maxWidth, derived)
+      // clamp BEFORE narrowing: derived can exceed Int range for large
+      // inputs with a small target, and a wrapped .toInt would silently
+      // disable widening exactly when it's most needed
+      val derived = (BigInt((bytes.toDouble * expansion).toLong) +
+        target - 1) / target
+      val w = derived.min(BigInt(maxWidth)).toInt
       if (w > base) {
         // beyond-fixture only (fixture inputs return None before this),
         // so the line is adjudication evidence, not log spam

@@ -61,8 +61,15 @@ object Dedup {
     * docs (r15 OOM); fixture inputs take the unwidened branch, keeping
     * small-data plans and their goldens byte-identical. */
   private[operators] def wordPosts(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val parted = graft.GraftSession.explodeWidth(df) match {
+      textCol: String): DataFrame =
+    wordPosts(df, idCol, textCol, graft.GraftSession.explodeWidth(df))
+
+  /** Width-threaded variant: the caller decided the regime ONCE (one
+    * stats read, one adjudication log line per operator entry) and
+    * passes it down. */
+  private[operators] def wordPosts(df: DataFrame, idCol: String,
+      textCol: String, width: Option[Int]): DataFrame = {
+    val parted = width match {
       case Some(w) => df.repartition(w, col(idCol))
       case None    => df.repartition(col(idCol))
     }
@@ -76,9 +83,15 @@ object Dedup {
     * whole normalized text as one shingle (parity with
     * [[TextAnalysis.shingles]]). */
   private[operators] def shinglePosts(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    shinglePosts(df, idCol, textCol, n, graft.GraftSession.explodeWidth(df))
+
+  /** Width-threaded variant — ONE regime decision covers the postings
+    * repartition AND the persist storage-level split below. */
+  private[operators] def shinglePosts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, width: Option[Int]): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
-    val words = wordPosts(df, idCol, textCol)
+    val words = wordPosts(df, idCol, textCol, width)
     val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
     val posts = words
       .withColumn("last_w", lead(col("w"), n - 1).over(w))
@@ -104,8 +117,7 @@ object Dedup {
     // reuse without competing for the heap.
     posts
       .distinct()
-      .persist(if (graft.GraftSession.explodeWidth(df).isDefined)
-                 StorageLevel.DISK_ONLY
+      .persist(if (width.isDefined) StorageLevel.DISK_ONLY
                else StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -745,11 +757,22 @@ object Dedup {
     * to a block hash if block texts ever dominate shuffle volume. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       blockWords: Int = 20): DataFrame = {
-    val blocks = wordPosts(df, idCol, textCol)
+    // ONE regime decision for the operator: the postings source AND the
+    // block-content window below share it (fixture: None, plans pinned)
+    val width = graft.GraftSession.explodeWidth(df)
+    val blocks0 = wordPosts(df, idCol, textCol, width)
       .withColumn("blk", expr(s"pos div $blockWords"))
       .groupBy("id", "blk")
       .agg(concat_ws(" ",
         array_sort(collect_list(struct(col("pos"), col("w")))).getField("w")).as("btext"))
+    // the first-occurrence window clusters on block CONTENT — a stream
+    // the size of the whole uncompressed corpus. Beyond fixture, take
+    // it at the widened width (the window's required distribution is
+    // satisfied by the explicit hash, so this is the only exchange)
+    val blocks = width match {
+      case Some(w) => blocks0.repartition(w, col("btext"))
+      case None    => blocks0
+    }
     val firstOf = Window.partitionBy("btext")
     blocks
       .withColumn("first", min(struct(col("id"), col("blk"))).over(firstOf))
@@ -793,8 +816,22 @@ object Dedup {
     * shaped (no cartesian anywhere). */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       windowWords: Int = 20): DataFrame = {
-    val posts = wordPosts(df, idCol, textCol)
-    val wins = slidingWindows(posts, windowWords)
+    // ONE regime decision for the operator. Expansion 16 (vs the word-
+    // postings default 8): the stride-1 window stream carries a 32-char
+    // md5 key per WORD POSITION — ~48 bytes/row against ~3 compressed
+    // input bytes/word — so the wkey window's sort state is ~2× the
+    // word-postings stream the default models. The same width widens
+    // the postings source (harmless: same data, smaller tasks) so the
+    // whole operator shares one decision. Fixture: None, plans pinned.
+    val width = graft.GraftSession.explodeWidth(df, expansion = 16.0)
+    val posts = wordPosts(df, idCol, textCol, width)
+    val wins0 = slidingWindows(posts, windowWords)
+    // the global-first window clusters on wkey — corpus-sized at stride
+    // 1. Beyond fixture, ONE wide exchange here feeds the window sort
+    val wins = width match {
+      case Some(w) => wins0.repartition(w, col("wkey"))
+      case None    => wins0
+    }
     val firstOf = Window.partitionBy("wkey")
     val dupWins = wins
       .withColumn("first", min(struct(col("id"), col("pos"))).over(firstOf))
@@ -851,9 +888,17 @@ object Dedup {
     * corpus. Store it partitioned/bucketed by `wkey` and batch probes
     * co-locate; append each ingested batch's novel keys per arrival. */
   def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 20): DataFrame =
-    slidingWindows(wordPosts(df, idCol, textCol), windowWords)
-      .select("wkey").distinct()
+      windowWords: Int = 20): DataFrame = {
+    // same regime split as [[substringDedup]] (this is its index-build
+    // sibling): the wkey distinct aggregates a corpus-sized key stream
+    val width = graft.GraftSession.explodeWidth(df, expansion = 16.0)
+    val wins = slidingWindows(wordPosts(df, idCol, textCol, width), windowWords)
+    val keys = width match {
+      case Some(w) => wins.repartition(w, col("wkey"))
+      case None    => wins
+    }
+    keys.select("wkey").distinct()
+  }
 
   /** Incremental substring dedup — strip from an arriving (small) batch
     * every ≥ `windowWords`-word passage that already exists in the

@@ -413,12 +413,15 @@ object TextAnalysis {
     * aggregate and the per-doc rollup. */
   def noveltyProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
-    val posts0 = Dedup.shinglePosts(df, idCol, textCol, n)
+    // ONE regime decision for the whole operator: shinglePosts'
+    // repartition+persist and the shingle-key exchange below share it
+    val width = graft.GraftSession.explodeWidth(df)
+    val posts0 = Dedup.shinglePosts(df, idCol, textCol, n, width)
     // the document-frequency agg and the postings side of the join both
     // need clustering on `s`; beyond-fixture inputs take ONE wide
     // exchange here that serves both (fixture inputs: no-op, plans and
     // goldens unchanged) — see graft.GraftSession.explodeWidth
-    val posts = graft.GraftSession.explodeWidth(df) match {
+    val posts = width match {
       case Some(wide) => posts0.repartition(wide, col("s"))
       case None       => posts0
     }

@@ -37,6 +37,31 @@ object ProbeQuery {
       .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toInt))
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' — keys: ${graft.SparkEntry.queries.keys.toSeq.sorted.take(10).mkString(", ")}…"))
+    // SPARK_GRAFT_STAGE_METRICS=1: per-stage breakdown of a beyond-
+    // fixture run — which stage owns the wall clock, how much spilled,
+    // how wide it ran. Listener callbacks are post-hoc (stage-completed
+    // events), so the measured runs are not perturbed.
+    val stageLog = sys.env.get("SPARK_GRAFT_STAGE_METRICS").filter(_ == "1").map { _ =>
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Int, String, Long, Long, Long, Long, Long, Int)]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val tm = si.taskMetrics
+          if (tm != null) buf.add((si.stageId,
+            si.name.takeWhile(_ != '\n').take(80),
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            tm.executorRunTime,
+            tm.memoryBytesSpilled + tm.diskBytesSpilled,
+            tm.shuffleReadMetrics.totalBytesRead,
+            tm.shuffleWriteMetrics.bytesWritten,
+            si.numTasks))
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      buf
+    }
     val rt = Runtime.getRuntime
     val times = (1 to n).map { i =>
       val t0 = System.nanoTime()
@@ -44,6 +69,20 @@ object ProbeQuery {
       val s = (System.nanoTime() - t0) / 1e9
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       System.err.println(f"[probe] $name run $i: $s%7.3f s  heapMB=$heapMb%5d")
+      stageLog.foreach { buf =>
+        val stages = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          buf.iterator()).asScala.toSeq.sortBy(-_._3)
+        val mb = 1024.0 * 1024.0
+        stages.take(12).foreach { case (id, nm, wall, cpu, spill, sr, sw, nt) =>
+          System.err.println(f"[probe-stage] run $i stage=$id%-4d wall=${wall / 1000.0}%7.1fs " +
+            f"cpu=${cpu / 1000.0}%8.1fs spill=${spill / mb}%9.1fMB " +
+            f"shufR=${sr / mb}%9.1fMB shufW=${sw / mb}%9.1fMB tasks=$nt%-4d $nm")
+        }
+        val totSpill = stages.map(_._5).sum / mb
+        System.err.println(f"[probe-stage] run $i stages=${stages.size} " +
+          f"total_spill=${totSpill}%.1fMB (top 12 by wall above)")
+        buf.clear()
+      }
       s
     }
     spark.catalog.clearCache()

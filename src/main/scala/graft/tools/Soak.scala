@@ -47,14 +47,22 @@ import graft.{GraftSession, SparkEntry}
   * heap / novel-count / stats-fold gates stay in-run — they police
   * engine-owned state directly and don't confound with age.
   *
+  * A fourth stage soaks the SUBSTRING ingest loop
+  * ([[graft.streaming.SubstringStream.ingestBatch]]): the window-
+  * fingerprint index is the third stored-index aging surface (minhash
+  * signatures, semantic cells, window keys), with the same flat-
+  * latency/flat-heap/exact-novel-count gates — each tick's 2 full-text
+  * replays must strip to nothing against the accumulated index.
+  *
   * Usage: `runMain graft.tools.Soak [sfDir] [passes] [corpusTicks]
-  * [semTicks]` — prints one line per query pass, one line per 100 ingest
-  * ticks per loop, and a final PASS/FAIL verdict covering all stages.
-  * `passes = 0` skips the query stage; `corpusTicks = 0` / `semTicks =
-  * 0` skip the respective ingest stages.
+  * [semTicks] [subTicks]` — prints one line per query pass, one line
+  * per 100 ingest ticks per loop, and a final PASS/FAIL verdict
+  * covering all stages. `passes = 0` skips the query stage;
+  * `corpusTicks = 0` / `semTicks = 0` / `subTicks = 0` skip the
+  * respective ingest stages.
   *
   * Component mode (what the child JVMs run; also usable by hand):
-  * `runMain graft.tools.Soak --component corpus|sem <ticks> [baseDir]
+  * `runMain graft.tools.Soak --component corpus|sem|sub <ticks> [baseDir]
   * [tickOffset]` — runs ONLY that ingest loop in this JVM against
   * `baseDir` (fresh temp dir if omitted) starting at `tickOffset`
   * (batch ids and planted doc ids shift with it, so a probe over an
@@ -232,6 +240,49 @@ object Soak {
     LoopResult(lat.toSeq, heapEarly, heapLate, novel)
   }
 
+  /** Substring-ingest loop against dirs under `base` — same offset
+    * contract as [[runCorpusLoop]]. 8 docs per tick: 6 novel + 2 EXACT
+    * full-text replays of the previous tick's docs under fresh ids.
+    * A full replay is passage-complete (every token covered by an
+    * indexed window), so [[graft.streaming.SubstringStream]] must drop
+    * it whole every tick — the novel-count expectation is the same
+    * 8 + (ticks−1)·6 as the sibling loops, and any window-key loss or
+    * duplication across ticks/compactions surfaces as count drift. */
+  private[tools] def runSubLoop(spark: SparkSession, base: String,
+      ticks: Int, offset: Long, label: String): LoopResult = {
+    import spark.implicits._
+    val rt = Runtime.getRuntime
+    val corpusDir = s"$base/corpus"
+    val idxDir = s"$base/winidx"
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var heapEarly = 0L
+    var heapLate = 0L
+    var novel = 0L
+    for (rel <- 0 until ticks) {
+      val t = offset + rel
+      val docs = (0 until 8).map { i =>
+        val id = t * 8L + i
+        val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t, i)
+        (id, txt)
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      novel += graft.streaming.SubstringStream.ingestBatch(spark, docs,
+        "doc_id", "text", corpusDir, idxDir, windowWords = 10,
+        batchId = Some(t))
+      lat += (System.nanoTime() - t0) / 1e9
+      if ((rel + 1) % 100 == 0) {
+        compactDir(spark, idxDir)
+        System.gc()
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        if (rel + 1 == 100) heapEarly = heapMb
+        heapLate = heapMb
+        val last100 = lat.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+      }
+    }
+    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+  }
+
   /** The engine-state flatness gate: a fresh-JVM window over the aged
     * index must stay within 1.5× of the fresh-JVM window over a fresh
     * index (same slack as the old in-run gate; r5's real signature was
@@ -318,7 +369,8 @@ object Soak {
     val r = kind match {
       case "corpus" => runCorpusLoop(spark, base, ticks, offset, s"soak-$kind")
       case "sem"    => runSemLoop(spark, base, ticks, offset, s"soak-$kind")
-      case other    => sys.error(s"unknown component '$other' (corpus|sem)")
+      case "sub"    => runSubLoop(spark, base, ticks, offset, s"soak-$kind")
+      case other    => sys.error(s"unknown component '$other' (corpus|sem|sub)")
     }
     println(f"[soak-window] kind=$kind ticks=${r.lat.size} " +
       f"window=${componentWindow(r.lat)}%.3f novel=${r.novel} " +
@@ -334,6 +386,7 @@ object Soak {
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
     val corpusTicks = args.lift(2).map(_.toInt).getOrElse(500)
     val semTicks = args.lift(3).map(_.toInt).getOrElse(300)
+    val subTicks = args.lift(4).map(_.toInt).getOrElse(300)
     val spark = buildSession()
     val rt = Runtime.getRuntime
     val totals = (1 to passes).map { pass =>
@@ -367,6 +420,11 @@ object Soak {
       if (semTicks > 0)
         Some(runSemLoop(spark, semBase, semTicks, 0L, "soak-sem"))
       else None
+    val subBase = java.nio.file.Files.createTempDirectory("graft_soak_sub").toString
+    val subRes =
+      if (subTicks > 0)
+        Some(runSubLoop(spark, subBase, subTicks, 0L, "soak-sub"))
+      else None
     spark.stop()
 
     // ---- fresh-JVM engine-state probes (r15 verdict #3) ----
@@ -387,6 +445,7 @@ object Soak {
       }
     val corpusProbe = corpusRes.flatMap(_ => engineProbe("corpus", corpusBase, corpusTicks))
     val semProbe = semRes.flatMap(_ => engineProbe("sem", semBase, semTicks))
+    val subProbe = subRes.flatMap(_ => engineProbe("sub", subBase, subTicks))
 
     // pass 1 pays janino compilation for every generated stage; steady
     // state is pass 2+. Degradation = any later pass markedly worse than
@@ -442,11 +501,16 @@ object Soak {
     // ticks/compactions
     val (semOk, semSummary) = loopVerdict("sem", semRes, semProbe,
       semRes.map(r => 8L + (r.lat.size - 1).toLong * 6L))
-    val verdict = if (queryOk && corpusOk && semOk) "SOAK PASS" else "SOAK FAIL"
+    // substring loop: same exact novel-count shape — 2 full-text
+    // replays per tick must strip to nothing against the window index
+    val (subOk, subSummary) = loopVerdict("sub", subRes, subProbe,
+      subRes.map(r => 8L + (r.lat.size - 1).toLong * 6L))
+    val verdict =
+      if (queryOk && corpusOk && semOk && subOk) "SOAK PASS" else "SOAK FAIL"
     val passSummary =
       if (totals.isEmpty) "passes=skipped"
       else s"passes=${totals.map(t => f"$t%.1f").mkString(",")}s"
-    println(s"$verdict: $passSummary $tickSummary $semSummary")
+    println(s"$verdict: $passSummary $tickSummary $semSummary $subSummary")
   }
 
   private[tools] def median(xs: Seq[Double]): Double = {

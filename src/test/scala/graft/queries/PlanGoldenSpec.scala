@@ -49,7 +49,12 @@ class PlanGoldenSpec extends SparkSpec {
     // gated-class expression, so its defer=0 had gone vacuous (r15
     // verdict #7); ta_scrub_pii (RegExpReplace/RegExpExtractAll over
     // orderBy) keeps the slot honest.
-    "p19_json_extract", "p13_ts_parse", "ta_scrub_pii")
+    "p19_json_extract", "p13_ts_parse", "ta_scrub_pii",
+    // ta_novelty owns the ONLY operator-local widening branch in the
+    // novelty pipeline (noveltyProfile's shingle-key exchange): its
+    // pinned fixture digest proves the branch is plan-inert at small
+    // scale (r17 verdict #2)
+    "ta_novelty")
 
   private def computeDigest(name: String): String = {
     // suite-order independence: other suites in the same JVM may have

@@ -164,7 +164,8 @@ def main():
             up = adj / wo > 1.5 and adj - wo > a.floor
             dn = wo / adj > 1.5 and wo - adj > a.floor
             if up or dn:
-                famkey = (re.match(r"[a-z]+", name).group(0), up)
+                m = re.match(r"[a-z]+", name)
+                famkey = (m.group(0) if m else name.split("_")[0], up)
                 clusters.setdefault(famkey, []).append((name, wo, wn, adj))
         for (famname, up), members in sorted(clusters.items()):
             if len(members) >= 3:

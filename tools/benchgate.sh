@@ -64,4 +64,14 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_OUT="$OUT" \
   sbt -batch "runMain graft.Bench" > "$LOG" 2>&1 \
   || { trap 'rm -f "$OUT"' EXIT; echo "[benchgate] Bench run FAILED — tail of $LOG (retained):" >&2; tail -30 "$LOG" >&2; exit 1; }
-python3 tools/benchdiff.py "$ART" "$OUT"
+# retain the log through benchdiff too: a regression verdict is exactly
+# when the Bench stderr ([bench] divergence lines, [explode-width]
+# regime evidence) is needed for adjudication (ADVICE r17)
+trap 'rm -f "$OUT"' EXIT
+if python3 tools/benchdiff.py "$ART" "$OUT"; then
+  rm -f "$LOG"
+else
+  rc=$?
+  echo "[benchgate] regression verdict — Bench log retained: $LOG" >&2
+  exit $rc
+fi
