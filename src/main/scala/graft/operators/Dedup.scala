@@ -774,9 +774,19 @@ object Dedup {
       case None    => blocks0
     }
     val firstOf = Window.partitionBy("btext")
-    blocks
+    val marked = blocks
       .withColumn("first", min(struct(col("id"), col("blk"))).over(firstOf))
       .withColumn("kept", col("first.id") === col("id") && col("first.blk") === col("blk"))
+    // the btext window DISCARDED the id layout, so the reassembly agg
+    // would otherwise plan its exchange at session width — the one
+    // 32-wide corpus-sized hash-agg left in the operator (measured:
+    // 10M docs / 8 g completes cold but OOMs the warm re-run; r18).
+    // Beyond fixture, own the exchange at the widened width instead.
+    val reassembly = width match {
+      case Some(w) => marked.repartition(w, col("id"))
+      case None    => marked
+    }
+    reassembly
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -837,7 +847,7 @@ object Dedup {
       .withColumn("first", min(struct(col("id"), col("pos"))).over(firstOf))
       .filter(!(col("first.id") === col("id") && col("first.pos") === col("pos")))
       .select(col("id"), col("pos"))
-    dropCovered(posts, dupWins, windowWords)
+    dropCovered(posts, dupWins, windowWords, width)
   }
 
   /** The stride-1 window-key stream shared by [[substringDedup]] and
@@ -865,10 +875,24 @@ object Dedup {
     * distinct() and the join hash the same (id, pos) key, so the
     * exchange is reused. Returns (id, n_tokens, n_kept, clean_text). */
   private def dropCovered(posts: DataFrame, dupWins: DataFrame,
-      windowWords: Int): DataFrame = {
-    val cov = dupWins
+      windowWords: Int, width: Option[Int] = None): DataFrame = {
+    val cov0 = dupWins
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("pos"))
+    // Widened regime: ONE explicit hash(id) exchange for the covered
+    // set serves the distinct (HashPartitioning(id) satisfies
+    // ClusteredDistribution(id, pos)), the join against the posts
+    // stream (both sides clustered on the same id subset at the same
+    // width — no repartition of either), AND the downstream per-id
+    // reassembly. Without it the join re-shuffles BOTH corpus-sized
+    // sides to (id, pos) at session width — measured at 10M docs/8 g
+    // as two 32-wide 10 GB stages spilling 49 GB each (r18), exactly
+    // the helpful-looking-wider-key trap the postings source comment
+    // documents. Fixture inputs: None, shape untouched.
+    val cov = (width match {
+        case Some(w) => cov0.repartition(w, col("id"))
+        case None    => cov0
+      })
       .distinct()
       .withColumn("covered", lit(true))
     posts.join(cov, Seq("id", "pos"), "left")

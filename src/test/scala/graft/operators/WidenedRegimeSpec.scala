@@ -84,6 +84,42 @@ class WidenedRegimeSpec extends graft.SparkSpec {
     assert(widened === unwidened)
   }
 
+  test("wide regime: substringDedup results identical, covered join + reassembly stay wide") {
+    val base = docs
+    val unwidened = Dedup.substringDedup(base, "doc_id", "text", 5).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    withWideRegime(8192L) {
+      val width = graft.GraftSession.explodeWidth(base, expansion = 16.0)
+        .getOrElse(fail("override should force the wide regime"))
+      val out = Dedup.substringDedup(base, "doc_id", "text", 5)
+      // the posts stream is hash(id, width); the covered set takes ONE
+      // explicit hash(id, width) exchange; join and per-id reassembly
+      // must reuse that layout — if either fell back to session width,
+      // the output partition count betrays it
+      assert(out.rdd.getNumPartitions === width,
+        "the covered-set join or the reassembly agg lost the widened layout")
+      val widened = out.collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(widened === unwidened)
+    }
+  }
+
+  test("wide regime: spanDedup results identical, reassembly stays wide") {
+    val base = docs
+    val unwidened = Dedup.spanDedup(base, "doc_id", "text", 5).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    withWideRegime(8192L) {
+      val width = graft.GraftSession.explodeWidth(base)
+        .getOrElse(fail("override should force the wide regime"))
+      val out = Dedup.spanDedup(base, "doc_id", "text", 5)
+      assert(out.rdd.getNumPartitions === width,
+        "the reassembly agg lost the widened layout")
+      val widened = out.collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(widened === unwidened)
+    }
+  }
+
   test("explodeWidth clamps in BigInt space (huge derived width -> maxWidth, not wraparound)") {
     // targetBytes=1 with a real input makes `derived` exceed Int range
     // once expansion scales it; the clamp must hit maxWidth instead of
