@@ -358,7 +358,11 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       bucketGuard: Option[Int] = None): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    bandPairs(signatureOf(posts, numHashes, xxhashFamily), numHashes, bands, maxBucket, bucketGuard)
+    // same sig materialization as [[minhashNearDupPairs]] — the banded
+    // frame is read three times downstream
+    val sig = signatureOf(posts, numHashes, xxhashFamily)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandPairs(sig, numHashes, bands, maxBucket, bucketGuard)
   }
 
   /** Exact Jaccard for given candidate pairs, from the postings stream:
@@ -398,8 +402,18 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       bucketGuard: Option[Int] = None): DataFrame = {
     val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val cands = bandPairs(signatureOf(posts, numHashes, hashFamily), numHashes, bands,
-      maxBucket, bucketGuard)
+    // the signature table feeds every reference of the banded frame
+    // (cappedBucketPairs reads it THREE times: both capped window sides
+    // and the rep-star branch), and the posts→sig aggregation is
+    // partition-local (hash(id) subset) — no exchange below it for
+    // ReuseExchange to dedupe. Unpersisted, the numHashes-hash family
+    // re-evaluates per branch: measured at 10M docs as 3 overlapping
+    // 213-task stages of ~20,000 s CPU EACH, ~90% of a 2,303 s cold run
+    // (r18). The sig table is doc-bounded (one row × numHashes longs) —
+    // the same materialization minhashEstimatePairs already keeps.
+    val sig = signatureOf(posts, numHashes, hashFamily)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = bandPairs(sig, numHashes, bands, maxBucket, bucketGuard)
     verifyJaccard(cands, posts, minJaccard)
   }
 
