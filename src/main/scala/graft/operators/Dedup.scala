@@ -953,15 +953,26 @@ object Dedup {
     * and never shuffled. Returns (id, n_tokens, n_kept, clean_text). */
   def incrementalSubstringDedup(batch: DataFrame, corpusWins: DataFrame,
       idCol: String, textCol: String, windowWords: Int = 20): DataFrame = {
-    val posts = wordPosts(batch, idCol, textCol)
+    // Regime split on the BATCH: ingest-sized batches ride the two
+    // broadcasts (index scanned once, never shuffled — the streaming
+    // contract); a corpus-sized "batch" (a backfill) would collect its
+    // whole key set to the driver and die on maxResultSize (measured:
+    // 1M-doc batch at 10M corpus → 1,064 MB of serialized results,
+    // r18). Beyond fixture, degrade to shuffle semi-joins: the index
+    // shuffles once on wkey — the substringDedup-shaped plan, which is
+    // what a backfill IS. Fixture/ingest plans byte-identical.
+    val width = graft.GraftSession.explodeWidth(batch, expansion = 16.0)
+    val posts = wordPosts(batch, idCol, textCol, width)
     val wins = slidingWindows(posts, windowWords)
     val batchKeys = wins.select("wkey").distinct()
+    val maybeBcast: DataFrame => DataFrame =
+      if (width.isEmpty) broadcast else identity
     val hits = corpusWins.select(col("wkey"))
-      .join(broadcast(batchKeys), Seq("wkey"), "left_semi")
+      .join(maybeBcast(batchKeys), Seq("wkey"), "left_semi")
       .distinct()
-    val covered = wins.join(broadcast(hits), Seq("wkey"))
+    val covered = wins.join(maybeBcast(hits), Seq("wkey"))
       .select(col("id"), col("pos"))
-    dropCovered(posts, covered, windowWords)
+    dropCovered(posts, covered, windowWords, width)
   }
 
   /** Deterministic hash split — assign every row to one of `buckets`
