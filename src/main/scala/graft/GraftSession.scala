@@ -40,6 +40,18 @@ object GraftSession {
     // and flipped a broadcast join to SMJ. The heavy explode pipelines
     // size their own shuffles from data via [[explodeWidth]] instead.
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    // The hash(id) subset algebra the explode family's width regime is
+    // built on (one widened exchange at the postings source serves every
+    // downstream per-id distribution) extends to JOINS only with this
+    // off: Spark 4's default true demands partition keys == full join
+    // keys for co-partition, so dropCovered's (id,pos) join re-shuffles
+    // BOTH corpus-sized hash(id,w) sides back to SESSION width — r19
+    // measured the degrade-branch fixture probe collapsing 55→4-wide
+    // (ENSURE_REQUIREMENTS exchanges on (id,pos)) with true, and riding
+    // the widened layout exchange-free with false. False trades the
+    // theoretical subset-key skew risk (ours cluster on id — near-
+    // uniform md5-keyed docs) for removing two corpus-sized shuffles.
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", "32m")
@@ -92,9 +104,17 @@ object GraftSession {
       targetBytes: Long = 64L << 20, maxWidth: Int = 2048): Option[Int] = {
     val base = input.sparkSession.sessionState.conf.numShufflePartitions
     val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the conf is an ops escape hatch: a malformed value ('64m', a typo)
+    // must not turn every operator entry into a NumberFormatException —
+    // warn once per call site and fall back to the compiled default
     val target = input.sparkSession.conf
       .getOption("spark.graft.explode.targetBytes")
-      .map(_.toLong).filter(_ > 0).getOrElse(targetBytes)
+      .flatMap { v =>
+        val p = scala.util.Try(v.toLong).toOption
+        if (p.isEmpty) System.err.println(
+          s"[explode-width] ignoring malformed spark.graft.explode.targetBytes='$v'")
+        p
+      }.filter(_ > 0).getOrElse(targetBytes)
     // stats sentinel for "unknown" is defaultSizeInBytes (Long.MaxValue
     // unless tuned); anything within 2^10 of it is propagation garbage
     if (bytes <= 0 || bytes >= (BigInt(Long.MaxValue) >> 10)) None

@@ -64,10 +64,11 @@ object SubstringStream {
     * Some(id)` enables the idempotent-commit protocol; `None` is the
     * plain-append path.
     *
-    * Hygiene mirrors the sibling loops: the tick persists only the
-    * cleaned-survivor frame (it feeds the corpus append, the key
-    * append and the count) and releases exactly its own persist on
-    * exit. */
+    * Hygiene mirrors the sibling loops: the tick persists exactly two
+    * doc-bounded frames — the probe result (feeds the survivor filter
+    * and the zero-token guard) and the kept frame (feeds the corpus
+    * append, the key append and the count) — and releases exactly its
+    * own persists on exit. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, idxDir: String,
       windowWords: Int = 20, batchId: Option[Long] = None): Long = {
@@ -91,13 +92,25 @@ object SubstringStream {
         import spark.implicits._
         Seq.empty[String].toDF("wkey")
       }
+    // persist the doc-bounded probe result ONCE (it feeds the survivor
+    // filter AND the zero-token guard below — without the persist the
+    // guard's anti-join would re-scan the corpus-sized index)
     val cleaned = Dedup.incrementalSubstringDedup(
-      withText, index, idCol, textCol, windowWords)
+      withText, index, idCol, textCol, windowWords).persist()
+    // a doc whose text normalizes to zero tokens has no postings row,
+    // so it falls out of the probe's per-id groupBy entirely — route it
+    // through the review path like null-text docs (no substring
+    // identity: dedup by id only, pass through, never enter the index)
+    // rather than silently dropping it from publish AND the count
+    val zeroTok = withText
+      .join(cleaned.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol))
     // survivors keep their normalized uncovered reassembly; a fully
     // covered doc (n_kept = 0) is a replay and drops whole
     val kept = cleaned.filter(col("n_kept") > 0)
       .select(col("id").as(idCol), col("clean_text").as(textCol))
       .unionByName(nullText)
+      .unionByName(zeroTok)
       .persist()
     try {
       val n = kept.count()
@@ -106,10 +119,19 @@ object SubstringStream {
           kept.filter(col(textCol).isNotNull), idCol, textCol, windowWords)
         // novel keys only: probe-shaped anti (batch keys broadcast into
         // one index scan; hits re-broadcast) keeps the index DISTINCT
-        // without ever shuffling it
+        // without ever shuffling it. Regime split mirrors
+        // [[Dedup.incrementalSubstringDedup]]: a corpus-sized backfill
+        // batch driven through this entry point would otherwise collect
+        // its whole key set to the driver (maxResultSize) — beyond
+        // fixture, degrade both joins to shuffle joins (the index
+        // shuffles once on wkey). Ingest-sized batches keep the two
+        // broadcasts; fixture plans byte-identical.
+        val keyWidth = graft.GraftSession.explodeWidth(kept, expansion = 16.0)
+        val maybeBcast: DataFrame => DataFrame =
+          if (keyWidth.isEmpty) broadcast else identity
         val hitKeys = index.select(col("wkey"))
-          .join(broadcast(keptKeys), Seq("wkey"), "left_semi").distinct()
-        val novelKeys = keptKeys.join(broadcast(hitKeys), Seq("wkey"), "left_anti")
+          .join(maybeBcast(keptKeys), Seq("wkey"), "left_semi").distinct()
+        val novelKeys = keptKeys.join(maybeBcast(hitKeys), Seq("wkey"), "left_anti")
         batchId match {
           case Some(bid) =>
             publish(conf, kept, corpusDir, bid)
@@ -125,6 +147,9 @@ object SubstringStream {
         fs.createNewFile(marker) // atomic create = the commit point
       }
       n
-    } finally kept.unpersist(blocking = false)
+    } finally {
+      kept.unpersist(blocking = false)
+      cleaned.unpersist(blocking = false)
+    }
   }
 }

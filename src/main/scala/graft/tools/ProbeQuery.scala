@@ -60,7 +60,20 @@ object ProbeQuery {
         }
       }
       spark.sparkContext.addSparkListener(l)
-      buf
+      (buf, l)
+    }
+    // stage-completed events arrive on the async listener bus, so a
+    // just-finished run's tail events may still be in flight when the
+    // driver thread reads the buffer (dropped, or attributed to the
+    // NEXT run). No public waitUntilEmpty — poll until the buffer size
+    // is stable for two consecutive 100 ms ticks, bounded at 2 s.
+    def drainBus(buf: java.util.concurrent.ConcurrentLinkedQueue[_]): Unit = {
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val n = buf.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
     }
     val rt = Runtime.getRuntime
     val times = (1 to n).map { i =>
@@ -69,7 +82,8 @@ object ProbeQuery {
       val s = (System.nanoTime() - t0) / 1e9
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       System.err.println(f"[probe] $name run $i: $s%7.3f s  heapMB=$heapMb%5d")
-      stageLog.foreach { buf =>
+      stageLog.foreach { case (buf, _) =>
+        drainBus(buf)
         val stages = scala.jdk.CollectionConverters.IteratorHasAsScala(
           buf.iterator()).asScala.toSeq.sortBy(-_._3)
         val mb = 1024.0 * 1024.0
@@ -85,6 +99,7 @@ object ProbeQuery {
       }
       s
     }
+    stageLog.foreach { case (_, l) => spark.sparkContext.removeSparkListener(l) }
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     println(f"[probe] $name ${times.map(t => f"$t%.3f").mkString("/")} s " +

@@ -129,10 +129,62 @@ object Soak {
     }
   }
 
-  /** Result of one ingest loop: per-tick seconds, post-GC heap at the
-    * first/last 100-tick boundary, total novel docs admitted. */
+  /** Result of one ingest loop: per-tick wall seconds, per-tick executor
+    * CPU seconds (from the stage-completed tally — see [[CpuTally]]),
+    * post-GC heap at the first/last 100-tick boundary, total novel docs
+    * admitted. */
   private[tools] final case class LoopResult(
-      lat: Seq[Double], heapEarly: Long, heapLate: Long, novel: Long)
+      lat: Seq[Double], cpu: Seq[Double], heapEarly: Long, heapLate: Long,
+      novel: Long)
+
+  /** Cumulative executor CPU across completed stages. Per-tick deltas of
+    * this counter give each tick's CPU cost; stage-completed events are
+    * delivered async, so up to ~one tick of CPU can slide into the next
+    * tick's delta — harmless for the 100-tick window medians this feeds.
+    * CPU exists so the fresh/aged window compare can be read NET of host
+    * load (r18: corpus 1.37× / sub 0.62× wall windows were host regime,
+    * not engine state — per-window CPU makes that adjudication data
+    * instead of argument). The GATE stays on wall (engineFlat unchanged):
+    * wall regression is the user-visible symptom the soak polices. */
+  private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
+    val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val tm = e.stageInfo.taskMetrics
+      if (tm != null) nanos.addAndGet(tm.executorCpuTime)
+    }
+  }
+
+  /** Run `tick` for rel = 0 until ticks, recording wall + CPU per tick;
+    * shared instrumentation shell of the three ingest loops. `afterTick`
+    * runs between ticks (the compaction-cadence boundary work) with the
+    * latency series so far; its CPU is excluded from tick deltas, the
+    * same exclusion the wall series applies. After the loop a short
+    * drain window folds late-arriving stage events into the final tick
+    * before the listener detaches. */
+  private def instrumentedTicks(spark: SparkSession, ticks: Int)(
+      tick: Int => Unit)(
+      afterTick: (Int, Seq[Double]) => Unit): (Seq[Double], Seq[Double]) = {
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tally = new CpuTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      var prev = 0L
+      for (rel <- 0 until ticks) {
+        val t0 = System.nanoTime()
+        tick(rel)
+        lat += (System.nanoTime() - t0) / 1e9
+        val now = tally.nanos.get()
+        cpu += (now - prev) / 1e9
+        afterTick(rel, lat.toSeq)
+        prev = tally.nanos.get() // boundary work (compactions) excluded
+      }
+      Thread.sleep(300) // listener-bus drain for the final tick's stages
+      if (cpu.nonEmpty) cpu(cpu.size - 1) += math.max(0L, tally.nanos.get() - prev) / 1e9
+      (lat.toSeq, cpu.toSeq)
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 
   /** MinHash-corpus ingest loop against dirs under `base`, `ticks`
     * ticks starting at logical tick `offset` (batch ids, doc ids and
@@ -150,23 +202,21 @@ object Soak {
     // stats maintenance ON: the soak must prove the per-tick partial-
     // sketch append doesn't bend the flat-latency/flat-heap curves
     val statsDir = s"$base/stats"
-    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
     var heapEarly = 0L
     var heapLate = 0L
     var novel = 0L
-    for (rel <- 0 until ticks) {
+    val (lat, cpu) = instrumentedTicks(spark, ticks) { rel =>
       val t = offset + rel
       val docs = (0 until 8).map { i =>
         val id = t * 8L + i
         val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t, i)
         (id, txt)
       }.toDF("doc_id", "text")
-      val t0 = System.nanoTime()
       novel += graft.streaming.CorpusStream.ingestBatch(spark, docs, "doc_id", "text",
         corpusDir, sigDir, shingleLen = 3, numHashes = 16, bands = 4,
         minAgree = 0.8, batchId = Some(t),
         statsDir = Some(statsDir), statsDepth = 4, statsWidth = 64)
-      lat += (System.nanoTime() - t0) / 1e9
+    } { (rel, latSoFar) =>
       if ((rel + 1) % 100 == 0) {
         compactDir(spark, sigDir)
         // stats partials compact on the same cadence, one sublayout at
@@ -180,8 +230,8 @@ object Soak {
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
         if (rel + 1 == 100) heapEarly = heapMb
         heapLate = heapMb
-        val last100 = lat.takeRight(100)
-        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+        val last100 = latSoFar.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
       }
     }
     // the accumulated partials must still fold to one fixed-grid sketch
@@ -191,7 +241,7 @@ object Soak {
       .collect().head
     println(s"[$label] folded stats cells=$statCells (grid 4x64) " +
       f"distinct_est=${card.getAs[Double]("est_raw")}%.0f")
-    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+    LoopResult(lat, cpu, heapEarly, heapLate, novel)
   }
 
   /** Semantic-cell ingest loop against dirs under `base` — same offset
@@ -211,33 +261,31 @@ object Soak {
     // 4 fixed unit-ish centroids: enough cells that the index probe
     // prunes, few enough that every cell keeps filling for the whole run
     val centroids = (0 until 4).map(c => soakVec(-1L - c, 0)).toSeq
-    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
     var heapEarly = 0L
     var heapLate = 0L
     var novel = 0L
-    for (rel <- 0 until ticks) {
+    val (lat, cpu) = instrumentedTicks(spark, ticks) { rel =>
       val t = offset + rel
       val docs = (0 until 8).map { i =>
         val id = t * 8L + i
         val vec = if (i >= 6 && t > 0) soakVec(t - 1L, i - 6) else soakVec(t, i)
         (id, vec)
       }.toDF("doc_id", "embedding")
-      val t0 = System.nanoTime()
       novel += graft.streaming.SemanticCorpusStream.ingestBatch(
         spark, docs, "doc_id", "embedding", corpusDir, idxDir,
         centroids, minCosine = 0.95, nprobe = 2, batchId = Some(t))
-      lat += (System.nanoTime() - t0) / 1e9
+    } { (rel, latSoFar) =>
       if ((rel + 1) % 100 == 0) {
         compactDir(spark, idxDir)
         System.gc()
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
         if (rel + 1 == 100) heapEarly = heapMb
         heapLate = heapMb
-        val last100 = lat.takeRight(100)
-        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+        val last100 = latSoFar.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
       }
     }
-    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+    LoopResult(lat, cpu, heapEarly, heapLate, novel)
   }
 
   /** Substring-ingest loop against dirs under `base` — same offset
@@ -254,33 +302,31 @@ object Soak {
     val rt = Runtime.getRuntime
     val corpusDir = s"$base/corpus"
     val idxDir = s"$base/winidx"
-    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
     var heapEarly = 0L
     var heapLate = 0L
     var novel = 0L
-    for (rel <- 0 until ticks) {
+    val (lat, cpu) = instrumentedTicks(spark, ticks) { rel =>
       val t = offset + rel
       val docs = (0 until 8).map { i =>
         val id = t * 8L + i
         val txt = if (i >= 6 && t > 0) soakText(t - 1L, i - 6) else soakText(t, i)
         (id, txt)
       }.toDF("doc_id", "text")
-      val t0 = System.nanoTime()
       novel += graft.streaming.SubstringStream.ingestBatch(spark, docs,
         "doc_id", "text", corpusDir, idxDir, windowWords = 10,
         batchId = Some(t))
-      lat += (System.nanoTime() - t0) / 1e9
+    } { (rel, latSoFar) =>
       if ((rel + 1) % 100 == 0) {
         compactDir(spark, idxDir)
         System.gc()
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
         if (rel + 1 == 100) heapEarly = heapMb
         heapLate = heapMb
-        val last100 = lat.takeRight(100)
-        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100.toSeq)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
+        val last100 = latSoFar.takeRight(100)
+        println(f"[$label] ticks ${rel + 1}/$ticks median=${median(last100)}%.2fs max=${last100.max}%.2fs heapMB=$heapMb rdds=${spark.sparkContext.getPersistentRDDs.size}")
       }
     }
-    LoopResult(lat.toSeq, heapEarly, heapLate, novel)
+    LoopResult(lat, cpu, heapEarly, heapLate, novel)
   }
 
   /** The engine-state flatness gate: a fresh-JVM window over the aged
@@ -317,10 +363,12 @@ object Soak {
     * SparkSession is built outside spark-submit) and a smaller heap:
     * the loops touch 8-row frames and a ≤few-MB index, and the child
     * existing is the point — it must NOT inherit the parent's aged heap.
-    * Returns None (with a warning) if the spawn fails or the window
-    * line never appears; the caller falls back to the in-run compare. */
+    * Returns the (wall, executor-CPU) window medians — CPU 0.0 when the
+    * child predates the tally — or None (with a warning) if the spawn
+    * fails or the window line never appears; the caller falls back to
+    * the in-run compare. */
   private def spawnComponentWindow(kind: String, ticks: Int, baseDir: String,
-      offset: Long): Option[Double] = {
+      offset: Long): Option[(Double, Double)] = {
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -346,6 +394,8 @@ object Soak {
       val win = out.collectFirst {
         case l if l.contains("[soak-window]") =>
           "window=([0-9.]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+            .map(w => (w, "windowCpu=([0-9.]+)".r.findFirstMatchIn(l)
+              .map(_.group(1).toDouble).getOrElse(0.0)))
       }.flatten
       if (rc != 0 || win.isEmpty) {
         System.err.println(s"[soak] child $kind probe failed (rc=$rc); last lines:")
@@ -373,7 +423,8 @@ object Soak {
       case other    => sys.error(s"unknown component '$other' (corpus|sem|sub)")
     }
     println(f"[soak-window] kind=$kind ticks=${r.lat.size} " +
-      f"window=${componentWindow(r.lat)}%.3f novel=${r.novel} " +
+      f"window=${componentWindow(r.lat)}%.3f " +
+      f"windowCpu=${componentWindow(r.cpu)}%.3f novel=${r.novel} " +
       f"heapMB=${r.heapEarly}->${r.heapLate}")
     spark.stop()
   }
@@ -433,7 +484,7 @@ object Soak {
     // index the combined loop just grew, the baseline child a fresh one.
     // Offsets keep batch ids / planted docs disjoint from the aged run.
     def engineProbe(kind: String, agedBase: String,
-        ranTicks: Int): Option[(Double, Double)] =
+        ranTicks: Int): Option[((Double, Double), (Double, Double))] =
       if (ranTicks < 200) None // window W..2W needs ≥200 ticks of signal
       else {
         val freshBase = java.nio.file.Files
@@ -467,17 +518,23 @@ object Soak {
     // with flat engine state); fall back to the in-run compare with a
     // warning if a child could not run
     def loopVerdict(kind: String, res: Option[LoopResult],
-        probe: Option[(Double, Double)], expectNovel: Option[Long]): (Boolean, String) =
+        probe: Option[((Double, Double), (Double, Double))],
+        expectNovel: Option[Long]): (Boolean, String) =
       res match {
         case None => (true, s"$kind=skipped")
         case Some(r) =>
           val early = if (r.lat.size >= 200) median(r.lat.slice(100, 200)) else 0.0
           val late = if (r.lat.size >= 200) median(r.lat.takeRight(100)) else 0.0
           val jvmAge = if (early > 0) f" jvm_age=${late / early}%.2fx" else ""
+          // gate stays on WALL (engineFlat unchanged — wall regression is
+          // the user-visible symptom); the CPU pair is printed so a wall
+          // divergence can be adjudicated against host load: flat CPU +
+          // bent wall = regime, bent CPU = the engine really works harder
           val (latOk, latNote) = probe match {
-            case Some((fresh, aged)) =>
+            case Some(((fresh, freshCpu), (aged, agedCpu))) =>
               (engineFlat(fresh, aged),
-                f" engine_fresh=$fresh%.2fs engine_aged=$aged%.2fs")
+                f" engine_fresh=$fresh%.2fs engine_aged=$aged%.2fs" +
+                  f" engine_fresh_cpu=$freshCpu%.2fs engine_aged_cpu=$agedCpu%.2fs")
             case None if r.lat.size >= 200 =>
               System.err.println(s"[soak] WARNING: $kind fresh-JVM probe " +
                 "unavailable — falling back to the in-run window compare, " +

@@ -120,6 +120,49 @@ class WidenedRegimeSpec extends graft.SparkSpec {
     }
   }
 
+  test("wide regime: incrementalSubstringDedup degrades to shuffle joins, results identical") {
+    val base = docs
+    val corpus = base.filter(col("doc_id") % 2 === 0)
+    val batch = base.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.windowFingerprints(corpus, "doc_id", "text", windowWords = 5)
+      .persist()
+    // pin the join shape to the operator's own hints: at fixture stats
+    // Catalyst would auto-broadcast the degrade branch's joins too, and
+    // the shape assertion would silently test nothing
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unforced = Dedup.incrementalSubstringDedup(batch, idx, "doc_id", "text", 5)
+      // ingest branch: batch keys broadcast by HINT (threshold is -1)
+      val unPlan = unforced.queryExecution.sparkPlan.toString
+      assert(unPlan.contains("BroadcastHashJoin"),
+        s"ingest branch lost its broadcast hints:\n$unPlan")
+      val unRows = unforced.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      withWideRegime(8192L) {
+        val width = graft.GraftSession.explodeWidth(batch, expansion = 16.0)
+          .getOrElse(fail("override should force the wide regime"))
+        val out = Dedup.incrementalSubstringDedup(batch, idx, "doc_id", "text", 5)
+        // degrade branch: NO broadcast of the batch key set anywhere —
+        // the corpus-sized index shuffles once on wkey instead of the
+        // driver collecting a corpus-sized "batch"'s keys (r18's
+        // maxResultSize crash shape)
+        val plan = out.queryExecution.sparkPlan.toString
+        assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+          s"degrade branch still broadcasts batch keys:\n$plan")
+        // and the reassembly keeps the widened hash(id) layout
+        assert(out.rdd.getNumPartitions === width,
+          "the covered-set join or the reassembly agg lost the widened layout")
+        val rows = out.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+        assert(rows === unRows)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      idx.unpersist()
+    }
+  }
+
   test("explodeWidth clamps in BigInt space (huge derived width -> maxWidth, not wraparound)") {
     // targetBytes=1 with a real input makes `derived` exceed Int range
     // once expansion scales it; the clamp must hit maxWidth instead of

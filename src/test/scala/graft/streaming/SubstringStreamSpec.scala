@@ -66,6 +66,64 @@ class SubstringStreamSpec extends graft.SparkSpec {
     assert(tick(Seq((20L, "f0 f1")).toDF("doc_id", "text"), 2L) === 1L)
   }
 
+  test("SubstringStream: regime flips across ticks keep the stored-index contract") {
+    // A backfill-sized batch takes the degrade branch (shuffle joins,
+    // no batch-key broadcast) while ingest ticks keep the broadcasts —
+    // the index contract (DISTINCT keys, exact novel counts, replays
+    // stripped) must hold when consecutive ticks straddle the regime
+    // threshold in either direction.
+    import spark.implicits._
+    val corpusDir = tmpDir("subflip_c")
+    val idxDir = tmpDir("subflip_i")
+    def tick(b: org.apache.spark.sql.DataFrame, bid: Long) =
+      SubstringStream.ingestBatch(spark, b, "doc_id", "text",
+        corpusDir, idxDir, windowWords = 4, batchId = Some(bid))
+    def forced[A](body: => A): A = {
+      spark.conf.set("spark.graft.explode.targetBytes", "1024")
+      try body finally spark.conf.unset("spark.graft.explode.targetBytes")
+    }
+    val a = "a0 a1 a2 a3 a4 a5 a6 a7" // 5 windows
+    val b = "b0 b1 b2 b3 b4 b5"       // 3 windows
+    // tick 0 unforced (broadcast path)
+    assert(tick(Seq((1L, a)).toDF("doc_id", "text"), 0L) === 1L)
+    assert(spark.read.parquet(idxDir).count() === 5L)
+    // tick 1 FORCED (degrade path): replay of a drops whole; b's novel
+    // keys append exactly once
+    forced {
+      assert(tick(Seq((2L, a), (3L, b)).toDF("doc_id", "text"), 1L) === 1L)
+    }
+    val keys1 = spark.read.parquet(idxDir).select("wkey").collect().map(_.getString(0))
+    assert(keys1.length === 8 && keys1.distinct.length === 8)
+    // tick 2 back to unforced: replay of b (indexed by the FORCED tick)
+    // drops whole — the two branches share one index semantics
+    assert(tick(Seq((4L, b), (5L, "c0 c1 c2 c3")).toDF("doc_id", "text"), 2L) === 1L)
+    val keys2 = spark.read.parquet(idxDir).select("wkey").collect().map(_.getString(0))
+    assert(keys2.length === 9 && keys2.distinct.length === 9)
+    val corpus = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus === Map(1L -> a, 3L -> b, 5L -> "c0 c1 c2 c3"))
+  }
+
+  test("SubstringStream: empty/whitespace text is published and counted, not silently dropped") {
+    import spark.implicits._
+    val corpusDir = tmpDir("subzero_c")
+    val idxDir = tmpDir("subzero_i")
+    val t1 = Seq((1L, Some("z0 z1 z2 z3 z4")), (2L, Some("")),
+        (3L, Some("   ")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // all four rows reach the corpus: the normal survivor, the two
+    // token-less docs (no substring identity -> review path, same as
+    // null), and the null review row
+    assert(SubstringStream.ingestBatch(spark, t1, "doc_id", "text",
+      corpusDir, idxDir, windowWords = 4, batchId = Some(0L)) === 4L)
+    val corpus = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(corpus.keySet === Set(1L, 2L, 3L, 4L))
+    assert(corpus(4L) === None)
+    // token-less docs never enter the index: only doc 1's 2 windows
+    assert(spark.read.parquet(idxDir).count() === 2L)
+  }
+
   test("SubstringStream: partial-publish crash replay rolls back and republishes once") {
     import spark.implicits._
     val corpusDir = tmpDir("subcrash_c")
