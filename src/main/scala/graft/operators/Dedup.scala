@@ -513,8 +513,26 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, minJaccard: Double = 0.5,
       maxDocFreq: Int = 50, minShared: Int = 3): DataFrame = {
-    val posts = shinglePosts(df, idCol, textCol, shingleLen)
-    val pruned = posts.join(rareShingles(posts, maxDocFreq), Seq("s"))
+    // ONE regime decision for the operator (threads the postings source
+    // AND the s-keyed chain below). r19, measured at 10M docs / 8 g:
+    // the postings laid out hash(id, 213) still fed three s-keyed steps
+    // — the document-frequency agg, the rare-shingle join, the
+    // candidate self-join — each planned as a fresh corpus-sized
+    // exchange at SESSION width (AQE only coalesces, never widens), and
+    // the 32-wide SMJ sort state OOMed the JVM (exit 52) before the
+    // verify stage ever ran. The same (id,pos)-trap as r18's substring
+    // fix, one key over.
+    val width = graft.GraftSession.explodeWidth(df)
+    val posts = shinglePosts(df, idCol, textCol, shingleLen, width)
+    // beyond fixture: ONE explicit hash(s, w) layout serves the df_s
+    // agg, the prune join and BOTH self-join sides — identical subplans,
+    // so ReuseExchange collapses them to a single physical shuffle.
+    // Fixture: postsByS = posts, plans byte-identical (golden-gated).
+    val postsByS = width match {
+      case Some(w) => posts.repartition(w, col("s"))
+      case None    => posts
+    }
+    val pruned = postsByS.join(rareShingles(postsByS, maxDocFreq), Seq("s"))
     val cands = pruned.withColumnRenamed("id", "id_a")
       .join(pruned.withColumnRenamed("id", "id_b"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -1147,6 +1165,11 @@ object Dedup {
       p.unpersist()
       return labels.toSeq.toDF("id", "comp")
     }
+    // beyond-limit only at real scale, so the line is adjudication
+    // evidence (which branch ran) rather than log spam
+    System.err.println(s"[cc] $nEdges edges " +
+      (if (longIds) s"> driverEdgeLimit=$driverEdgeLimit" else "with non-long ids") +
+      " -> distributed pointer-jump")
     // undirected edge list: two narrow projections over the cached pairs
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -462,8 +462,26 @@ object Similarity {
       codebooks: Seq[Seq[Array[Double]]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = normVec(corpus, idCol, vecCol, "id", "vec")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE regime decision for the build (r19, measured at 10M vectors /
+    // 8 g): the codes pipeline — 8 subvector rows per vector into a
+    // 256-way codebook fan-out, then two per-id aggregates — planned at
+    // session width put millions of agg groups on each task while the
+    // DESERIALIZED MEMORY_AND_DISK corpus cache pinned the storage pool;
+    // the collect_list agg's sort fallback died UNABLE_TO_ACQUIRE_MEMORY
+    // building the ann_topk_ivfpq_stored store. Beyond fixture, ONE
+    // hash(id, w) exchange at the source serves the cell argmin, both
+    // code aggregates AND the cells⋈codes join exchange-free (the
+    // hash(id) subset algebra; co-partition needs the engine's
+    // requireAllClusterKeysForCoPartition=false), and the corpus cache
+    // goes DISK_ONLY. Fixture inputs: None — plans byte-identical.
+    val width = graft.GraftSession.explodeWidth(corpus, expansion = 8.0)
+    val c0 = normVec(corpus, idCol, vecCol, "id", "vec")
+    val c = (width match {
+        case Some(w) => c0.repartition(w, col("id"))
+        case None    => c0
+      }).persist(
+        if (width.isDefined) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
       .toDF("cell", "centroid")
     val cells = c.crossJoin(broadcast(cents))
@@ -517,14 +535,6 @@ object Similarity {
     val cb = codebooks.zipWithIndex.flatMap { case (cws, s) =>
       cws.zipWithIndex.map { case (cw, ci) => (s, ci, cw.toSeq) }
     }.toDF("sub", "code", "cw")
-    val recon = store
-      .select(col("id").as("cand_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(cb), Seq("sub", "code"))
-      .groupBy("cand_id", "cell")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("sub"), col("cw")))),
-        p => p.getField("cw"))).as("recon"))
     val cents = centroids.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
       .toDF("cell", "centroid")
     import org.apache.spark.sql.expressions.Window
@@ -535,6 +545,31 @@ object Similarity {
         Window.partitionBy("probe_id").orderBy(col("d"), col("cell"))))
       .filter(col("pr") <= nprobe)
       .select("probe_id", "probe_vec", "cell")
+    // Probed-cell prune BEFORE reconstruction (r19): the recon pipeline
+    // (8-way posexplode, codebook join, per-candidate collect_list) is
+    // the expensive part, and joining cells only afterwards meant every
+    // cell in the store was reconstructed. The broadcast semi-join on
+    // the (≤ probes×nprobe) probed-cell set reaches the SCAN — the store
+    // is partitioned by cell, so the documented file-level pruning is
+    // now real in the plan, not just in the layout.
+    val candStore = store.join(
+      broadcast(probeCells.select("cell").distinct()), Seq("cell"), "left_semi")
+    // Same width regime as the build: codes inflate ~64× when
+    // reconstructed (8 ints -> 64 doubles), so the store's scan estimate
+    // under-models the recon stream by that factor. Fixture: None.
+    val width = graft.GraftSession.explodeWidth(store, expansion = 64.0)
+    val parted = width match {
+      case Some(w) => candStore.repartition(w, col("id"))
+      case None    => candStore
+    }
+    val recon = parted
+      .select(col("id").as("cand_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy("cand_id", "cell")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cw")))),
+        p => p.getField("cw"))).as("recon"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cand_id"))
     recon.join(probeCells, Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))
