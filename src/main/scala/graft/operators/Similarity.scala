@@ -179,8 +179,26 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val c = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE regime decision for the in-session training path (r19,
+    // measured at 10M vectors / 8 g): every Lloyd iteration's assign
+    // step collapses the centroid fan-out with a groupBy(id) that
+    // carries the FULL vectors — planned at session width, with the
+    // deserialized MEMORY_AND_DISK corpus cache pinning the storage
+    // pool, the first iteration died UNABLE_TO_ACQUIRE_MEMORY. Beyond
+    // fixture: hash(id, w) at the source serves the assign aggregate of
+    // EVERY iteration exchange-free (one corpus shuffle per training,
+    // not per iteration — the means aggregate collapses map-side to
+    // nlist×dim rows regardless), and the cache goes DISK_ONLY.
+    // ivfTrain takes the corpus layout as given, so callers own this
+    // decision once; fixture inputs: None, plans byte-identical.
+    val width = graft.GraftSession.explodeWidth(corpus, expansion = 8.0)
+    val c0 = normVec(corpus, idCol, vecCol, "cand_id", "cand_vec")
+    val c = (width match {
+        case Some(w) => c0.repartition(w, col("cand_id"))
+        case None    => c0
+      }).persist(
+        if (width.isDefined) org.apache.spark.storage.StorageLevel.DISK_ONLY
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = ivfTrain(c, "cand_id", "cand_vec", nlist, iters)
     ivfSearch(c, probes, idCol, vecCol, k, centroids, nprobe)
   }
