@@ -944,10 +944,17 @@ object Dedup {
     * corpus. Store it partitioned/bucketed by `wkey` and batch probes
     * co-locate; append each ingested batch's novel keys per arrival. */
   def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      windowWords: Int = 20): DataFrame = {
+      windowWords: Int = 20): DataFrame =
     // same regime split as [[substringDedup]] (this is its index-build
     // sibling): the wkey distinct aggregates a corpus-sized key stream
-    val width = graft.GraftSession.explodeWidth(df, expansion = 16.0)
+    windowFingerprints(df, idCol, textCol, windowWords,
+      graft.GraftSession.explodeWidth(df, expansion = 16.0))
+
+  /** [[windowFingerprints]] with the regime decided by the caller — a
+    * tick that runs probe AND index-append must make ONE width decision
+    * from one input, or the two halves can straddle the threshold. */
+  def windowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int, width: Option[Int]): DataFrame = {
     val wins = slidingWindows(wordPosts(df, idCol, textCol, width), windowWords)
     val keys = width match {
       case Some(w) => wins.repartition(w, col("wkey"))
@@ -970,7 +977,7 @@ object Dedup {
     * against the batch windows; the corpus-sized index is scanned once
     * and never shuffled. Returns (id, n_tokens, n_kept, clean_text). */
   def incrementalSubstringDedup(batch: DataFrame, corpusWins: DataFrame,
-      idCol: String, textCol: String, windowWords: Int = 20): DataFrame = {
+      idCol: String, textCol: String, windowWords: Int = 20): DataFrame =
     // Regime split on the BATCH: ingest-sized batches ride the two
     // broadcasts (index scanned once, never shuffled — the streaming
     // contract); a corpus-sized "batch" (a backfill) would collect its
@@ -979,7 +986,14 @@ object Dedup {
     // r18). Beyond fixture, degrade to shuffle semi-joins: the index
     // shuffles once on wkey — the substringDedup-shaped plan, which is
     // what a backfill IS. Fixture/ingest plans byte-identical.
-    val width = graft.GraftSession.explodeWidth(batch, expansion = 16.0)
+    incrementalSubstringDedup(batch, corpusWins, idCol, textCol, windowWords,
+      graft.GraftSession.explodeWidth(batch, expansion = 16.0))
+
+  /** [[incrementalSubstringDedup]] with the regime decided by the
+    * caller (see the width-threaded [[windowFingerprints]]). */
+  def incrementalSubstringDedup(batch: DataFrame, corpusWins: DataFrame,
+      idCol: String, textCol: String, windowWords: Int,
+      width: Option[Int]): DataFrame = {
     val posts = wordPosts(batch, idCol, textCol, width)
     val wins = slidingWindows(posts, windowWords)
     val batchKeys = wins.select("wkey").distinct()

@@ -572,10 +572,16 @@ object Similarity {
     // now real in the plan, not just in the layout.
     val candStore = store.join(
       broadcast(probeCells.select("cell").distinct()), Seq("cell"), "left_semi")
-    // Same width regime as the build: codes inflate ~64× when
-    // reconstructed (8 ints -> 64 doubles), so the store's scan estimate
-    // under-models the recon stream by that factor. Fixture: None.
-    val width = graft.GraftSession.explodeWidth(store, expansion = 64.0)
+    // Same width regime as the build — codes inflate ~64× when
+    // reconstructed (8 ints -> 64 doubles) — but scaled to the PRUNED
+    // stream: the semi-join above keeps ~nprobe/nlist of the store, and
+    // deriving the width from the full store's stats would over-split a
+    // few probed cells into mostly-empty partitions (per-task overhead,
+    // a pointless wide shuffle of a small set). The store estimate ×
+    // the probed fraction models what the repartition actually moves.
+    // Fixture: None either way (stats below target), branch identical.
+    val probedFrac = math.min(1.0, nprobe.toDouble / math.max(1, centroids.length))
+    val width = graft.GraftSession.explodeWidth(store, expansion = 64.0 * probedFrac)
     val parted = width match {
       case Some(w) => candStore.repartition(w, col("id"))
       case None    => candStore

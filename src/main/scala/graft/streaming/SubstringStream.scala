@@ -25,7 +25,10 @@ import graft.operators.Dedup
   * Published text is the normalized uncovered-token reassembly
   * (`clean_text`) in EVERY branch — the first batch probes an empty
   * key frame rather than skipping the probe, so corpus rows never mix
-  * raw and normalized forms. Null-text docs carry no substring
+  * raw and normalized forms. Empty/whitespace text normalizes to one
+  * empty token, so such docs flow through the survivor branch with
+  * `clean_text = ""` (published and counted; too short to window, so
+  * they never enter the index). Null-text docs carry no substring
   * identity: they dedup by id only, pass to the corpus for review,
   * and never enter the index — the same null-never-matches rule as
   * the other ingest loops.
@@ -64,11 +67,13 @@ object SubstringStream {
     * Some(id)` enables the idempotent-commit protocol; `None` is the
     * plain-append path.
     *
-    * Hygiene mirrors the sibling loops: the tick persists exactly two
-    * doc-bounded frames — the probe result (feeds the survivor filter
-    * and the zero-token guard) and the kept frame (feeds the corpus
-    * append, the key append and the count) — and releases exactly its
-    * own persists on exit. */
+    * Hygiene mirrors the sibling loops: the tick persists exactly one
+    * doc-bounded frame — the kept frame (feeds the corpus append, the
+    * key append and the count) — and releases it on exit. The tick
+    * makes ONE width-regime decision (from the deduped text batch) and
+    * threads it into both the index probe and the key append, so a
+    * tick is wholly in one regime even when the batch straddles the
+    * widening threshold. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, idxDir: String,
       windowWords: Int = 20, batchId: Option[Long] = None): Long = {
@@ -92,43 +97,41 @@ object SubstringStream {
         import spark.implicits._
         Seq.empty[String].toDF("wkey")
       }
-    // persist the doc-bounded probe result ONCE (it feeds the survivor
-    // filter AND the zero-token guard below — without the persist the
-    // guard's anti-join would re-scan the corpus-sized index)
+    // ONE regime decision per tick: the probe below and the key-append
+    // joins in the publish block must agree on broadcast-vs-shuffle, so
+    // the width is derived once here (from the text batch) and threaded
+    // into both — deciding each independently could straddle the
+    // threshold within a single tick (result-identical, but two regimes
+    // in one tick complicates adjudication of its plan).
+    val tickWidth = graft.GraftSession.explodeWidth(withText, expansion = 16.0)
     val cleaned = Dedup.incrementalSubstringDedup(
-      withText, index, idCol, textCol, windowWords).persist()
-    // a doc whose text normalizes to zero tokens has no postings row,
-    // so it falls out of the probe's per-id groupBy entirely — route it
-    // through the review path like null-text docs (no substring
-    // identity: dedup by id only, pass through, never enter the index)
-    // rather than silently dropping it from publish AND the count
-    val zeroTok = withText
-      .join(cleaned.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol), col(textCol))
+      withText, index, idCol, textCol, windowWords, tickWidth)
     // survivors keep their normalized uncovered reassembly; a fully
-    // covered doc (n_kept = 0) is a replay and drops whole
+    // covered doc (n_kept = 0) is a replay and drops whole. Every
+    // withText doc has a probe row — empty/whitespace text normalizes
+    // to one empty token (n_kept = 1, clean_text = ""), so token-less
+    // docs survive here; there is no silent-drop path to guard.
     val kept = cleaned.filter(col("n_kept") > 0)
       .select(col("id").as(idCol), col("clean_text").as(textCol))
       .unionByName(nullText)
-      .unionByName(zeroTok)
       .persist()
     try {
       val n = kept.count()
       if (n > 0) {
         val keptKeys = Dedup.windowFingerprints(
-          kept.filter(col(textCol).isNotNull), idCol, textCol, windowWords)
+          kept.filter(col(textCol).isNotNull), idCol, textCol, windowWords,
+          tickWidth)
         // novel keys only: probe-shaped anti (batch keys broadcast into
         // one index scan; hits re-broadcast) keeps the index DISTINCT
-        // without ever shuffling it. Regime split mirrors
-        // [[Dedup.incrementalSubstringDedup]]: a corpus-sized backfill
-        // batch driven through this entry point would otherwise collect
-        // its whole key set to the driver (maxResultSize) — beyond
-        // fixture, degrade both joins to shuffle joins (the index
-        // shuffles once on wkey). Ingest-sized batches keep the two
-        // broadcasts; fixture plans byte-identical.
-        val keyWidth = graft.GraftSession.explodeWidth(kept, expansion = 16.0)
+        // without ever shuffling it. Regime split is the tick-level
+        // decision above, shared with the probe: a corpus-sized
+        // backfill batch driven through this entry point would
+        // otherwise collect its whole key set to the driver
+        // (maxResultSize) — beyond fixture, degrade both joins to
+        // shuffle joins (the index shuffles once on wkey). Ingest-sized
+        // batches keep the two broadcasts; fixture plans byte-identical.
         val maybeBcast: DataFrame => DataFrame =
-          if (keyWidth.isEmpty) broadcast else identity
+          if (tickWidth.isEmpty) broadcast else identity
         val hitKeys = index.select(col("wkey"))
           .join(maybeBcast(keptKeys), Seq("wkey"), "left_semi").distinct()
         val novelKeys = keptKeys.join(maybeBcast(hitKeys), Seq("wkey"), "left_anti")
@@ -149,7 +152,6 @@ object SubstringStream {
       n
     } finally {
       kept.unpersist(blocking = false)
-      cleaned.unpersist(blocking = false)
     }
   }
 }

@@ -155,13 +155,33 @@ object Soak {
     }
   }
 
+  /** Poll the tally counter until it is stable for two consecutive
+    * 60 ms ticks (bounded at 1 s): stage-completed events are delivered
+    * async on the listener bus, so the counter read at a tick boundary
+    * can miss in-flight events of work that already finished. Same
+    * stable-size idea as ProbeQuery.drainBus, applied to the cumulative
+    * counter itself (CpuTally has no buffer to watch). Runs OUTSIDE the
+    * wall-clock measurement, so tick latency is unaffected. */
+  private def drainCpu(tally: CpuTally): Unit = {
+    var last = -1L; var stable = 0; var waited = 0
+    while (stable < 2 && waited < 1000) {
+      Thread.sleep(60); waited += 60
+      val n = tally.nanos.get()
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
+  }
+
   /** Run `tick` for rel = 0 until ticks, recording wall + CPU per tick;
     * shared instrumentation shell of the three ingest loops. `afterTick`
     * runs between ticks (the compaction-cadence boundary work) with the
     * latency series so far; its CPU is excluded from tick deltas, the
-    * same exclusion the wall series applies. After the loop a short
-    * drain window folds late-arriving stage events into the final tick
-    * before the listener detaches. */
+    * same exclusion the wall series applies. The counter is DRAINED
+    * (stable-poll, [[drainCpu]]) before each boundary read — both after
+    * the tick and after `afterTick` — so in-flight tick stages land in
+    * their own tick's delta and compaction stages are actually excluded
+    * rather than bleeding into the next tick (r19 advice: without the
+    * drains the exclusion was claimed, not delivered). Wall is measured
+    * before any drain, so the latency series carries no drain cost. */
   private def instrumentedTicks(spark: SparkSession, ticks: Int)(
       tick: Int => Unit)(
       afterTick: (Int, Seq[Double]) => Unit): (Seq[Double], Seq[Double]) = {
@@ -175,13 +195,13 @@ object Soak {
         val t0 = System.nanoTime()
         tick(rel)
         lat += (System.nanoTime() - t0) / 1e9
+        drainCpu(tally) // fold this tick's in-flight stages into ITS delta
         val now = tally.nanos.get()
         cpu += (now - prev) / 1e9
         afterTick(rel, lat.toSeq)
-        prev = tally.nanos.get() // boundary work (compactions) excluded
+        drainCpu(tally) // boundary work (compactions) fully excluded
+        prev = tally.nanos.get()
       }
-      Thread.sleep(300) // listener-bus drain for the final tick's stages
-      if (cpu.nonEmpty) cpu(cpu.size - 1) += math.max(0L, tally.nanos.get() - prev) / 1e9
       (lat.toSeq, cpu.toSeq)
     } finally spark.sparkContext.removeSparkListener(tally)
   }

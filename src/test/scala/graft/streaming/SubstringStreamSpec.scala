@@ -112,13 +112,18 @@ class SubstringStreamSpec extends graft.SparkSpec {
         (3L, Some("   ")), (4L, None: Option[String]))
       .toDF("doc_id", "text")
     // all four rows reach the corpus: the normal survivor, the two
-    // token-less docs (no substring identity -> review path, same as
-    // null), and the null review row
+    // token-less docs (normalize to one empty token -> survivor branch,
+    // clean_text = ""), and the null review row
     assert(SubstringStream.ingestBatch(spark, t1, "doc_id", "text",
       corpusDir, idxDir, windowWords = 4, batchId = Some(0L)) === 4L)
     val corpus = spark.read.parquet(corpusDir)
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(corpus.keySet === Set(1L, 2L, 3L, 4L))
+    // token-less docs publish the NORMALIZED reassembly (""), never the
+    // raw text — pins the survivor path (doc 3's raw "   " must not
+    // leak into the corpus, which only ever holds normalized forms)
+    assert(corpus(2L) === Some(""))
+    assert(corpus(3L) === Some(""))
     assert(corpus(4L) === None)
     // token-less docs never enter the index: only doc 1's 2 windows
     assert(spark.read.parquet(idxDir).count() === 2L)
