@@ -266,7 +266,25 @@ object Bpe {
     import org.apache.spark.sql.expressions.Window
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery must be >= 1")
     import org.apache.spark.sql.graftops.PlanApi
-    val words = df
+    // Widened regime (r20, measured at 10M docs / 8 g): the per-doc
+    // reassembly's partial collect_list ran on the 32 SCAN partitions —
+    // each task buffering ~300k docs' (wpos, enc) arrays — and spilled
+    // 50 GB before the shuffle (plus 2×30 GB on the double-executed
+    // sort side), 194 s cold. ONE explicit hash(id) exchange over the
+    // NARROW doc frame (repartition BEFORE the explode — the wordPosts
+    // pattern; repartitioning the exploded stream instead pushes ~550M
+    // rows through 32 concurrent shuffle writers and died
+    // UNABLE_TO_ACQUIRE_MEMORY in the map stage, measured) runs the
+    // explode and every downstream agg post-shuffle with ~|corpus|/w
+    // docs of state per task; HashPartitioning(id) survives the alias
+    // projection and satisfies the reassembly's distribution, so no
+    // second corpus exchange. Fixture: None, plan byte-identical.
+    val width = graft.GraftSession.explodeWidth(df, expansion = 16.0)
+    val src = width match {
+      case Some(w) => df.repartition(w, col(idCol))
+      case None    => df
+    }
+    val words = src
       .select(col(idCol).as("id"),
         posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
       .filter(length(col("wd")) > 0)
