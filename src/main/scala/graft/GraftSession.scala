@@ -40,6 +40,23 @@ object GraftSession {
     // and flipped a broadcast join to SMJ. The heavy explode pipelines
     // size their own shuffles from data via [[explodeWidth]] instead.
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    // Coalesce floor (r20, measured): AQE sizes post-shuffle partitions
+    // by BYTES (max(total/parallelism, minPartitionSize)), but the
+    // engine's hot shuffles carry narrow rows whose downstream per-row
+    // work (md5 hashing, regex normalize, explode fan-out, 32-hash
+    // signature aggs) is ~100× the byte cost. With the 1 MB default
+    // floor, every fixture/lake-scale exchange (0.5–3 MB) coalesces to
+    // 1–2 partitions and the compute-dense stage runs serially while
+    // the other cores idle — dd_simhash_neardup's explode+bit-sum stage
+    // measured 0.5 s wall / 0.5 s cpu on ONE task at sf0.1 (probe logs,
+    // OPTIMIZATION_r20.md). The floor is a trade measured BOTH ways:
+    // 64k re-parallelized the compute-dense stages (w08_sessionize
+    // 0.85->0.55 s, dd_simhash 2.4->2.0 s) but taxed the sketch-merge
+    // family with 32-task dispatch on genuinely tiny stages
+    // (ta_cm_merge 1.06->1.6 s); 256k keeps ~all of the win on both
+    // sides (probe table in OPTIMIZATION_r20.md). At production shuffle
+    // sizes the bytes/parallelism term dominates and the floor is inert.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     // The hash(id) subset algebra the explode family's width regime is
     // built on (one widened exchange at the postings source serves every
     // downstream per-id distribution) extends to JOINS only with this
@@ -133,6 +150,44 @@ object GraftSession {
         Some(w)
       } else None
     }
+  }
+
+  /** Spread a scan-speed frame across the session width when it would
+    * otherwise arrive UNDER-PARALLEL (r20, measured): a single-file
+    * fixture/lake table plans as ONE input split, so an operator whose
+    * heavy work rides the scan stage itself (normalize+explode+md5 in
+    * the sketch family — no exchange anywhere before the fixed-grid
+    * aggregation) runs its whole per-row pipeline serially:
+    * ta_heavy_hitters at sf0.1 spent 1.1 s cpu in one 1-task stage with
+    * 31 cores idle (probe log, OPTIMIZATION_r20.md). The gate is the
+    * PLANNED scan parallelism, not data size: inputs that already carry
+    * ≥ session-width splits (any real corpus at scale) pass through
+    * untouched — no shuffle is ever added to a well-parallel scan, so
+    * the 100 TB plan shape is unchanged. Round-robin (not keyed): these
+    * consumers declare no layout, and round-robin balances perfectly.
+    *
+    * Gate: the optimizer size estimate vs `files.maxPartitionBytes` —
+    * an input under one split's worth of bytes plans as ~1 scan task.
+    * (The direct gate, `df.rdd.getNumPartitions`, measured ~50 ms WARM
+    * per call — it physically plans the scan RDD; the stats read is
+    * ~5 ms and uses the same estimate machinery as [[explodeWidth]].
+    * Inputs between one split and session-width splits stay unspread —
+    * that mid-regime belongs to [[explodeWidth]]'s widened branch.) */
+  def spread(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    // idempotence: a caller that spread the frame once (a query sharing
+    // one spread across operator branches, a sharded merge filtering one
+    // spread corpus) must not pay a second exchange — the byte estimate
+    // alone can't see the earlier repartition, so check the plan for one
+    val alreadySpread = df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!alreadySpread && bytes > 0 && bytes < (BigInt(Long.MaxValue) >> 10) &&
+        bytes < conf.filesMaxPartitionBytes)
+      df.repartition(conf.numShufflePartitions)
+    else df
   }
 
   /** Session-level engine registration — the rules an extensions-

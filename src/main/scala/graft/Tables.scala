@@ -29,14 +29,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolve each table ONCE per (session, path) — the catalog posture
+  // (r20, measured): every bare `spark.read.parquet` call re-lists the
+  // directory, re-reads parquet footers and re-resolves the relation at
+  // ~80 ms WARM per call, and the registry re-reads its tables on every
+  // query construction — ~17 s of the 146-query warm bench was pure
+  // re-resolution of ten static files. A production engine resolves a
+  // table's metadata once into a catalog and plans against that; this
+  // memo is exactly that (the RELATION — schema + file index — is
+  // cached, never data or results: every execution still scans the
+  // parquet on disk). Keyed weakly by session so stopped sessions
+  // (tests create dozens) don't pin their state; per-session keying
+  // also keeps conf-dependent normalization (NTZ vs nanos branches)
+  // correct. The sf/lake dirs are write-once inputs by contract; a
+  // tool that regenerates a lake runs in a fresh session/process.
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // NOTE: the sort-sampling deferral rule is NOT registered here.
-    // Engine-built sessions get it from GraftSession.attach, extensions
-    // sessions from GraftExtensions — registering from a table reader
-    // put it in two optimizer batches on extensions sessions (r14
-    // ADVICE) and mutated session state from a read helper.
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(spark, df) else df
+    val perSession = relCache.synchronized {
+      relCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }
+    perSession.getOrElseUpdate(s"$dir/$name", {
+      // NOTE: the sort-sampling deferral rule is NOT registered here.
+      // Engine-built sessions get it from GraftSession.attach, extensions
+      // sessions from GraftExtensions — registering from a table reader
+      // put it in two optimizer batches on extensions sessions (r14
+      // ADVICE) and mutated session state from a read helper.
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEventTs(spark, df) else df
+    })
   }
 
   /** Normalize `ts` to TimestampType regardless of parquet physical

@@ -69,10 +69,19 @@ object Dedup {
     * passes it down. */
   private[operators] def wordPosts(df: DataFrame, idCol: String,
       textCol: String, width: Option[Int]): DataFrame = {
-    val parted = width match {
-      case Some(w) => df.repartition(w, col(idCol))
-      case None    => df.repartition(col(idCol))
-    }
+    // BOTH branches pin an explicit partition count (r20, measured):
+    // `repartition(col)` without a count is an AQE-coalescable shuffle
+    // (REPARTITION_BY_COL), and AQE sizes partitions by BYTES — a small
+    // doc frame (fixture, the 10×/20× lakes, any ≤ ~2 GB-exploded
+    // corpus slice) coalesces to 1–2 partitions, serializing exactly
+    // the normalize/explode/hash work this exchange exists to spread
+    // (the operator comment below). Pinning the session width on the
+    // None branch keeps the spread REAL at every scale the widened
+    // branch doesn't own; results are identical (same HashPartitioning,
+    // same width the planner would use — AQE just may no longer shrink
+    // it).
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartition(width.getOrElse(base), col(idCol))
     parted.select(col(idCol).as("id"),
       posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("pos", "w")))
   }
@@ -553,7 +562,10 @@ object Dedup {
     val planes = Similarity.lshSignature(col(vecCol),
       Similarity.hyperplanes(numPlanes, dim, seed))
     val nBands = numPlanes / bandBits
-    // signature evaluation is interpreted lambda work — spread it; the
+    // signature evaluation is interpreted lambda work — spread it.
+    // Left AQE-coalescable: r20 probed explicit session width on the
+    // vector family and it REGRESSED (dispatch > compute for a few-MB
+    // vector frame) — see the Similarity.bruteTopK width note; the
     // banding input persists inside cappedBucketPairs (compute sig once).
     // NOTE: bkey here has only 2^bandBits possible values per band, so at
     // corpus scale oversized buckets are NORMAL, not skew — raise
@@ -1253,8 +1265,13 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
       bits: Int = 64): DataFrame = {
-    val toks = df.repartition(col(idCol)).select(col(idCol).as("id"),
-      explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
+    // explicit width — the count-less form is AQE-coalescable and the
+    // explode+bit-sum stage ran on ONE task at fixture/lake scale
+    // (0.5 s cpu serial, r20 probe; see wordPosts)
+    val toks = df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")

@@ -54,7 +54,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
     // cosine is interpreted lambda work; a single-file corpus arrives as
-    // one split — spread it before the per-pair scoring
+    // one split — spread it before the per-pair scoring. Left AQE-
+    // coalescable (no explicit count) DELIBERATELY: r20 probed the
+    // explicit session-width form and the vector family REGRESSED
+    // (+0.1–0.45 s/query) — a few-MB vector frame's per-pair arithmetic
+    // doesn't amortize 32-task dispatch; the session coalesce floor
+    // (GraftSession.tune, 64k) already yields byte-proportional
+    // parallelism here. Explicit width is reserved for the text-explode
+    // family whose per-row cost is ~100× its bytes (see Dedup.wordPosts).
     val c = corpus.repartition(col(idCol))
       .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
     val scored = c
@@ -153,6 +160,7 @@ object Similarity {
     def widen(df: DataFrame, id: String, vec: String) =
       df.select(col("id").as(id),
         transform(col("qvec"), x => x.cast("double")).as(vec))
+    // AQE-coalescable by design — see the bruteTopK width note (r20)
     val c = widen(codes, "cand_id", "cand_q").repartition(col("cand_id"))
     val p = widen(quantizeInt8(probes, idCol, vecCol), "probe_id", "probe_q")
     import org.apache.spark.sql.expressions.Window
@@ -660,6 +668,7 @@ object Similarity {
     val nBands = numPlanes / bandBits
     def withBands(df: DataFrame, id: String, vec: String): DataFrame = {
       val sig = lshSignature(col(vec), planes)
+      // AQE-coalescable by design — see the bruteTopK width note (r20)
       val banded = df.repartition(col(id)).select(col(id), col(vec), sig.as("sig"))
       // one row per (band, bandKey)
       val bandCols = (0 until nBands).map { b =>

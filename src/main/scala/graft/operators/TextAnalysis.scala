@@ -201,6 +201,11 @@ object TextAnalysis {
   def shingleStream(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int): org.apache.spark.sql.DataFrame = {
     val norm = normalize(col(textCol))
+    // "zero shuffle" holds only when the scan is parallel: a single-file
+    // table plans as ONE split and the whole normalize/shingle fan-out
+    // runs serially (r20, measured). The spread belongs to the CALLER
+    // (see TextSketches.countMinSketch): it paid for the whole-corpus
+    // consumers (ta_hll_distinct) and lost for sharded ones.
     df.select(norm.as("t"), split(norm, " ").as("ws"))
       .select(explode(when(size(col("ws")) < n, array(col("t")))
         .otherwise(transform(sequence(lit(0), size(col("ws")) - n),

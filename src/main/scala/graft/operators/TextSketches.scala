@@ -31,6 +31,15 @@ object TextSketches {
   def countMinSketch(df: org.apache.spark.sql.DataFrame, textCol: String,
       depth: Int = 4, width: Int = 512): org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    // The whole normalize/explode/md5 pipeline runs IN the scan stage
+    // (no exchange before the fixed-grid agg), so an under-parallel scan
+    // serializes it (r20, measured: 1.1 s cpu on one task at sf0.1).
+    // The spread decision belongs to the CALLER (GraftSession.spread on
+    // the doc frame): whether it pays depends on per-call volume — it
+    // won for the whole-corpus heavy-hitters pass and LOST for the
+    // 3-way sharded merge (per-shard compute under the dispatch cost;
+    // probe pair in OPTIMIZATION_r20.md) — and only the caller can
+    // share one spread across branches.
     df.select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(explode(array((0 until depth).map { r =>

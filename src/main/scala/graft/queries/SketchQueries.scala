@@ -42,8 +42,10 @@ private[queries] object SketchQueries {
     // branch at all.
     Q("ta_hll_distinct",
       (s, d) => {
+        // whole-corpus shingle+md5 pass: spread pays here (r20 probes —
+        // the serial scan-stage form was the query's whole cost)
         val sh = graft.operators.TextAnalysis.shingleStream(
-          T(s, d, "documents"), "text", 3)
+          graft.GraftSession.spread(T(s, d, "documents")), "text", 3)
         val dsg = sh.filter(col("sg").isNotNull).distinct()
         val regs = graft.operators.TextSketches.hllRegisters(
           dsg, col("sg"), p = 8, withCount = true)
@@ -114,7 +116,12 @@ private[queries] object SketchQueries {
     // all integer → hash-exact.
     Q("ta_heavy_hitters",
       (s, d) => {
-        val docs = T(s, d, "documents")
+        // spread once at the query: the sketch branch and the exact-count
+        // branch then share ONE spread exchange (identical subplans →
+        // ReuseExchange) instead of each running its normalize/explode/
+        // md5 pipeline serially inside the single-split scan stage (r20;
+        // no-op at ≥ session-width splits — see TextSketches)
+        val docs = graft.GraftSession.spread(T(s, d, "documents"))
         val sketch = graft.operators.TextSketches.countMinSketch(docs, "text",
           depth = 4, width = 64)
         val toks = docs.select(explode(split(
@@ -158,6 +165,10 @@ private[queries] object SketchQueries {
     // per-shard sketches roll up at 100 TB without touching row data
     Q("ta_cm_merge",
       (s, d) => {
+        // NO spread here (r20, probed both ways): per-shard compute is
+        // ~a third of the corpus and does not amortize the extra
+        // exchange + 3 session-width stages (0.96 s unspread vs 1.6 s
+        // spread at sf0.1) — the sharded merges keep the scan-speed form
         val docs = T(s, d, "documents")
         TextSketches.cmMerge((0 until 3).map(k =>
           TextSketches.countMinSketch(
@@ -182,6 +193,7 @@ private[queries] object SketchQueries {
     // histograms the whole corpus directly
     Q("ta_hist_merge",
       (s, d) => {
+        // no spread — sharded merge, see ta_cm_merge (r20)
         val docs = T(s, d, "documents")
         TextSketches.histogramMerge((0 until 3).map(k =>
           TextSketches.tokenHistogram(
@@ -213,6 +225,7 @@ private[queries] object SketchQueries {
     // whole-corpus registers directly — max-merge is exactly lossless
     Q("ta_hll_merge",
       (s, d) => {
+        // no spread — sharded merge, see ta_cm_merge (r20)
         val docs = T(s, d, "documents")
         TextSketches.hllMerge((0 until 3).map { k =>
           val sh = TextAnalysis.shingleStream(
