@@ -13,6 +13,154 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Driver fast-path regime bound (r20): inputs whose optimizer size
+    * estimate is under this many bytes train/encode on the DRIVER over
+    * the collected vocabulary — the [[Dedup.connectedComponents]]
+    * `driverEdgeLimit` pattern applied to BPE. The motivation is
+    * measured, not stylistic: the distributed classic trainer is
+    * ~2·numMerges sequential bounded jobs (argmax + rewrite per merge),
+    * which at fixture/lake scale is ~0.1–0.15 s of scheduling per job
+    * against microseconds of actual work (ta_bpe_train: 2.0–2.8 s warm
+    * at sf0.1, almost all of it job dispatch; PlanCost r20). Under the
+    * bound the whole corpus text is ≤ 32 MB, so the VOCABULARY (≤ the
+    * text) collects safely and the identical greedy algorithm runs in
+    * one driver pass; beyond it the distributed loop below is unchanged
+    * (a 100 TB corpus never takes this branch). Result equality is
+    * pinned three ways: the DuckDB oracle derives every merge
+    * independently, BpeDriverRegimeSpec forces both branches onto the
+    * same input and asserts identical frames, and the driver argmax
+    * tie-break compares UTF-8 BYTES (Spark's UTF8String order), not
+    * UTF-16 chars. Override per session via
+    * `spark.graft.bpe.driverInputLimit` (bytes; 0 disables the fast
+    * path — how the spec forces the distributed branch at fixture). */
+  val DriverInputBytesLimit: Long = 32L << 20
+
+  private def driverInputLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.bpe.driverInputLimit")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(DriverInputBytesLimit)
+
+  /** True when `df`'s optimizer estimate is a KNOWN size under the
+    * driver-regime limit (unknown stats → distributed, never guess). */
+  private def driverRegime(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes > 0 && bytes < (BigInt(Long.MaxValue) >> 10) &&
+      bytes < driverInputLimit(df.sparkSession)
+  }
+
+  /** Spark's string ordering is UTF8String — unsigned UTF-8 byte
+    * comparison. The driver loop must break count ties identically
+    * (UTF-16 `String.compareTo` differs for supplementary-plane text). */
+  private[operators] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Split to per-CODE-POINT symbols — `substr(i, 1)` semantics (Spark
+    * counts code points, not UTF-16 units). */
+  private def codePointSyms(wd: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < wd.length) {
+      val n = Character.charCount(wd.codePointAt(i))
+      out += wd.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right merge pass over a symbol sequence for a
+    * SYMBOL-DISJOINT pick set — the sequential equivalent of the
+    * gaps-and-islands rewrite: consecutive starts only arise from a
+    * single l = r pick (disjointness forbids cross-pick adjacency), and
+    * advancing past a merged pair is exactly the even-offset rule. */
+  private def applyPicks(syms: Array[String],
+      picks: Map[(String, String), String]): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && picks.contains((syms(i), syms(i + 1)))) {
+        out += picks((syms(i), syms(i + 1))); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Frequency-weighted adjacent-pair counts over the vocabulary. */
+  private def pairCounts(vocab: Array[(Array[String], Long)])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    vocab.foreach { case (s, f) =>
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + f)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** Driver-side trainer — the SAME selection and rewrite rules as the
+    * distributed loops, run over a collected vocabulary. `batchSize = 1`
+    * degenerates to [[bpeTrain]]'s exact argmax (the top-ranked
+    * candidate is always conflict-free); larger sizes replicate
+    * [[bpeTrainBatched]]'s window-truncated conflict-free-prefix rule
+    * verbatim (including the 4·batchSize window truncation — a driver
+    * pass COULD scan every candidate, but then a round that conflicts
+    * away its whole window would pick merges the distributed branch
+    * would not). */
+  private[operators] def trainDriver(vocab0: Array[(String, Long)],
+      numMerges: Int, minPairCount: Long,
+      batchSize: Int): Seq[(Int, String, String, Long)] = {
+    val ord = Utf8Ordering
+    var vocab = vocab0.map { case (wd, f) => (codePointSyms(wd), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val ranked = pairCounts(vocab).toArray
+        .filter(_._2 >= minPairCount)
+        .sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else {
+            val cl = ord.compare(l1, l2)
+            if (cl != 0) cl < 0 else ord.compare(r1, r2) < 0
+          }
+        }
+      val cand = ranked.take(4 * batchSize)
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val seen = scala.collection.mutable.Set.empty[String]
+      val it = cand.iterator
+      while (picks.size < batchSize && it.hasNext) {
+        val ((l, r), c) = it.next()
+        if (!seen(l) && !seen(r)) picks += ((l, r, c))
+        seen += l; seen += r
+      }
+      if (picks.isEmpty) done = true
+      else {
+        val base = merges.size
+        picks.zipWithIndex.foreach { case ((l, r, c), i) =>
+          merges += ((base + i, l, r, c))
+        }
+        val pickMap = picks.map { case (l, r, _) => (l, r) -> (l + r) }.toMap
+        vocab = vocab.map { case (s, f) => (applyPicks(s, pickMap), f) }
+      }
+    }
+    merges.take(numMerges).toSeq
+  }
+
+  /** Driver-side encoder — the merge cascade of [[bpeEncode]] applied
+    * per distinct word: one pass per merge, in rank order. */
+  private[operators] def encodeDriver(wd: String,
+      merges: Seq[(String, String)]): (Long, String) = {
+    var syms = codePointSyms(wd)
+    merges.foreach { case (l, r) =>
+      syms = applyPicks(syms, Map((l, r) -> (l + r)))
+    }
+    (syms.length.toLong, syms.mkString(" "))
+  }
+
   /** BPE tokenizer training — learn `numMerges` byte-pair merges from
     * the corpus (Sennrich et al.): per iteration, count adjacent symbol
     * pairs weighted by word frequency, take the max (count desc, then
@@ -43,6 +191,15 @@ object Bpe {
     val vocab = df.select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("wd"))
       .filter(length(col("wd")) > 0)
       .groupBy("wd").agg(count(lit(1)).as("freq"))
+    if (driverRegime(df)) {
+      // bounded-input fast path (see DriverInputBytesLimit): one vocab
+      // job instead of ~2·numMerges sequential argmax/rewrite jobs
+      val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      System.err.println(s"[bpe] driver regime: ${rows.length} vocab words, " +
+        s"$numMerges merges on the driver (input under the byte limit)")
+      return trainDriver(rows, numMerges, minPairCount, batchSize = 1)
+        .toDF("it", "lft", "rgt", "cnt")
+    }
     var posts = vocab.select(col("wd"), col("freq"),
         posexplode(transform(sequence(lit(1), length(col("wd"))),
           i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
@@ -144,6 +301,14 @@ object Bpe {
     val vocab = df.select(explode(split(TextAnalysis.normalize(col(textCol)), " ")).as("wd"))
       .filter(length(col("wd")) > 0)
       .groupBy("wd").agg(count(lit(1)).as("freq"))
+    if (driverRegime(df)) {
+      // bounded-input fast path — same rule set, one vocab job
+      val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      System.err.println(s"[bpe] driver regime (batched): ${rows.length} vocab " +
+        s"words, $numMerges merges x batch $batchSize on the driver")
+      return trainDriver(rows, numMerges, minPairCount, batchSize)
+        .toDF("it", "lft", "rgt", "cnt")
+    }
     var posts = vocab.select(col("wd"), col("freq"),
         posexplode(transform(sequence(lit(1), length(col("wd"))),
           i => col("wd").substr(i, lit(1)))).as(Seq("pos", "sym")))
@@ -288,6 +453,24 @@ object Bpe {
       .select(col(idCol).as("id"),
         posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
       .filter(length(col("wd")) > 0)
+    if (driverRegime(df)) {
+      // bounded-input fast path (see DriverInputBytesLimit): the merge
+      // cascade is a function of the DISTINCT word alone, so under the
+      // byte bound the vocabulary collects in one job and the cascade
+      // runs on the driver — replacing |merges| window passes (plus
+      // their plan/codegen cost) with the identical greedy rewrites.
+      // The corpus-side tail (broadcast join + per-doc reassembly) is
+      // the same plan either way.
+      val spark = df.sparkSession
+      val vocabWords = words.select("wd").distinct().collect().map(_.getString(0))
+      System.err.println(s"[bpe] driver regime (encode): ${vocabWords.length} " +
+        s"vocab words x ${merges.size} merges on the driver")
+      import spark.implicits._
+      val encVocab = vocabWords.toSeq
+        .map { wd => val (n, e) = encodeDriver(wd, merges); (wd, n, e) }
+        .toDF("wd", "n", "e")
+      return encodeTail(words, encVocab, broadcastVocab)
+    }
     var posts = words.select("wd").distinct()
       .select(col("wd"),
         posexplode(transform(sequence(lit(1), length(col("wd"))),
@@ -327,6 +510,15 @@ object Bpe {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("sym")))),
           s => s.getField("sym"))).as("e"))
+    encodeTail(words, encVocab, broadcastVocab)
+  }
+
+  /** The corpus side of [[bpeEncode]] — shared by the driver-regime and
+    * distributed cascades: attach each word's encoding, reassemble per
+    * doc. `encVocab` must be (wd, n, e). */
+  private def encodeTail(words: org.apache.spark.sql.DataFrame,
+      encVocab: org.apache.spark.sql.DataFrame,
+      broadcastVocab: Boolean): org.apache.spark.sql.DataFrame = {
     val joined =
       if (broadcastVocab) words.join(broadcast(encVocab), Seq("wd"))
       // SHUFFLE_HASH, not sort-merge: the vocab side is the smaller one

@@ -92,12 +92,22 @@ object Similarity {
     * all-zero codes (scale floors at 1e-30, never 0). Pure per-row
     * expressions — quantization runs at scan speed. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = normVec(df, idCol, vecCol, "id", "vec")
-    v.withColumn("scale",
-        greatest(array_max(transform(col("vec"), x => abs(x))), lit(1e-30)) / 127.0)
-      .withColumn("qvec",
-        transform(col("vec"), x => floor(x / col("scale") + 0.5).cast("tinyint")))
-      .select(col("id"), col("scale"), col("qvec"))
+    // Fused codegen pass (r20): the former higher-order chain
+    // (`transform(cast)` + `array_max(transform(abs))` +
+    // `transform(floor(x/scale+0.5))`) is evaluated INTERPRETED by Spark
+    // with closure dispatch per element — measured as 0.7 s cpu per
+    // snapshot scan at sf0.1 in the drift family and the dominant
+    // per-row cost of every on-the-fly quantization at scale.
+    // [[graft.functions.VectorInt8]] computes the identical scale and
+    // codes (the null/NaN/empty cases are pinned on the expression and
+    // in VectorInt8Spec) in one JIT-compiled loop; the struct is
+    // evaluated once per row (both fields project from the same call —
+    // codegen subexpression elimination, the TextProfile pattern).
+    import org.apache.spark.sql.graftops.PlanApi
+    val q = PlanApi.column(graft.functions.VectorInt8(
+      PlanApi.expression(col(vecCol))))
+    df.select(col(idCol).as("id"), q.as("_q"))
+      .select(col("id"), col("_q.scale").as("scale"), col("_q.qvec").as("qvec"))
   }
 
   /** Exact top-k cosine over int8-quantized vectors — [[bruteTopK]] run

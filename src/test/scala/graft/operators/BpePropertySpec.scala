@@ -34,7 +34,12 @@ class BpePropertySpec extends SparkSpec {
 
   test("bpeTrainBatched(batchSize = 1) ≡ bpeTrain on random corpora") {
     import spark.implicits._
-    forAll(corpusGen, cases = 6) { docs =>
+    // force the DISTRIBUTED loops: these tiny corpora would otherwise
+    // take the r20 driver fast path on both sides, and this property
+    // exists to pin the distributed selection/rewrite rules against
+    // each other (driver ≡ distributed is BpeDriverRegimeSpec's job)
+    spark.conf.set("spark.graft.bpe.driverInputLimit", "0")
+    try forAll(corpusGen, cases = 6) { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       def rows(out: org.apache.spark.sql.DataFrame) =
         out.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -42,7 +47,7 @@ class BpePropertySpec extends SparkSpec {
       val classic = rows(Bpe.bpeTrain(df, "text", numMerges = 4))
       val batched = rows(Bpe.bpeTrainBatched(df, "text", numMerges = 4, batchSize = 1))
       assert(batched === classic)
-    }
+    } finally spark.conf.unset("spark.graft.bpe.driverInputLimit")
   }
 
   /** Independent driver-side reimplementation of ONE round of the

@@ -37,10 +37,15 @@ class BpeScaleSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val sc = spark.sparkContext
     sc.setJobGroup("bpe_1k", "1024-merge batched train")
-    val got = Bpe.bpeTrainBatched(docs, "text",
+    // force the DISTRIBUTED loop: the round/job-batching property under
+    // test lives there (the r20 driver fast path would take this tiny
+    // corpus and schedule ~1 job, making the bound vacuous)
+    spark.conf.set("spark.graft.bpe.driverInputLimit", "0")
+    val got = try Bpe.bpeTrainBatched(docs, "text",
         numMerges = 1024, batchSize = 128)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
+    finally spark.conf.unset("spark.graft.bpe.driverInputLimit")
     val jobs = sc.statusTracker.getJobIdsForGroup("bpe_1k").length
     sc.clearJobGroup()
     // independent model: all pairs disjoint → conflict-free prefix keeps
@@ -97,7 +102,16 @@ class BpeScaleSpec extends SparkSpec {
     val merges = Seq(("a", "b"), ("ab", "c"), ("abc", "d")) ++ filler ++
       filler.map { case (l, r) => (r, l) } // 3 + 511 + 511 = 1025 ≥ 1024
     val docs = Seq((1L, "abcd e"), (2L, "abcd abcd")).toDF("doc_id", "text")
-    val out = Bpe.bpeEncode(docs, "doc_id", "text", merges)
+    // force the DISTRIBUTED cascade — the checkpointEvery plan-depth
+    // bound under test only exists there (see the batched test above).
+    // checkpointEvery=32 (not the 64 default): the MECHANISM under test
+    // is identical, and the 64-stage tail's task-serialization recursion
+    // sits close enough to a cold-JIT thread stack that the test flaked
+    // once with StackOverflowError during serialization (r20) — the
+    // bound assertion below still uses the stage interval passed here
+    spark.conf.set("spark.graft.bpe.driverInputLimit", "0")
+    val out = try Bpe.bpeEncode(docs, "doc_id", "text", merges, checkpointEvery = 32)
+      finally spark.conf.unset("spark.graft.bpe.driverInputLimit")
     val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got(1L) === ((2L, "abcd e")))
     assert(got(2L) === ((2L, "abcd abcd")))
@@ -107,7 +121,7 @@ class BpeScaleSpec extends SparkSpec {
     val windowNodes = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.size
-    assert(windowNodes <= 6 * 64,
+    assert(windowNodes <= 6 * 32,
       s"$windowNodes Window stages in the final plan — checkpoint cascade not bounding depth")
   }
 }

@@ -230,13 +230,21 @@ class TextAnalysisSpec extends SparkSpec {
       .map { case (w, i) => (i.toLong, Seq.fill(16 - i)(w).mkString(" ")) }
       .toDF("doc_id", "text")
     val sc = spark.sparkContext
+    // force the DISTRIBUTED loops: the round-collapse job-count property
+    // lives there (the r20 driver fast path takes this tiny corpus in
+    // ~2 jobs on BOTH sides, making the ratio assertion meaningless)
+    spark.conf.set("spark.graft.bpe.driverInputLimit", "0")
     sc.setJobGroup("bpe_seq", "sequential train")
-    val seq = rows(Bpe.bpeTrain(corpus, "text", numMerges = 8))
+    val seq = try rows(Bpe.bpeTrain(corpus, "text", numMerges = 8))
+      finally sc.clearJobGroup()
     val seqJobs = sc.statusTracker.getJobIdsForGroup("bpe_seq").length
     sc.setJobGroup("bpe_bat", "batched train")
-    val bat = rows(Bpe.bpeTrainBatched(corpus, "text", numMerges = 8, batchSize = 8))
+    val bat = try rows(Bpe.bpeTrainBatched(corpus, "text", numMerges = 8, batchSize = 8))
+      finally {
+        sc.clearJobGroup()
+        spark.conf.unset("spark.graft.bpe.driverInputLimit")
+      }
     val batJobs = sc.statusTracker.getJobIdsForGroup("bpe_bat").length
-    sc.clearJobGroup()
     assert(bat === seq)
     assert(bat.map(m => (m._2, m._3)) ===
       Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op").map(w => (w(0).toString, w(1).toString)))
