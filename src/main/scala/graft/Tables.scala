@@ -43,14 +43,27 @@ object Tables {
   // also keeps conf-dependent normalization (NTZ vs nanos branches)
   // correct. The sf/lake dirs are write-once inputs by contract; a
   // tool that regenerates a lake runs in a fresh session/process.
+  //
+  // The VALUES are held via SoftReference (r21 ADVICE): a Dataset
+  // strongly references its own SparkSession, so holding the DataFrames
+  // strongly would re-pin the weak KEY through the map's value chain and
+  // no entry could ever be collected. With the per-session map behind a
+  // SoftReference, a stopped session is only soft-reachable and the GC
+  // reclaims it (entry included) under memory pressure; a cleared ref
+  // for a LIVE session just re-resolves (~80 ms once).
   private val relCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+      java.lang.ref.SoftReference[
+        scala.collection.concurrent.TrieMap[String, DataFrame]]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = relCache.synchronized {
-      relCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      val live = Option(relCache.get(spark)).flatMap(r => Option(r.get()))
+      live.getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        relCache.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      }
     }
     perSession.getOrElseUpdate(s"$dir/$name", {
       // NOTE: the sort-sampling deferral rule is NOT registered here.

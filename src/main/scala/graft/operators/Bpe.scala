@@ -48,6 +48,25 @@ object Bpe {
       bytes < driverInputLimit(df.sparkSession)
   }
 
+  /** Post-collect guard for the driver regime (r21 ADVICE): [[driverRegime]]
+    * bounds the optimizer's BYTE ESTIMATE, which compression/propagation can
+    * underestimate, and the driver loops expand every vocab word into
+    * per-code-point String arrays and per-round pair HashMaps (~50× JVM
+    * overhead per text char) — so an adversarial high-distinct-vocab input
+    * near the limit could blow the driver heap on a lying estimate. After
+    * the (maxResultSize-bounded) collect, re-check the ACTUAL vocabulary
+    * chars against the same limit and fall back to the distributed loop
+    * when exceeded. */
+  private[operators] def driverVocabFits(spark: org.apache.spark.sql.SparkSession,
+      chars: Long, what: String): Boolean = {
+    val lim = driverInputLimit(spark)
+    val ok = chars <= lim
+    if (!ok) System.err.println(s"[bpe] driver-regime estimate lied ($what): " +
+      s"collected vocabulary is $chars chars > limit $lim bytes — " +
+      "falling back to the distributed loop")
+    ok
+  }
+
   /** Spark's string ordering is UTF8String — unsigned UTF-8 byte
     * comparison. The driver loop must break count ties identically
     * (UTF-16 `String.compareTo` differs for supplementary-plane text). */
@@ -195,10 +214,12 @@ object Bpe {
       // bounded-input fast path (see DriverInputBytesLimit): one vocab
       // job instead of ~2·numMerges sequential argmax/rewrite jobs
       val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
-      System.err.println(s"[bpe] driver regime: ${rows.length} vocab words, " +
-        s"$numMerges merges on the driver (input under the byte limit)")
-      return trainDriver(rows, numMerges, minPairCount, batchSize = 1)
-        .toDF("it", "lft", "rgt", "cnt")
+      if (driverVocabFits(spark, rows.iterator.map(_._1.length.toLong).sum, "train")) {
+        System.err.println(s"[bpe] driver regime: ${rows.length} vocab words, " +
+          s"$numMerges merges on the driver (input under the byte limit)")
+        return trainDriver(rows, numMerges, minPairCount, batchSize = 1)
+          .toDF("it", "lft", "rgt", "cnt")
+      }
     }
     var posts = vocab.select(col("wd"), col("freq"),
         posexplode(transform(sequence(lit(1), length(col("wd"))),
@@ -304,10 +325,12 @@ object Bpe {
     if (driverRegime(df)) {
       // bounded-input fast path — same rule set, one vocab job
       val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
-      System.err.println(s"[bpe] driver regime (batched): ${rows.length} vocab " +
-        s"words, $numMerges merges x batch $batchSize on the driver")
-      return trainDriver(rows, numMerges, minPairCount, batchSize)
-        .toDF("it", "lft", "rgt", "cnt")
+      if (driverVocabFits(spark, rows.iterator.map(_._1.length.toLong).sum, "train-batched")) {
+        System.err.println(s"[bpe] driver regime (batched): ${rows.length} vocab " +
+          s"words, $numMerges merges x batch $batchSize on the driver")
+        return trainDriver(rows, numMerges, minPairCount, batchSize)
+          .toDF("it", "lft", "rgt", "cnt")
+      }
     }
     var posts = vocab.select(col("wd"), col("freq"),
         posexplode(transform(sequence(lit(1), length(col("wd"))),
@@ -332,8 +355,22 @@ object Bpe {
         .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(window)
         .collect()
         // TakeOrderedAndProject returns sorted rows; re-sort on the driver
-        // anyway so correctness never leans on a physical-plan detail
-        .sortBy(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+        // anyway so correctness never leans on a physical-plan detail.
+        // The re-sort MUST use Utf8Ordering (UTF-8 bytes — UTF8String's
+        // order, what the distributed orderBy used), not Scala's String
+        // tuple ordering (UTF-16 code units): the two diverge for
+        // supplementary-plane symbols (surrogate units 0xD800+ sort below
+        // BMP chars ≥ U+E000 in UTF-16, above ALL BMP in UTF-8), so a
+        // UTF-16 re-sort could flip tied-count picks vs trainDriver's.
+        .sortWith { (a, b) =>
+          val c1 = a.getLong(2); val c2 = b.getLong(2)
+          if (c1 != c2) c1 > c2
+          else {
+            val cl = Utf8Ordering.compare(a.getString(0), b.getString(0))
+            if (cl != 0) cl < 0
+            else Utf8Ordering.compare(a.getString(1), b.getString(1)) < 0
+          }
+        }
       // conflict-free-prefix rule, verbatim from the scaladoc: a pair is
       // picked iff NO higher-ranked candidate (picked or not) shares a
       // symbol with it — so `seen` accumulates the symbols of EVERY
@@ -463,13 +500,15 @@ object Bpe {
       // the same plan either way.
       val spark = df.sparkSession
       val vocabWords = words.select("wd").distinct().collect().map(_.getString(0))
-      System.err.println(s"[bpe] driver regime (encode): ${vocabWords.length} " +
-        s"vocab words x ${merges.size} merges on the driver")
-      import spark.implicits._
-      val encVocab = vocabWords.toSeq
-        .map { wd => val (n, e) = encodeDriver(wd, merges); (wd, n, e) }
-        .toDF("wd", "n", "e")
-      return encodeTail(words, encVocab, broadcastVocab)
+      if (driverVocabFits(spark, vocabWords.iterator.map(_.length.toLong).sum, "encode")) {
+        System.err.println(s"[bpe] driver regime (encode): ${vocabWords.length} " +
+          s"vocab words x ${merges.size} merges on the driver")
+        import spark.implicits._
+        val encVocab = vocabWords.toSeq
+          .map { wd => val (n, e) = encodeDriver(wd, merges); (wd, n, e) }
+          .toDF("wd", "n", "e")
+        return encodeTail(words, encVocab, broadcastVocab)
+      }
     }
     var posts = words.select("wd").distinct()
       .select(col("wd"),

@@ -59,8 +59,8 @@ object Similarity {
     // explicit session-width form and the vector family REGRESSED
     // (+0.1–0.45 s/query) — a few-MB vector frame's per-pair arithmetic
     // doesn't amortize 32-task dispatch; the session coalesce floor
-    // (GraftSession.tune, 64k) already yields byte-proportional
-    // parallelism here. Explicit width is reserved for the text-explode
+    // (GraftSession.tune, 256k — the shipped value; the probe ran at
+    // 64k) already yields byte-proportional parallelism here. Explicit width is reserved for the text-explode
     // family whose per-row cost is ~100× its bytes (see Dedup.wordPosts).
     val c = corpus.repartition(col(idCol))
       .select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
@@ -103,9 +103,21 @@ object Similarity {
     // in VectorInt8Spec) in one JIT-compiled loop; the struct is
     // evaluated once per row (both fields project from the same call —
     // codegen subexpression elimination, the TextProfile pattern).
+    //
+    // VectorInt8 accepts array<float|double> only; any OTHER numeric
+    // element type (array<int> vectors the pre-r20 lambda chain handled
+    // via its cast front-end) gets the same widening cast projected in
+    // front (r21 ADVICE — keeps the public operator's accepted inputs
+    // unchanged; the float/double hot path stays a single fused call).
     import org.apache.spark.sql.graftops.PlanApi
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val resolved = df.select(col(vecCol)).schema.head.dataType
+    val vec = resolved match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => col(vecCol)
+      case _ => transform(col(vecCol), x => x.cast("double"))
+    }
     val q = PlanApi.column(graft.functions.VectorInt8(
-      PlanApi.expression(col(vecCol))))
+      PlanApi.expression(vec)))
     df.select(col(idCol).as("id"), q.as("_q"))
       .select(col("id"), col("_q.scale").as("scale"), col("_q.qvec").as("qvec"))
   }

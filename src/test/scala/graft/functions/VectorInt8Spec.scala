@@ -79,4 +79,22 @@ class VectorInt8Spec extends SparkSpec {
       assert(String.valueOf(a(i).get(2)) === String.valueOf(b(i).get(2)))
     }
   }
+
+  test("quantizeInt8 accepts non-float/double numeric arrays (r21 ADVICE)") {
+    // the pre-r20 lambda chain cast ANY numeric element type to double;
+    // the fused VectorInt8 only takes array<float|double>, so the
+    // operator must project the widening cast in front for e.g.
+    // array<int> vectors — and match the lambda chain's output exactly
+    import spark.implicits._
+    val df = Seq((0L, Seq(1, -2, 127)), (1L, Seq(0, 0)), (2L, Seq.empty[Int]))
+      .toDF("id", "vec")
+    val a = graft.operators.Similarity.quantizeInt8(df, "id", "vec")
+      .orderBy("id").collect()
+    val b = lambdaChain(df).orderBy("id").collect()
+    (0 to 2).foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(a(i).getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(b(i).getDouble(1)), s"scale row $i")
+      assert(String.valueOf(a(i).get(2)) === String.valueOf(b(i).get(2)), s"qvec row $i")
+    }
+  }
 }

@@ -74,4 +74,32 @@ class BpeDriverRegimeSpec extends SparkSpec {
     val dist = forced(trainRows(Bpe.bpeTrain(tied, "text", numMerges = 1)))
     assert(driver === dist)
   }
+
+  test("batched tie-break matches across branches for supplementary-plane symbols") {
+    // UTF-16 vs UTF-8 order diverge exactly here: U+FFFD (UTF-16 unit
+    // 0xFFFD; UTF-8 EF BF BD) vs U+1F600 (surrogate pair starting 0xD83D;
+    // UTF-8 F0 9F 98 80) — UTF-16 ranks the emoji FIRST, UTF-8 LAST. Both
+    // candidate pairs share the symbol "a" and are count-tied, so the one
+    // merge picked is decided purely by the re-sort's tie-break; the
+    // distributed batched branch must agree with the driver (r21 ADVICE:
+    // its collected-candidate re-sort used UTF-16 tuple ordering).
+    import spark.implicits._
+    val tied = Seq((0L, "a� a😀")).toDF("doc_id", "text")
+    val driver = trainRows(Bpe.bpeTrainBatched(tied, "text", numMerges = 1, batchSize = 2))
+    val dist = forced(trainRows(
+      Bpe.bpeTrainBatched(tied, "text", numMerges = 1, batchSize = 2)))
+    assert(driver === dist)
+    assert(driver.head._3 === "�") // the UTF-8-first pick, not the emoji
+  }
+
+  test("post-collect vocab guard: over-limit actual chars refuse the driver branch") {
+    // driverRegime gates on the optimizer's byte ESTIMATE; the post-collect
+    // guard re-checks ACTUAL chars so a lying estimate can't feed an
+    // unbounded vocabulary to the ~50x-overhead driver loop (r21 ADVICE)
+    spark.conf.set(LimitKey, "10")
+    try {
+      assert(Bpe.driverVocabFits(spark, chars = 10L, what = "spec"))
+      assert(!Bpe.driverVocabFits(spark, chars = 11L, what = "spec"))
+    } finally spark.conf.unset(LimitKey)
+  }
 }
