@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.GraftFunctions
-import graft.plans.{AsOfJoin, AsOfPushdown, DeferExpensiveSortProject, NanosRangePushdown, NtzCastPushdown}
+import graft.plans.{AsOfJoin, AsOfPushdown, DeferExpensiveSortProject, NanosRangePushdown, NtzCastPushdown, SmallSortSinglePartition}
 
 /** spark-submit-time registration of the engine's Catalyst extensions:
   *
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => AsOfPushdown)
     e.injectOptimizerRule(_ => NanosRangePushdown)
     e.injectOptimizerRule(_ => NtzCastPushdown)
+    // before DeferExpensiveSortProject — the ordering contract on
+    // SmallSortSinglePartition's scaladoc (collapsed small sorts keep
+    // expensive projections below the all-to-one exchange)
+    e.injectOptimizerRule(_ => SmallSortSinglePartition)
     e.injectOptimizerRule(_ => DeferExpensiveSortProject)
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")

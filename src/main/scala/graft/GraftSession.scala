@@ -199,7 +199,15 @@ object GraftSession {
     * before round 15, put it in BOTH optimizer batches on extensions
     * sessions and mutated session state from a reader). Idempotent. */
   def attach(s: SparkSession): SparkSession = {
+    // ORDER CONTRACT: SmallSortSinglePartition must run before
+    // DeferExpensiveSortProject (its register() prepends, so either call
+    // order lands it first) — a small sort collapses to one partition and
+    // the defer rule then correctly leaves expensive projections BELOW
+    // the all-to-one exchange where they evaluate in parallel; reversed,
+    // deferred projections would evaluate serially above the single-
+    // partition sort (see SmallSortSinglePartition's scaladoc).
     graft.plans.DeferExpensiveSortProject.register(s)
+    graft.plans.SmallSortSinglePartition.register(s)
     s
   }
 

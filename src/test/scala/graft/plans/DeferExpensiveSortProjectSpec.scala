@@ -15,11 +15,19 @@ class DeferExpensiveSortProjectSpec extends SparkSpec {
 
   private def withRule[A](f: => A): A = {
     DeferExpensiveSortProject.register(spark)
+    // this suite tests the DEFER rule in isolation: the r21 small-sort
+    // collapse (registered by GraftSession.attach, and running first by
+    // its ordering contract) would collapse these tiny test sorts before
+    // the defer pattern can match — disable it for the duration
+    spark.conf.set("spark.graft.smallsort.maxBytes", "0")
     try f
-    finally spark.experimental.synchronized {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations
-          .filterNot(_.isInstanceOf[DeferExpensiveSortProject.type])
+    finally {
+      spark.conf.unset("spark.graft.smallsort.maxBytes")
+      spark.experimental.synchronized {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(_.isInstanceOf[DeferExpensiveSortProject.type])
+      }
     }
   }
 

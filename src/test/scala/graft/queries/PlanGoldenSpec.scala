@@ -112,27 +112,34 @@ class PlanGoldenSpec extends SparkSpec {
     // SEE the rule's absence (p19's json extraction falls back below the
     // range exchange where the bounds sampler executes it twice)
     import graft.plans.DeferExpensiveSortProject
-    val before = computeDigest("p19_json_extract")
-    assert(before.contains("defer=0"),
-      s"with the rule registered, p19 should carry no expensive expression " +
-        s"below the range exchange: $before")
-    val prev = spark.experimental.extraOptimizations
+    // the defer rule protects the LARGE-sort regime; at fixture the r21
+    // small-sort collapse removes the range exchange first and defer=0
+    // would be vacuously true with or without the rule — pin the defer
+    // gate with the collapse disabled, the regime it actually guards
+    spark.conf.set("spark.graft.smallsort.maxBytes", "0")
     try {
-      spark.experimental.extraOptimizations =
-        prev.filterNot(_.isInstanceOf[DeferExpensiveSortProject.type])
-      val after = computeDigest("p19_json_extract")
-      assert(before != after && !after.contains("defer=0"),
-        "unregistering DeferExpensiveSortProject left p19's digest " +
-          s"unchanged — the gate would miss a dropped registration:\n" +
-          s" before: $before\n after:  $after")
-      // ta_scrub_pii replaced ta_quality_logit in the gated trio (r16):
-      // prove the NEW member's defer=0 is non-vacuous too — its regex
-      // projections must reappear below the range exchange without the
-      // rule, else the slot has gone as stale as the one it replaced
-      val piiAfter = computeDigest("ta_scrub_pii")
-      assert(!piiAfter.contains("defer=0"),
-        "unregistering DeferExpensiveSortProject left ta_scrub_pii at " +
-          s"defer=0 — the trio slot is vacuous again: $piiAfter")
-    } finally spark.experimental.extraOptimizations = prev
+      val before = computeDigest("p19_json_extract")
+      assert(before.contains("defer=0"),
+        s"with the rule registered, p19 should carry no expensive expression " +
+          s"below the range exchange: $before")
+      val prev = spark.experimental.extraOptimizations
+      try {
+        spark.experimental.extraOptimizations =
+          prev.filterNot(_.isInstanceOf[DeferExpensiveSortProject.type])
+        val after = computeDigest("p19_json_extract")
+        assert(before != after && !after.contains("defer=0"),
+          "unregistering DeferExpensiveSortProject left p19's digest " +
+            s"unchanged — the gate would miss a dropped registration:\n" +
+            s" before: $before\n after:  $after")
+        // ta_scrub_pii replaced ta_quality_logit in the gated trio (r16):
+        // prove the NEW member's defer=0 is non-vacuous too — its regex
+        // projections must reappear below the range exchange without the
+        // rule, else the slot has gone as stale as the one it replaced
+        val piiAfter = computeDigest("ta_scrub_pii")
+        assert(!piiAfter.contains("defer=0"),
+          "unregistering DeferExpensiveSortProject left ta_scrub_pii at " +
+            s"defer=0 — the trio slot is vacuous again: $piiAfter")
+      } finally spark.experimental.extraOptimizations = prev
+    } finally spark.conf.unset("spark.graft.smallsort.maxBytes")
   }
 }
