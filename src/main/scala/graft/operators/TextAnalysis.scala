@@ -542,9 +542,14 @@ object TextAnalysis {
       textCol: String, k: Int = 3,
       maxDfFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Persist tf (r21, measured): the frame feeds both the join's left
+    // side and the document-frequency aggregate, and the postings
+    // explode above wordPosts' exchange re-executed per reference (the
+    // pmiBigrams finding). Per-doc-distinct-word bounded.
     val tf = Dedup.wordPosts(df, idCol, textCol)
       .filter(col("w") =!= "")
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("w"))
@@ -615,10 +620,15 @@ object TextAnalysis {
         .groupBy("w").agg(count(lit(1)).as(out))
     val ca = counts(a, "n_a")
     val cb = counts(b, "n_b")
+    // persisted (r21): the joined vocabulary feeds the totals row AND
+    // the final projection — unpersisted, the whole two-corpus explode +
+    // aggregate + full-outer join executed twice (the pmiBigrams
+    // finding). Vocabulary-bounded.
     val joined = ca.join(cb, Seq("w"), "full_outer")
       .select(col("w"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = joined.select(
       sum(col("n_a")).as("total_a"), sum(col("n_b")).as("total_b"))
     joined.join(broadcast(totals))
@@ -725,15 +735,33 @@ object TextAnalysis {
       textCol: String, topK: Int = 20,
       minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Four consumers used to hang off the postings stream — unigram
+    // counts, the global unigram count, the bigram window, and the
+    // global bigram count — re-executing the explode above wordPosts'
+    // shared exchange per consumer. Deriving both totals from the
+    // AGGREGATES below (Σ of group counts — identical Longs) halves the
+    // posting passes to two (unigram groupBy, bigram window). Persisting
+    // or checkpointing the postings themselves was probed and does NOT
+    // pay at any measured scale (AQE launches the consumer stages
+    // concurrently, so a lazy cache races its own population, and an
+    // eager checkpoint's materialization pass costs what the saved
+    // recompute would have — probe pairs in OPTIMIZATION_r21.md).
     val posts = Dedup.wordPosts(df, idCol, textCol)
     val w = Window.partitionBy("id").orderBy("pos")
     val bi = posts.withColumn("w2", lead(col("w"), 1).over(w))
       .filter(col("w2").isNotNull)
       .select(col("w").as("w1"), col("w2"))
     val uni = posts.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nUni = posts.agg(count(lit(1)).as("n_uni"))
-    val nBi = bi.agg(count(lit(1)).as("n_bi"))
-    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    // identical values, no extra pass: Σ unigram counts IS the posting
+    // count, Σ bigram-group counts IS the bigram count (pre-minCount).
+    // coalesce keeps count()'s non-null type on empty input, so the
+    // derived lift column's nullability (and the oracle's schema
+    // compare) is unchanged.
+    val nUni = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_uni"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBi = big.agg(coalesce(sum(col("c_xy")), lit(0L)).as("n_bi"))
+    big
       .filter(col("c_xy") >= minCount)
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
