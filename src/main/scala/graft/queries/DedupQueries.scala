@@ -207,9 +207,19 @@ private[queries] object DedupQueries {
     Q("dd_incremental_neardup",
       (s, d) => {
         val docs = T(s, d, "documents")
+        // persisted (r21, measured): the signature table feeds the band
+        // probe AND the agreement verify, and the 16-column md5-min
+        // aggregation sits ABOVE the persisted postings' hash(id) layout
+        // (partition-local agg, no exchange below it for ReuseExchange
+        // to dedupe) — unpersisted it computed twice per run. The two
+        // consumers are sequential (verify joins the probe's output), so
+        // the lazy cache cannot race its own population. Doc-bounded:
+        // one row × 16 longs. The _stored sibling reads the same table
+        // from parquet instead — that store IS this memo, durable.
         val corpusSig = Dedup.minhashSignature(docs.filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text", shingleLen = 3, numHashes = 16,
-          hashFamily = Dedup.portableFamily)
+            "doc_id", "text", shingleLen = 3, numHashes = 16,
+            hashFamily = Dedup.portableFamily)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 7), corpusSig,
             "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 4,
             minAgree = 0.5, hashFamily = Dedup.portableFamily)
