@@ -486,10 +486,21 @@ object Bpe {
       case Some(w) => df.repartition(w, col(idCol))
       case None    => df
     }
+    // Persisted (r21, measured): the word stream feeds the vocabulary
+    // side (driver collect, or the distinct the distributed cascade
+    // runs on) AND the per-doc reassembly join in encodeTail — both
+    // re-ran the normalize-regex + explode per reference. In the driver
+    // regime the collect populates the cache during construction and the
+    // tail reads it (sequential, race-free). Storage level splits by the
+    // width regime like shinglePosts: the widened stream is corpus-sized
+    // and heap-caching it would starve the reassembly's aggs.
     val words = src
       .select(col(idCol).as("id"),
         posexplode(split(TextAnalysis.normalize(col(textCol)), " ")).as(Seq("wpos", "wd")))
       .filter(length(col("wd")) > 0)
+      .persist(if (width.isDefined)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (driverRegime(df)) {
       // bounded-input fast path (see DriverInputBytesLimit): the merge
       // cascade is a function of the DISTINCT word alone, so under the
