@@ -97,7 +97,13 @@ class GraftExtensionsSessionSpec extends AnyFunSuite {
       // projection not referenced by the sort keys moves ABOVE the
       // global sort, so the range-bounds sampling pass doesn't execute
       // it twice — proven on the extensions registration path, which
-      // bypasses GraftSession.attach entirely
+      // bypasses GraftSession.attach entirely. The r21 small-sort
+      // collapse (also injected, and running first by its ordering
+      // contract) would collapse this tiny sort before the defer
+      // pattern can match — pin the LARGE-sort regime the defer rule
+      // guards by disabling the collapse for this probe (which also
+      // proves the extensions path carries the disable knob).
+      ext.conf.set("spark.graft.smallsort.maxBytes", "0")
       val deferDir = tmpDir("ext_defer") + "/t"
       Seq((2L, """{"x":2}"""), (1L, """{"x":1}"""))
         .toDF("k", "js").write.parquet(deferDir)
